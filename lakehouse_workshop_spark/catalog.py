@@ -1,0 +1,138 @@
+"""Catalog + ingestion layer (SURVEY.md §2.1, ops S1–S13).
+
+The reference's lakehouse surface: CSV ingest with header/delimiter/inference
+(``DE_data_preparation.py:3-16``), managed-table writes
+(``DE_data_preparation.py:28-29,75-77``), path scans
+(``DS_cust_lifetime_value.py:152``), catalog reads + cache
+(``DS_cust_lifetime_value.py:66``), temp views (``:67,338``), CREATE VIEW AS
+(``:122-128``), CTAS (``:352-354``), database DDL (``DE_data_preparation.py:23``).
+
+Storage format: the reference writes Delta. ``delta-spark`` jars are not in
+this image, so writes degrade to Parquet ``saveAsTable`` behind a capability
+probe — semantics for every §2 query are preserved (Delta's tx-log/ACID layer
+adds no query semantics here). When the jar is present the same API emits Delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """Probe for the Delta Lake datasource (OSS delta-spark jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def table_format(spark: SparkSession) -> str:
+    return "delta" if delta_available(spark) else "parquet"
+
+
+# --- S1: CSV scan ---------------------------------------------------------
+def csv_scan(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    infer_schema: bool = True,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """CSV ingest (ref ``DE_data_preparation.py:3-16``).
+
+    ``schema`` overrides inference for deterministic prod ingest — inference
+    costs an extra full scan at 100 TB and is nondeterministic across files.
+    """
+    reader = (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+# --- S2/S7: managed-table writes -----------------------------------------
+def write_table(
+    df: DataFrame, name: str, *, mode: str = "overwrite", fmt: str | None = None
+) -> None:
+    """Persist a DataFrame as a managed table (ref ``DE_data_preparation.py:29``)."""
+    fmt = fmt or table_format(df.sparkSession)
+    df.write.format(fmt).mode(mode).saveAsTable(name)
+
+
+def ctas(spark: SparkSession, name: str, query: str) -> DataFrame:
+    """CREATE TABLE AS SELECT (ref ``DS_cust_lifetime_value.py:352-354``)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} USING {table_format(spark)} AS {query}")
+    return spark.table(name)
+
+
+# --- S3/S4: scans ---------------------------------------------------------
+def path_scan(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a table by storage path (ref ``DS_cust_lifetime_value.py:152``)."""
+    return spark.read.format(fmt).load(path)
+
+
+def catalog_scan(spark: SparkSession, name: str, *, cache: bool = False) -> DataFrame:
+    """Read a managed table by name, optionally cached (ref ``:66``)."""
+    df = spark.read.table(name)
+    return df.cache() if cache else df
+
+
+# --- S5/S6: views ---------------------------------------------------------
+def temp_view(df: DataFrame, name: str) -> DataFrame:
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def create_view_as(spark: SparkSession, name: str, query: str) -> DataFrame:
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {query}")
+    return spark.table(name)
+
+
+# --- S8/S9/S10: DDL + introspection --------------------------------------
+def create_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def describe(spark: SparkSession, name: str) -> DataFrame:
+    return spark.sql(f"DESCRIBE {name}")
+
+
+# --- testdata loading -----------------------------------------------------
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (mirrors the oracle's views)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

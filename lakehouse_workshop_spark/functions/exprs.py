@@ -1,0 +1,55 @@
+"""Scalar/aggregate expression helpers (SURVEY.md §2.5, F1–F5; §2.2 P7–P8).
+
+Everything here is a thin composition of built-in ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen-eligible, never a Python UDF.
+
+Determinism note: floating-point SUM/AVG over doubles is order-dependent, and
+at 1000-executor scale partial-aggregate combine order is nondeterministic.
+``dec_sum``/``dec_avg`` accumulate in fixed-point DECIMAL (exact, associative,
+commutative) and cast the final value to double — the result is bit-identical
+regardless of partitioning, which is also what makes the DuckDB-oracle
+hash-match stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM of a double column via DECIMAL(38, scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)
+
+
+def case_bucket(col: Column | str, edges: list[tuple[float, float, str]], other: str = "others") -> Column:
+    """Multi-branch CASE WHEN banding (ref ``DS_cust_lifetime_value.py:373-379``).
+
+    ``edges`` is a list of (lo_inclusive, hi_exclusive, label). The reference's
+    bands have literal gaps (e.g. 19–20); this helper takes explicit edges so
+    callers can reproduce or fix that, and rows matching nothing get ``other``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for lo, hi, label in edges:
+        cond = (c >= F.lit(lo)) & (c < F.lit(hi))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None
+    return expr.otherwise(F.lit(other))
+
+
+def row_id() -> Column:
+    """Synthetic unique id (ref ``DS_cust_lifetime_value.py:166``).
+
+    ``monotonically_increasing_id`` is partition-dependent; fine for a synthetic
+    key, not for oracle-checked output. Oracle-checked queries use a
+    ``row_number`` window over an explicit ordering instead.
+    """
+    return F.monotonically_increasing_id() + 1

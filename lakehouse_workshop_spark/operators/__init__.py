@@ -1,0 +1,50 @@
+"""Operator registry.
+
+Each operator module registers named queries ``(spark, sf_dir) -> DataFrame``
+and (where SQL-expressible) a DuckDB oracle SQL string under the same name.
+``__spark_entry__`` exposes the merged registries to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named operator query and optionally its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # Import for side effect of registration.
+    from lakehouse_workshop_spark.operators import (  # noqa: F401
+        relational,
+        insights,
+        completions,
+        llm_text,
+        llm_dedup,
+        llm_similarity,
+        clv_queries,
+        streaming_queries,
+    )
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return dict(ORACLES)

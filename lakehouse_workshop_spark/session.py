@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference relies on a Databricks-managed session; here the engine owns
+session construction (SURVEY.md §4): Arrow exchange on (reference toggles it at
+``DS_cust_lifetime_value.py:148``), AQE on (coalesce + skew-join), UTC session
+timezone so date extraction matches the DuckDB oracle bit-for-bit, and shuffle
+parallelism sized to the machine rather than Spark's default 200.
+
+At cluster scale the same factory applies: AQE re-plans shuffles at runtime,
+``spark.sql.files.maxPartitionBytes`` keeps scan partitions executor-sized, and
+broadcast joins stay enabled for dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "lakehouse-workshop-spark"
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Local test posture is ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    caller passes ``master=None`` with an external cluster manager and the same
+    SQL configs hold.
+    """
+    cpus = _default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic date semantics vs the DuckDB oracle (naive parquet ts).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas boundary (toPandas/createDataFrame/applyInPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # AQE: runtime shuffle coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-side partition sizing: 128 MB splits keep tasks executor-sized
+        # at 100 TB; harmless locally.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
