@@ -1,0 +1,134 @@
+"""Distributed customer-lifetime-value pipeline (SURVEY.md §2.6–2.7).
+
+The reference's scale-out design (narrative at ``DS_cust_lifetime_value.py:
+403-418``): shuffle customers into groups, fit BG/NBD + Gamma-Gamma per group
+inside a grouped-map pandas UDF, score every customer, union under an explicit
+schema (``DS:444-454``). Two fixes over the reference:
+
+- the fan-out key really fans out (``% n_groups``, not the ``% 1`` bug at
+  ``DS:429``);
+- the modern ``applyInPandas`` API replaces the deprecated
+  ``@pandas_udf(..., GROUPED_MAP)`` form.
+
+Scale posture: one shuffle on ``GroupKey``; each group's fit is O(group rows)
+with vectorized numpy inside an Arrow batch; no driver collect anywhere.
+``driver_clv`` (the reference's collect-fit-redistribute variant, ``DS:173,
+331``) is kept for validation only — it is the known scalability cliff.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.functions.exprs import dec_avg
+from lakehouse_workshop_spark.models import BetaGeoModel, GammaGammaModel
+
+# Golden output schema — exact reproduction of ``DS_cust_lifetime_value.py:
+# 444-454`` (all nullable).
+LTV_RESULT_SCHEMA = StructType(
+    [
+        StructField("GroupKey", IntegerType(), True),
+        StructField("CustomerID", IntegerType(), True),
+        StructField("FREQUENCY", LongType(), True),
+        StructField("RECENCY", FloatType(), True),
+        StructField("AGE", FloatType(), True),
+        StructField("AVG_MONETARY_VALUE", FloatType(), True),
+        StructField("PRED_VISITS", FloatType(), True),
+        StructField("PROB_ALIVE", FloatType(), True),
+        StructField("PROB_ALIVE_t", FloatType(), True),
+        StructField("PRED_CLV", FloatType(), True),
+    ]
+)
+
+# Reference scoring constants (``DS:204-205, 253, 471-489``).
+PRED_HORIZON_WEEKS = 52.08
+PROB_ALIVE_HORIZON = 10.0
+CLV_MONTHS = 12
+DISCOUNT_RATE = 0.01
+BGNBD_PENALIZER = 0.0001
+GG_PENALIZER = 0.01
+
+
+def rfm_from_orders(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
+    """RFM-T input in reference semantics over the orders table
+    (``DS:428-435`` mapped per FIXTURES.md §B)."""
+    orders = load_table(spark, sf_dir, "orders")
+    week = F.weekofyear("o_orderdate")
+    return orders.groupBy(
+        (F.col("o_custkey") % n_groups + 1).cast("int").alias("GroupKey"),
+        F.col("o_custkey").cast("int").alias("CustomerID"),
+    ).agg(
+        (F.count("*") - 1).alias("FREQUENCY"),
+        (F.max(week) - F.min(week)).cast("float").alias("RECENCY"),
+        (F.lit(51) - F.min(week)).cast("float").alias("AGE"),
+        dec_avg("o_totalprice").cast("float").alias("AVG_MONETARY_VALUE"),
+    )
+
+
+def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map UDF body (ref ``DS:462-494``): fit both models on this
+    group's customers, score everyone, return the golden schema.
+
+    Importable and driver-testable standalone, matching the reference's
+    driver-side re-run of the UDF body (``DS:498-503``, U2).
+    """
+    x = pdf["FREQUENCY"].to_numpy(dtype=float)
+    t_x = pdf["RECENCY"].to_numpy(dtype=float)
+    T = pdf["AGE"].to_numpy(dtype=float)
+    m = pdf["AVG_MONETARY_VALUE"].to_numpy(dtype=float)
+
+    bgf = BetaGeoModel.fit(x, t_x, T, penalizer_coef=BGNBD_PENALIZER)
+    pred_visits = bgf.conditional_expected_purchases(PRED_HORIZON_WEEKS, x, t_x, T)
+    prob_alive = bgf.conditional_probability_alive(x, t_x, T)
+    prob_alive_t = bgf.probability_alive_at_horizon(PROB_ALIVE_HORIZON, x, t_x, T)
+
+    # Gamma-Gamma precondition: repeat customers only (ref ``DS:276,476``).
+    repeat = x > 1
+    if repeat.sum() >= 10:
+        ggf = GammaGammaModel.fit(x[repeat], m[repeat], penalizer_coef=GG_PENALIZER)
+        exp_profit = ggf.conditional_expected_average_profit(x, m)
+    else:  # degenerate group — fall back to observed monetary value
+        exp_profit = m
+    clv = bgf.customer_lifetime_value(
+        x, t_x, T, exp_profit, time=CLV_MONTHS, discount_rate=DISCOUNT_RATE
+    )
+
+    out = pd.DataFrame(
+        {
+            "GroupKey": pdf["GroupKey"].astype("int32"),
+            "CustomerID": pdf["CustomerID"].astype("int32"),
+            "FREQUENCY": pdf["FREQUENCY"].astype("int64"),
+            "RECENCY": t_x.astype("float32"),
+            "AGE": T.astype("float32"),
+            "AVG_MONETARY_VALUE": m.astype("float32"),
+            "PRED_VISITS": pred_visits.astype("float32"),
+            "PROB_ALIVE": prob_alive.astype("float32"),
+            "PROB_ALIVE_t": prob_alive_t.astype("float32"),
+            "PRED_CLV": clv.astype("float32"),
+        }
+    )
+    return out
+
+
+def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
+    """U1: shuffle by GroupKey → per-group fit+score → golden schema."""
+    rfm = rfm_from_orders(spark, sf_dir, n_groups=n_groups)
+    return rfm.groupBy("GroupKey").applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
+
+
+def driver_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-3a variant (ref ``DS:173-331``): collect → fit on driver →
+    redistribute. Validation-only; unbounded ``toPandas`` does not scale."""
+    pdf = rfm_from_orders(spark, sf_dir, n_groups=1).toPandas()
+    scored = clv_score_group(pdf)
+    return spark.createDataFrame(scored, schema=LTV_RESULT_SCHEMA)

@@ -1,0 +1,49 @@
+"""Golden-pipeline tests for the distributed CLV layer (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.clv.pipeline import (
+    LTV_RESULT_SCHEMA,
+    clv_score_group,
+    distributed_clv,
+    rfm_from_orders,
+)
+
+
+def test_golden_schema(spark, sf_dir):
+    """Output schema equals the reference StructType (DS:444-454) exactly."""
+    out = distributed_clv(spark, sf_dir)
+    assert out.schema == LTV_RESULT_SCHEMA
+
+
+def test_distributed_scores_every_customer(spark, sf_dir):
+    rfm = rfm_from_orders(spark, sf_dir)
+    out = distributed_clv(spark, sf_dir).cache()
+    assert out.count() == rfm.count()
+    stats = out.agg(
+        F.min("PROB_ALIVE"), F.max("PROB_ALIVE"), F.min("PRED_VISITS"), F.min("PRED_CLV")
+    ).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+    assert stats[2] >= 0.0 and stats[3] >= 0.0
+    out.unpersist()
+
+
+def test_udf_body_standalone(spark, sf_dir):
+    """U2: the grouped-map body runs on a local pandas sample (DS:498-503)."""
+    sample = rfm_from_orders(spark, sf_dir, n_groups=1).toPandas()
+    scored = clv_score_group(sample)
+    assert len(scored) == len(sample)
+    assert list(scored.columns) == [f.name for f in LTV_RESULT_SCHEMA.fields]
+    assert np.isfinite(scored["PRED_CLV"].to_numpy()).all()
+
+
+def test_fanout_partitions_cover_customers(spark, sf_dir):
+    """T3 fix: GroupKey fan-out is a partition of the customer set."""
+    rfm = rfm_from_orders(spark, sf_dir, n_groups=20)
+    per_group = rfm.groupBy("GroupKey").count()
+    assert per_group.count() == 20
+    total = per_group.agg(F.sum("count")).collect()[0][0]
+    assert total == rfm.count()
