@@ -128,7 +128,19 @@ def describe(spark: SparkSession, name: str) -> DataFrame:
 
 # --- testdata loading -----------------------------------------------------
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one synthetic testdata table (TESTDATA.md)."""
+    """Scan one synthetic testdata table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    default; read it as int64 nanos (legacy conf, runtime-settable) and
+    convert to a microsecond timestamp — matching DuckDB's own ns→µs
+    truncation so oracle comparisons stay exact.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,1 +1,99 @@
-"""Placeholder — filled in by later milestones."""
+"""Dashboard/segmentation rollups (SURVEY.md §2.2 P8, §2.3 A7).
+
+Re-expressions of ``SQL_CLV_Insights.py``'s CASE-band + rollup queries. The
+reference bands PRED_VISITS/PRED_CLV (model outputs — covered rows-only in
+clv_queries); here the same band-then-rollup shape runs on SQL-derivable
+columns so the oracle can check it exactly, including the reference's
+band-edge semantics (integer edges with an ``others`` escape hatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.operators import query
+from lakehouse_workshop_spark.operators.relational import rfm_summary, RFM_ORACLE
+
+# The reference's visit-band CASE (``SQL_CLV_Insights.py:69-75``): integer
+# edges 1-19 / 20-29 / 30-39 / 40+, ELSE 'others'. Faithful reproduction —
+# including the property that non-integer values in (19,20) etc. fall to
+# 'others' (SURVEY.md §5.4 documents the gap).
+_VISIT_BAND_SQL = """
+    CASE WHEN frequency >= 1 AND frequency <= 19 THEN '1-19'
+         WHEN frequency >= 20 AND frequency <= 29 THEN '20-29'
+         WHEN frequency >= 30 AND frequency <= 39 THEN '30-39'
+         WHEN frequency >= 40 THEN '40+'
+         ELSE 'others' END
+"""
+
+
+def _visit_band_col() -> F.Column:
+    c = F.col("frequency")
+    return (
+        F.when((c >= 1) & (c <= 19), "1-19")
+        .when((c >= 20) & (c <= 29), "20-29")
+        .when((c >= 30) & (c <= 39), "30-39")
+        .when(c >= 40, "40+")
+        .otherwise("others")
+    )
+
+
+@query(
+    "frequency_bands",
+    oracle=f"""
+    SELECT {_VISIT_BAND_SQL} AS visit_band,
+           COUNT(*) AS n_customers
+    FROM ({RFM_ORACLE})
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def frequency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band customers by repeat-purchase count, count per band
+    (ref ``SQL_CLV_Insights.py:67-78`` on PRED_VISITS)."""
+    rfm = rfm_summary(spark, sf_dir)
+    return (
+        rfm.groupBy(_visit_band_col().alias("visit_band"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("visit_band")
+    )
+
+
+@query(
+    "customer_value_bands",
+    oracle="""
+    SELECT CASE WHEN total_spend < 1000000 THEN 'a_under_1m'
+                WHEN total_spend >= 1000000 AND total_spend < 3000000 THEN 'b_1m_3m'
+                WHEN total_spend >= 3000000 AND total_spend < 6000000 THEN 'c_3m_6m'
+                ELSE 'd_over_6m' END AS value_band,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(total_spend AS DECIMAL(38,2))) AS DOUBLE) AS band_value
+    FROM (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band customers by lifetime spend, COUNT + SUM per band — the
+    PRED_CLV rollup shape (ref ``SQL_CLV_Insights.py:83-94``)."""
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.functions.exprs import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("total_spend"))
+    c = F.col("total_spend")
+    band = (
+        F.when(c < 1_000_000, "a_under_1m")
+        .when((c >= 1_000_000) & (c < 3_000_000), "b_1m_3m")
+        .when((c >= 3_000_000) & (c < 6_000_000), "c_3m_6m")
+        .otherwise("d_over_6m")
+    )
+    return (
+        spend.groupBy(band.alias("value_band"))
+        .agg(F.count("*").alias("n_customers"), dec_sum("total_spend").alias("band_value"))
+        .orderBy("value_band")
+    )
