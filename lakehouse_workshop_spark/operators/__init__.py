@@ -38,6 +38,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_text,
         llm_dedup,
         llm_similarity,
+        llm_multimodal,
         clv_queries,
         streaming_queries,
     )

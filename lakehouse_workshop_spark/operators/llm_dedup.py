@@ -1,1 +1,323 @@
-"""Placeholder — filled in by later milestones."""
+"""Deduplication operators for LLM data pipelines (north-star extensions).
+
+Four dedup families over the ``documents`` table, each expressed as a
+declarative Spark plan with a DuckDB oracle:
+
+- exact: content-hash groupBy (one shuffle on a 128-bit key);
+- n-gram Jaccard: shingle-explode + equi-join on shingle, Jaccard from
+  shared-shingle counts (the candidate join is the scale bottleneck: common
+  shingles fan out, so production adds a document-frequency cap — included);
+- MinHash + LSH: k=16 universal-hash minhash signatures, banded 4×4 so
+  near-duplicates collide in ≥1 band — turns O(n²) comparison into an
+  equi-join on (band, band_hash). The standard 100 TB-scale design;
+- SimHash: 32-bit sign-of-weighted-sum fingerprint; candidate pairs via
+  byte-banding (pigeonhole: hamming ≤ 6 ⟹ some band of 8 bits is equal
+  ... for ≤3 of 4 differing bands) + exact hamming filter.
+
+Every hash derives from md5 so Spark and DuckDB agree bit-for-bit:
+``conv(substr(md5(s),1,15),16,10)`` ≡ ``('0x'||substr(md5(s),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.operators import query
+
+SHINGLE_WIDTH = 5
+JACCARD_THRESHOLD = 0.2
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod P over Z_P,
+# P = 2^31 - 1 (Mersenne prime). a_i, b_i fixed literals → reproducible
+# signatures everywhere; products stay < 2^62 (no bigint overflow).
+MINHASH_K = 16
+MINHASH_P = 2_147_483_647
+_MINHASH_A = [(1_103_515_245 * i + 12_345) % MINHASH_P for i in range(1, MINHASH_K + 1)]
+_MINHASH_B = [(2_654_435_761 * i + 1_013_904_223) % MINHASH_P for i in range(1, MINHASH_K + 1)]
+LSH_BANDS = 4  # 4 bands x 4 rows: ~50% collision at J=0.47, >95% at J=0.8
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+# --- shared SQL fragments (Spark dialect / DuckDB dialect) -----------------
+
+_SPARK_SHINGLES = f"""
+    SELECT doc_id,
+           explode(array_distinct(transform(
+               sequence(1, size(split(text, ' ')) - {SHINGLE_WIDTH - 1}),
+               i -> array_join(slice(split(text, ' '), i, {SHINGLE_WIDTH}), ' ')
+           ))) AS shingle
+    FROM documents
+"""
+
+_DUCK_SHINGLES = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {SHINGLE_WIDTH - 1}),
+               i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WIDTH - 1}], ' ')
+           ))) AS shingle
+    FROM documents
+"""
+
+_SPARK_SHINGLE_INT = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_SHINGLE_INT = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+
+
+def _docs_view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep min doc_id.
+
+    Scale: the only shuffle key is the 128-bit hash — uniformly distributed,
+    no skew; at 100 TB this is a single well-balanced exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 5-gram Jaccard ≥ {threshold}.
+
+    Scale: the shingle self-join is quadratic in document frequency of a
+    shingle; production caps DF (drop shingles appearing in >x% of docs —
+    they carry no discrimination). Kept exact here; the MinHash variant is
+    the sub-quadratic path.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH shingles AS ({_SPARK_SHINGLES}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig_sql(shingle_int: str, shingles_cte: str) -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    return f"""
+    WITH shingles AS ({shingles_cte}),
+    ints AS (SELECT doc_id, {shingle_int} AS x FROM shingles)
+    SELECT doc_id,
+           {mins}
+    FROM ints
+    GROUP BY doc_id
+    """
+
+
+def _band_exprs() -> list[str]:
+    rows = MINHASH_K // LSH_BANDS
+    out = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(f"sig{band * rows + j}" for j in range(rows))
+        out.append(f"md5(concat_ws(',', {cols}))")
+    return out
+
+
+@query(
+    "minhash_signatures",
+    oracle=_minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 minhash signature per document — the LSH building block.
+
+    Scale: one shuffle (groupBy doc_id over exploded shingles) with 16
+    partial-aggregated MINs; signature bytes per doc are constant, so the
+    output is tiny relative to the corpus.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES))
+
+
+def _lsh_pairs_sql(sig_sql: str) -> str:
+    rows = MINHASH_K // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    sig_eq = " + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(({sig_eq}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM cand
+    JOIN sigs a ON a.doc_id = cand.doc_a
+    JOIN sigs b ON b.doc_id = cand.doc_b
+    """
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=_lsh_pairs_sql(_minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES)),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (4 bands × 4 rows) + estimated Jaccard.
+
+    Scale: candidates come from an equi-join on (band_id, band_hash) —
+    never a cross join. Hot buckets (boilerplate docs) are the skew risk;
+    AQE skew-join splits them, or cap bucket size upstream.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_lsh_pairs_sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(hex_to_int: str, split_fn: str, unnest: bool) -> str:
+    """32-bit simhash: per token take md5-derived 32 bits; per bit position
+    sum ±1 over tokens; fingerprint = Σ (sum>=0) << j."""
+    if unnest:  # DuckDB
+        toks = f"SELECT doc_id, unnest({split_fn}(text, ' ')) AS tok FROM documents"
+        js = "SELECT doc_id, x, unnest(generate_series(0, 31)) AS j FROM tokints"
+        shifted = "(x >> j)"
+    else:  # Spark
+        toks = f"SELECT doc_id, explode({split_fn}(text, ' ')) AS tok FROM documents"
+        js = "SELECT doc_id, x, explode(sequence(0, 31)) AS j FROM tokints"
+        shifted = "shiftright(x, CAST(j AS INT))"
+    return f"""
+    WITH tokens AS ({toks}),
+    tokints AS (SELECT doc_id, {hex_to_int} AS x FROM tokens),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN {shifted} % 2 = 1 THEN 1 ELSE -1 END) AS w
+        FROM ({js})
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN w >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """
+
+
+_SPARK_TOK_INT = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+_DUCK_TOK_INT = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=_simhash_sql(_DUCK_TOK_INT, "string_split", unnest=True),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash per document.
+
+    Scale: explode(tokens×32 bits) → two partial-aggregated groupBys on
+    doc_id; all JVM-side integer arithmetic.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_simhash_sql(_SPARK_TOK_INT, "split", unnest=False))
+
+
+def _simhash_pairs_sql(simhash_sql: str, xor_expr: str, bitcount_fn: str, intdiv: str = "//") -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, (simhash {intdiv} {256 ** b}) % 256 AS band_val FROM fp"
+        for b in range(4)
+    )
+    return f"""
+    WITH fp AS ({simhash_sql}),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+                        y.doc_id AS doc_b, y.simhash AS sim_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({bitcount_fn}({xor_expr}) AS INT) AS hamming
+    FROM cand
+    WHERE {bitcount_fn}({xor_expr}) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=_simhash_pairs_sql(
+        _simhash_sql(_DUCK_TOK_INT, "string_split", unnest=True),
+        "xor(sim_a, sim_b)",
+        "bit_count",
+    ),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming ≤ 6, candidates via byte-banding
+    (pigeonhole over 4 bands of 8 bits — no cross join)."""
+    _docs_view(spark, sf_dir)
+    return spark.sql(
+        _simhash_pairs_sql(
+            _simhash_sql(_SPARK_TOK_INT, "split", unnest=False),
+            "sim_a ^ sim_b",
+            "bit_count",
+            intdiv="div",
+        )
+    )

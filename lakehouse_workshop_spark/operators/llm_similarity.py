@@ -1,1 +1,198 @@
-"""Placeholder — filled in by later milestones."""
+"""Similarity search over embeddings (north-star extensions).
+
+Operators on the ``embeddings`` table (``embedding: array<float>``, 64-dim):
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline. Dot
+  products run JVM-side via ``zip_with`` + ``aggregate`` (a left fold in
+  double, deterministic order — no Python in the loop);
+- ``embedding_near_pairs``: threshold self-join (near-dup by embedding);
+- ``lsh_buckets`` / ``ann_topk_lsh``: random-hyperplane (sign) LSH — the
+  scale path. Hyperplane weights are ±1 derived from md5(plane, dim), so
+  both engines build identical planes with no side channel. Buckets turn
+  the O(n·q) scan into an equi-join on bucket id.
+
+Determinism: cosines are rounded to 6 dp and every ordering breaks ties by
+vec_id, so rank cutoffs agree across engines bit-for-bit.
+
+Scale posture: brute-force is O(n) per query with a broadcast query set —
+right up to ~10^5 queries; past that, LSH bucketing (or IVF with trained
+centroids — same join shape) keeps it an equi-join. At 100 TB the bucketed
+variant is the only viable plan; both share the scoring expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.operators import query
+
+TOP_K = 10
+NEAR_PAIR_THRESHOLD = 0.4
+LSH_PLANES = 8  # 2^8 = 256 buckets
+QUERY_FILTER = "vec_id % 100 = 0"
+
+# --- dialect fragments -----------------------------------------------------
+
+# Left-fold dot product and norms, computed in double. Spark: zip_with +
+# aggregate. DuckDB: list_dot_product on DOUBLE[] (same value under 6-dp
+# rounding).
+_SPARK_COS = """
+    aggregate(zip_with(a.embedding, b.embedding,
+                       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              0.0D, (acc, v) -> acc + v)
+    / (SQRT(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      0.0D, (acc, v) -> acc + v))
+       * SQRT(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        0.0D, (acc, v) -> acc + v)))
+"""
+
+_DUCK_COS = """
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+"""
+
+
+def _emb_view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+
+
+def _topk_sql(cos: str) -> str:
+    return f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROUND({cos}, 6) AS cosine
+        FROM (SELECT * FROM embeddings WHERE {QUERY_FILTER}) a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("cosine_topk", oracle=_topk_sql(_DUCK_COS))
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector (brute force).
+
+    Spark plans this as BroadcastNestedLoopJoin (query side is tiny) →
+    per-row fold → windowed top-k; the fact side is scanned once.
+    """
+    _emb_view(spark, sf_dir)
+    return spark.sql(_topk_sql(_SPARK_COS))
+
+
+def _near_pairs_sql(cos: str) -> str:
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cos}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({cos}, 6) >= {NEAR_PAIR_THRESHOLD}
+    """
+
+
+@query("embedding_near_pairs", oracle=_near_pairs_sql(_DUCK_COS))
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold self-join).
+
+    Scale: quadratic as written — the honest exact baseline. The LSH bucket
+    join below is the production shape (same scoring expr on candidates).
+    """
+    _emb_view(spark, sf_dir)
+    return spark.sql(_near_pairs_sql(_SPARK_COS))
+
+
+# Random-hyperplane LSH. Plane j's weight on dim d = +1 if the first hex
+# char of md5('j_d') is odd else -1 — engine-independent, no RNG needed.
+def _planes_sql(strpos_fn: str) -> str:
+    """Builds rows (j, plane) where plane is a 64-long array of ±1."""
+    return f"""
+        SELECT j, transform(sequence(0, 63),
+                   d -> CASE WHEN {strpos_fn}('13579bdf',
+                                  substring(md5(concat(j, '_', d)), 1, 1)) > 0
+                             THEN 1.0D ELSE -1.0D END) AS plane
+        FROM (SELECT explode(sequence(0, {LSH_PLANES - 1})) AS j)
+    """
+
+
+_DUCK_PLANES = f"""
+        SELECT j, list_transform(generate_series(0, 63),
+                   d -> CASE WHEN strpos('13579bdf',
+                                  substr(md5(concat(j, '_', d)), 1, 1)) > 0
+                             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+        FROM (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS j)
+"""
+
+_SPARK_BUCKETS = f"""
+    WITH planes AS ({_planes_sql('instr')}),
+    dots AS (
+        SELECT e.vec_id, p.j,
+               aggregate(zip_with(e.embedding, p.plane,
+                                  (x, w) -> CAST(x AS DOUBLE) * w),
+                         0.0D, (acc, v) -> acc + v) AS dot
+        FROM embeddings e CROSS JOIN planes p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+_DUCK_BUCKETS = f"""
+    WITH planes AS ({_DUCK_PLANES}),
+    dots AS (
+        SELECT e.vec_id, p.j,
+               list_dot_product(e.embedding::DOUBLE[], p.plane) AS dot
+        FROM embeddings e CROSS JOIN planes p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+
+@query("lsh_buckets", oracle=_DUCK_BUCKETS)
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket id (8 hyperplanes → 256 buckets) per vector.
+
+    Scale: planes are a constant 8×64 array (broadcast); bucketing is one
+    narrow pass over the vectors, then similarity joins become equi-joins
+    on ``bucket``.
+    """
+    _emb_view(spark, sf_dir)
+    return spark.sql(_SPARK_BUCKETS)
+
+
+@query("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within candidates. Same answer quality knob as
+    IVF nprobe=1. (Declared rows-only; the bucket and scoring pieces are
+    each oracle-checked separately.)"""
+    _emb_view(spark, sf_dir)
+    sql = f"""
+    WITH buckets AS ({_SPARK_BUCKETS}),
+    qa AS (SELECT e.vec_id, e.embedding, b.bucket
+           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+           WHERE e.vec_id % 100 = 0),
+    qb AS (SELECT e.vec_id, e.embedding, b.bucket
+           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROUND({_SPARK_COS}, 6) AS cosine
+        FROM qa a JOIN qb b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+    return spark.sql(sql)

@@ -1,1 +1,202 @@
-"""Placeholder — filled in by later milestones."""
+"""Text-analysis operators for LLM data pipelines (north-star extensions).
+
+Language-ID, quality scoring, token counting, and document fingerprinting over
+the ``documents`` table — all pure built-in-function plans (split / transform /
+filter / aggregate on arrays), JVM-side and codegen-friendly; no Python UDFs.
+
+Cross-engine determinism: every hash is md5 (identical in Spark and DuckDB);
+hex→int goes through ``conv(hex,16,10)`` on Spark and ``('0x'||hex)::BIGINT``
+on DuckDB — verified bit-identical.
+
+Scale posture: each query is scan → per-row array expressions → (optional)
+aggregate. Shuffle-free except final aggregates; at 100 TB these run at
+scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.operators import query
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST((length(text) - (len(toks) - 1)) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(toks)
+               AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document: token count, average token
+    length, stopword ratio, type-token ratio (vocabulary diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), F.col("text"), F.split("text", " ").alias("toks")).selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_obs",
+        "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks) AS avg_token_len",
+        f"CAST(size(filter(toks, t -> t IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords",
+        f"CAST(size(filter(toks, t -> t IN ({_STOP_IN}))) AS DOUBLE) / size(toks) AS stopword_ratio",
+        "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) AS ttr",
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN n_tokens >= 30 AND stopword_ratio >= 0.05 AND ttr >= 0.3
+                THEN 'keep'
+                WHEN n_tokens >= 15 THEN 'review'
+                ELSE 'drop' END AS quality_label
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(toks)
+                   AS stopword_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based keep/review/drop labeling — the filter stage of a training
+    data pipeline (length + stopword + diversity gates)."""
+    stats = text_stats(spark, sf_dir)
+    label = (
+        F.when(
+            (F.col("n_tokens") >= 30) & (F.col("stopword_ratio") >= 0.05) & (F.col("ttr") >= 0.3),
+            "keep",
+        )
+        .when(F.col("n_tokens") >= 15, "review")
+        .otherwise("drop")
+    )
+    return stats.select("doc_id", label.alias("quality_label"))
+
+
+# Marker-word profiles for the n-gram/stopword language heuristic. On this
+# synthetic corpus (shared vocabulary) most docs score 'en' — the operator's
+# value is the deterministic argmax plumbing, checked exactly by the oracle.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "la", "les"),
+}
+
+
+def _marker_count_sql(markers: tuple[str, ...], list_fn: str, len_fn: str = "len") -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"{len_fn}({list_fn}(toks, t -> t IN ({inlist})))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE GREATEST(en_score, de_score, es_score, fr_score)
+                WHEN en_score THEN 'en'
+                WHEN de_score THEN 'de'
+                WHEN es_score THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           en_score, de_score, es_score, fr_score
+    FROM (
+        SELECT doc_id,
+               CAST({_marker_count_sql(_LANG_MARKERS['en'], 'list_filter')} AS BIGINT) AS en_score,
+               CAST({_marker_count_sql(_LANG_MARKERS['de'], 'list_filter')} AS BIGINT) AS de_score,
+               CAST({_marker_count_sql(_LANG_MARKERS['es'], 'list_filter')} AS BIGINT) AS es_score,
+               CAST({_marker_count_sql(_LANG_MARKERS['fr'], 'list_filter')} AS BIGINT) AS fr_score
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax (first-wins tie
+    order en > de > es > fr, identical in the CASE on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    scored = toks.selectExpr(
+        "doc_id",
+        *[
+            f"CAST({_marker_count_sql(m, 'filter', 'size')} AS BIGINT) AS {lang}_score"
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest("en_score", "de_score", "es_score", "fr_score")
+    pred = (
+        F.when(F.col("en_score") == best, "en")
+        .when(F.col("de_score") == best, "de")
+        .when(F.col("es_score") == best, "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), "en_score", "de_score", "es_score", "fr_score"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           (SELECT MIN(('0x' || substr(md5(s), 1, 15))::BIGINT)
+            FROM unnest(list_transform(
+                generate_series(1, len(string_split(text, ' ')) - 4),
+                i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+            )) AS t(s)) AS min_shingle_hash
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: exact content hash + min-hashed 5-token shingle
+    (a 1-permutation minhash — the rolling-hash fingerprint primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "md5(text) AS content_hash",
+        """
+        array_min(transform(
+            transform(sequence(1, size(split(text, ' ')) - 4),
+                      i -> array_join(slice(split(text, ' '), i, 5), ' ')),
+            s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+        )) AS min_shingle_hash
+        """,
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS n_tokens_regex,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    chars/4 budget estimate used for quick corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens_ws",
+        r"CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"
+        " AS n_tokens_regex",
+        "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est",
+    )

@@ -1,1 +1,78 @@
-"""Placeholder — filled in by later milestones."""
+"""Streaming operator queries.
+
+``streaming_windowed_counts`` genuinely runs a Structured Streaming job to
+completion (availableNow → memory sink) and still oracle-matches the batch
+equivalent. ``session_window_batch`` exercises Spark's native
+``session_window`` operator in batch with an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.operators import query
+from lakehouse_workshop_spark.operators.completions import SESSION_GAP_SECONDS
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window counts per event type — computed by an
+    actual streaming query (parquet source, availableNow, memory sink)."""
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_windowed_counts
+
+    return run_streaming_windowed_counts(spark, sf_dir)
+
+
+@query(
+    "session_window_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_SECONDS}
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '{SESSION_GAP_SECONDS} seconds' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (gap 30 min) in batch mode.
+
+    session_window's end = last event + gap, which the lag+cumsum oracle
+    reproduces; this pins the two sessionization implementations to each
+    other as well as to DuckDB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

@@ -38,10 +38,10 @@ def _canon_cell(v: object) -> object:
         return v  # exact float comparison — the goal is hash-match
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar
         return _canon_cell(v.item())
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon_cell(x) for x in v)
     return v
 
 

@@ -1,0 +1,188 @@
+"""Structured Streaming jobs (engine extension; SURVEY.md §2.9 notes the
+reference has no streaming — this is the Spark-native completion).
+
+- ``run_streaming_windowed_counts``: parquet source → tumbling-window
+  aggregate → memory sink, driven to completion with availableNow. Complete
+  output mode so every window is emitted (deterministic vs the batch oracle).
+- ``sessionize_stateful``: custom stateful operator via
+  ``applyInPandasWithState`` — the gap-based sessionizer with explicit
+  per-user state, the streaming twin of ``operators.completions.
+  sessionize_events``.
+
+Scale posture: watermarks bound state; per-key state is O(1) (open-session
+bounds only). The parquet file source here stands in for Kafka — the plan
+shape downstream of the source is identical.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lakehouse_workshop_spark.operators.completions import SESSION_GAP_SECONDS
+
+# events.parquet physical schema (ts stored as int64 nanos — see
+# catalog.load_table).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; glob-filter to the events
+    # file within the sf dir.
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_streaming_windowed_counts(
+    spark: SparkSession, sf_dir: str, window: str = "5 minutes"
+) -> DataFrame:
+    """Tumbling-window counts per event_type, driven to completion.
+
+    Complete mode emits every window at the final trigger, so the result
+    equals the batch aggregation (oracle-checkable).
+    """
+    events = _event_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", window).alias("win"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    name = "stream_windowed_counts"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_id", IntegerType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+    ]
+)
+
+# state: (session_id, n_events, start_us, end_us)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", IntegerType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("start_us", LongType(), True),
+        StructField("end_us", LongType(), True),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer. Emits every session it closes; the open
+    tail stays in state (flushed by later batches when the gap elapses).
+
+    NoTimeout on purpose: under ``availableNow`` a ProcessingTimeTimeout
+    keeps the query alive with empty timeout-check batches forever, so
+    ``awaitTermination`` never returns. Open-tail flushing belongs to a
+    long-running deployment (EventTimeTimeout + watermark), not this
+    drive-to-completion harness entry.
+    """
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_us.sort()
+
+    sid, n, start_us, end_us = state.get if state.exists else (1, 0, None, None)
+    out: list[tuple[int, int, int, int]] = []
+    for t in ts_us:
+        if start_us is None:
+            start_us, end_us, n = t, t, 1
+        elif t - end_us > gap_us:
+            out.append((sid, n, start_us, end_us))
+            sid, n, start_us, end_us = sid + 1, 1, t, t
+        else:
+            end_us, n = t, n + 1
+    state.update((sid, n, start_us, end_us))
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_id": [o[0] for o in out],
+                "n_events": [o[1] for o in out],
+                "session_start": [pd.Timestamp(o[2], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[3], unit="us") for o in out],
+            }
+        )
+
+
+def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization via applyInPandasWithState.
+
+    With availableNow the whole file arrives in one batch, so this emits the
+    *closed* sessions (open tails stay in state) — the honest streaming
+    semantics; the batch operator emits all sessions.
+    """
+    events = _event_stream(spark, sf_dir)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_sessions"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

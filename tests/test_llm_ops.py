@@ -1,0 +1,92 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.operators import llm_dedup as D
+from lakehouse_workshop_spark.operators import llm_similarity as S
+from lakehouse_workshop_spark.operators import llm_text as T
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView("documents")
+    out = (
+        spark.table("documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("canon"), F.count("*").alias("n"))
+    )
+    got = {(r.canon, r.n) for r in out.collect()}
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    rows = [(1, " ".join(["w%d" % i for i in range(20)])), (2, " ".join(["w%d" % i for i in range(20)])), (3, "completely different words " + " ".join("q%d" % i for i in range(16)))]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView("documents")
+    sig = spark.sql(D._minhash_sig_sql(D._SPARK_SHINGLE_INT, D._SPARK_SHINGLES)).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    base = " ".join("tok%d" % i for i in range(40))
+    rows = [(1, base), (2, base + " extra"), (3, " ".join("z%d" % i for i in range(40)))]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView("documents")
+    fp = {r.doc_id: r.simhash for r in spark.sql(
+        D._simhash_sql(D._SPARK_TOK_INT, "split", unnest=False)).collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_jaccard_pairs_symmetric_bounds(spark, sf_dir):
+    out = D.ngram_jaccard_pairs(spark, sf_dir)
+    bad = out.filter((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count()
+    assert bad == 0
+    assert out.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_cosine_topk_shape(spark, sf_dir):
+    out = S.cosine_topk(spark, sf_dir)
+    per_query = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == S.TOP_K for r in per_query)
+    assert out.filter((F.col("cosine") < -1.000001) | (F.col("cosine") > 1.000001)).count() == 0
+
+
+def test_ann_results_subset_of_exact_universe(spark, sf_dir):
+    """ANN top-k cosines can never exceed the exact top-1 per query."""
+    exact = {r.query_id: r.cosine for r in S.cosine_topk(spark, sf_dir).filter("rnk = 1").collect()}
+    ann = S.ann_topk_lsh(spark, sf_dir).collect()
+    for r in ann:
+        assert r.cosine <= exact[r.query_id] + 1e-9
+
+
+def test_lang_id_deterministic_argmax(spark, sf_dir):
+    out = T.lang_id(spark, sf_dir)
+    assert out.filter(~F.col("pred_lang").isin("en", "de", "es", "fr")).count() == 0
+
+
+def test_multimodal_features_match_hashlib(spark, sf_dir):
+    from lakehouse_workshop_spark.llm.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(spark, sf_dir)
+    out = extract_features(media).limit(5).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in out:
+        digest = hashlib.md5(docs[r.media_id].encode()).digest()
+        assert r.checksum == digest.hex()
+        assert r.n_bytes == len(docs[r.media_id].encode())
+        assert r.feature == [round(b / 255.0, 6) for b in digest[:4]]
+
+
+def test_decode_image_is_explicit_stub():
+    from lakehouse_workshop_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert decode_image(b"abc", decoder=lambda b: len(b)) == 3

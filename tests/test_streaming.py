@@ -1,0 +1,44 @@
+"""Structured Streaming tests: windowed aggregation and stateful sessionizer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.streaming.jobs import (
+    run_streaming_windowed_counts,
+    sessionize_stateful,
+)
+
+
+def test_streaming_counts_equal_batch(spark, sf_dir):
+    from lakehouse_workshop_spark.catalog import load_table
+
+    streamed = run_streaming_windowed_counts(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
+    """Closed sessions from the stateful operator must be a subset of the
+    batch sessionization (open tails stay in state under availableNow)."""
+    from lakehouse_workshop_spark.operators.completions import sessionize_events
+
+    streamed = sessionize_stateful(spark, sf_dir)
+    batch = sessionize_events(spark, sf_dir).select(
+        "user_id", "n_events", "session_start", "session_end"
+    )
+    s = streamed.select("user_id", "n_events", "session_start", "session_end")
+    # every closed session emitted by the stateful op exists in batch output
+    assert s.exceptAll(batch).count() == 0
+    assert streamed.count() > 0
