@@ -16,6 +16,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Headline set: one per operator family — keep in sync as coverage widens.
+# (embedding_near_pairs is deliberately absent: it is the exact-quadratic
+# baseline kept for oracle parity; ann_topk_lsh is its scale path.)
 HEADLINE = [
     "monthly_sales",
     "profit_by_returnflag",
@@ -23,6 +25,18 @@ HEADLINE = [
     "customers_ranked_by_spend",
     "order_value_buckets",
     "count_distinct_customers",
+    "revenue_by_nation",
+    "top_customer_per_nation",
+    "sessionize_events",
+    "latest_order_asof_event",
+    "dedup_exact",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "ann_topk_lsh",
+    "multimodal_features",
+    "clv_distributed",
 ]
 
 

@@ -121,9 +121,20 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
-    """U1: shuffle by GroupKey → per-group fit+score → golden schema."""
+    """U1: shuffle by GroupKey → per-group fit+score → golden schema.
+
+    The explicit ``repartition(n_groups, GroupKey)`` matters: the fit stage
+    is compute-bound, not byte-bound, and AQE's coalescer would otherwise
+    merge the few-KB shuffle partitions into ONE and serialize all the
+    model fits. A user repartition is exempt from coalescing and already
+    satisfies the grouped-map distribution, so no second shuffle appears.
+    """
     rfm = rfm_from_orders(spark, sf_dir, n_groups=n_groups)
-    return rfm.groupBy("GroupKey").applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
+    return (
+        rfm.repartition(n_groups, "GroupKey")
+        .groupBy("GroupKey")
+        .applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
+    )
 
 
 def driver_clv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,37 +34,47 @@ QUERY_FILTER = "vec_id % 100 = 0"
 
 # --- dialect fragments -----------------------------------------------------
 
-# Left-fold dot product and norms, computed in double. Spark: zip_with +
-# aggregate. DuckDB: list_dot_product on DOUBLE[] (same value under 6-dp
-# rounding).
-_SPARK_COS = """
-    aggregate(zip_with(a.embedding, b.embedding,
-                       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-              0.0D, (acc, v) -> acc + v)
-    / (SQRT(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                      0.0D, (acc, v) -> acc + v))
-       * SQRT(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                        0.0D, (acc, v) -> acc + v)))
+# Per-row prep: cast the vector to double ONCE and precompute its L2 norm —
+# O(n) work hoisted out of the O(n²) pair stage, leaving a single fold per
+# pair. The per-pair value is bit-identical to computing norms inline
+# (same products, same left-fold order, same SQRT-then-multiply), so the
+# cross-engine 6-dp hash parity is preserved.
+_SPARK_PREP = """
+    SELECT vec_id,
+           transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+           SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          0.0D, (acc, v) -> acc + v)) AS nrm
+    FROM embeddings
 """
 
-_DUCK_COS = """
-    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-    / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-       * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+_DUCK_PREP = """
+    SELECT vec_id,
+           embedding::DOUBLE[] AS emb,
+           SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
 """
+
+# Left-fold dot product over the pre-cast vectors, in double.
+_SPARK_COS = """
+    aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),
+              0.0D, (acc, v) -> acc + v) / (a.nrm * b.nrm)
+"""
+
+_DUCK_COS = "list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)"
 
 
 def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
 
 
-def _topk_sql(cos: str) -> str:
+def _topk_sql(cos: str, prep: str) -> str:
     return f"""
-    WITH scored AS (
+    WITH e AS ({prep}),
+    scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                ROUND({cos}, 6) AS cosine
-        FROM (SELECT * FROM embeddings WHERE {QUERY_FILTER}) a
-        JOIN embeddings b ON a.vec_id <> b.vec_id
+        FROM (SELECT * FROM e WHERE {QUERY_FILTER}) a
+        JOIN e b ON a.vec_id <> b.vec_id
     ), ranked AS (
         SELECT query_id, vec_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -76,7 +86,7 @@ def _topk_sql(cos: str) -> str:
     """
 
 
-@query("cosine_topk", oracle=_topk_sql(_DUCK_COS))
+@query("cosine_topk", oracle=_topk_sql(_DUCK_COS, _DUCK_PREP))
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector (brute force).
 
@@ -84,19 +94,23 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row fold → windowed top-k; the fact side is scanned once.
     """
     _emb_view(spark, sf_dir)
-    return spark.sql(_topk_sql(_SPARK_COS))
+    return spark.sql(_topk_sql(_SPARK_COS, _SPARK_PREP))
 
 
-def _near_pairs_sql(cos: str) -> str:
+def _near_pairs_sql(cos: str, prep: str) -> str:
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({cos}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND({cos}, 6) >= {NEAR_PAIR_THRESHOLD}
+    WITH e AS ({prep}),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({cos}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM scored
+    WHERE cosine >= {NEAR_PAIR_THRESHOLD}
     """
 
 
-@query("embedding_near_pairs", oracle=_near_pairs_sql(_DUCK_COS))
+@query("embedding_near_pairs", oracle=_near_pairs_sql(_DUCK_COS, _DUCK_PREP))
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold self-join).
 
@@ -104,7 +118,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join below is the production shape (same scoring expr on candidates).
     """
     _emb_view(spark, sf_dir)
-    return spark.sql(_near_pairs_sql(_SPARK_COS))
+    return spark.sql(_near_pairs_sql(_SPARK_COS, _SPARK_PREP))
 
 
 # Random-hyperplane LSH. Plane j's weight on dim d = +1 if the first hex
@@ -176,11 +190,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_view(spark, sf_dir)
     sql = f"""
     WITH buckets AS ({_SPARK_BUCKETS}),
-    qa AS (SELECT e.vec_id, e.embedding, b.bucket
-           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+    prepped AS ({_SPARK_PREP}),
+    qa AS (SELECT e.vec_id, e.emb, e.nrm, b.bucket
+           FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id
            WHERE e.vec_id % 100 = 0),
-    qb AS (SELECT e.vec_id, e.embedding, b.bucket
-           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    qb AS (SELECT e.vec_id, e.emb, e.nrm, b.bucket
+           FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                ROUND({_SPARK_COS}, 6) AS cosine
