@@ -238,11 +238,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks the user's most recent order at event time.
 
-    Spark lacks a native as-of join; this is the join+window form (correct,
-    one shuffle on the join key). The scale path for dense right sides is
-    bucketizing the time axis or ``applyInPandas`` + ``pd.merge_asof`` per
-    key — see llm/similarity notes; here the per-user order count is small,
-    and AQE handles key skew.
+    Spark lacks a native as-of join; this is the join + argmax form:
+    equi-join on the key (range predicate applied as join filter), then
+    ``max(struct(ts, id))`` per event. The struct-max aggregates partially
+    map-side, so the shuffle carries one row per event — unlike the
+    row_number()-window form, which re-shuffles the whole inflated join.
+    For dense right sides the scale path is time-bucketizing or
+    ``applyInPandas`` + ``pd.merge_asof`` per key; here per-user order
+    counts are small and AQE handles key skew.
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -250,17 +253,15 @@ def latest_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
+    # Lexicographic struct max == ORDER BY o_orderdate DESC, o_orderkey DESC.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("best.o_orderkey").alias("last_orderkey"),
+            F.col("best.o_orderdate").alias("last_orderdate"),
         )
     )

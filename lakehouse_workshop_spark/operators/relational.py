@@ -71,10 +71,18 @@ def monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def monthly_sales_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 year-predicate variant (ref ``SQL_CLV_Insights.py:33-42`` WHERE year=2011)."""
+    """P3 year-predicate variant (ref ``SQL_CLV_Insights.py:33-42`` WHERE year=2011).
+
+    The year-equality is expressed as a half-open date range: Catalyst does
+    not rewrite ``year(col) = k`` into a range, so the range form is what
+    reaches the parquet scan as PushedFilters (row-group/partition skipping
+    — the difference between a pruned read and a full scan at 100 TB).
+    """
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.filter(F.year("o_orderdate") == 1997)
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
         .groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
@@ -273,11 +281,15 @@ def corr_frequency_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_in_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHERE year(invdate) = 2011 analogue; Catalyst pushes the filter down."""
+    """WHERE year(invdate) = 2011 analogue (ref ``DS:89``).
+
+    Expressed as a half-open date range (not ``F.year(col) == 1995``) so the
+    predicate pushes into the parquet scan — see monthly_sales_1997.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.year("o_orderdate") == 1995).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+    return orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
 
 # ---------------------------------------------------------------------------

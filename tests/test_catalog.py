@@ -1,0 +1,110 @@
+"""Catalog/ingestion layer tests (SURVEY.md §2.1 ops S1–S13).
+
+Reproduces the reference's DE pipeline shape end-to-end on synthetic data:
+CSV ingest with inference (ref DE_data_preparation.py:3-16) → managed-table
+write (:28-29) → catalog read-back (+cache, DS:66) → CTAS (DS:352-354) →
+views (DS:67,122-128) → DDL/describe (DE:23-24, DS:72) → pandas round-trip
+(DS:173,331).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_workshop_spark import catalog as cat
+
+# Reference Summary_2011.csv shape (SURVEY.md §1.3): per-customer RFM-T rows.
+CSV_TEXT = """CustomerID,T1,recency1,FREQUENCY,profit
+12346,32,5,3,125.50
+12347,51,50,12,3021.75
+12348,2,1,1,0.54
+"""
+
+DECLARED = StructType(
+    [
+        StructField("CustomerID", IntegerType()),
+        StructField("T1", IntegerType()),
+        StructField("recency1", IntegerType()),
+        StructField("FREQUENCY", IntegerType()),
+        StructField("profit", FloatType()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "summary.csv"
+    p.write_text(CSV_TEXT)
+    return str(p)
+
+
+def test_csv_scan_infers_and_declares(spark, csv_path):
+    inferred = cat.csv_scan(spark, csv_path)
+    assert inferred.count() == 3
+    # header parsed, numerics inferred (not all-string)
+    assert "CustomerID" in inferred.columns
+    assert dict(inferred.dtypes)["CustomerID"] == "int"
+
+    declared = cat.csv_scan(spark, csv_path, schema=DECLARED)
+    assert [f.dataType for f in declared.schema.fields] == [
+        f.dataType for f in DECLARED.fields
+    ]
+    assert declared.count() == 3
+
+
+def test_managed_table_roundtrip_and_ctas(spark, csv_path):
+    """S2/S4/S7/S8/S9/S10: DE pipeline → managed tables → CTAS rollup."""
+    cat.create_database(spark, "customer_info_test")
+    cat.drop_table(spark, "customer_info_test.summary")
+    df = cat.csv_scan(spark, csv_path, schema=DECLARED)
+    cat.write_table(df, "customer_info_test.summary")
+
+    back = cat.catalog_scan(spark, "customer_info_test.summary", cache=True)
+    assert back.count() == 3
+    assert back.is_cached
+
+    out = cat.ctas(
+        spark,
+        "customer_info_test.repeat_customers",
+        "SELECT CustomerID, profit FROM customer_info_test.summary WHERE FREQUENCY > 1",
+    )
+    assert out.count() == 2
+
+    desc = cat.describe(spark, "customer_info_test.repeat_customers")
+    cols = {r["col_name"] for r in desc.collect()}
+    assert {"CustomerID", "profit"} <= cols
+
+    back.unpersist()
+    cat.drop_table(spark, "customer_info_test.repeat_customers")
+    cat.drop_table(spark, "customer_info_test.summary")
+
+
+def test_views_and_pandas_boundary(spark, csv_path):
+    """S5/S6/S11/S12: temp views over DataFrames and SQL, Arrow round-trip."""
+    df = cat.csv_scan(spark, csv_path, schema=DECLARED)
+    cat.temp_view(df, "summary_v")
+    v = cat.create_view_as(
+        spark, "repeat_v", "SELECT * FROM summary_v WHERE FREQUENCY > 1"
+    )
+    assert v.count() == 2
+
+    pdf = v.toPandas()  # S12
+    assert isinstance(pdf, pd.DataFrame) and len(pdf) == 2
+    rt = spark.createDataFrame(pdf)  # S11
+    assert rt.count() == 2
+    assert sorted(rt.columns) == sorted(v.columns)
+
+
+def test_path_scan_parquet_roundtrip(spark, tmp_path):
+    """S3: path-addressed scan of engine-written storage."""
+    src = spark.range(10).withColumnRenamed("id", "n")
+    dest = str(tmp_path / "tbl")
+    src.write.parquet(dest)
+    assert cat.path_scan(spark, dest).count() == 10
