@@ -6,7 +6,8 @@ declarative Spark plan with a DuckDB oracle:
 - exact: content-hash groupBy (one shuffle on a 128-bit key);
 - n-gram Jaccard: shingle-explode + equi-join on shingle, Jaccard from
   shared-shingle counts (the candidate join is the scale bottleneck: common
-  shingles fan out, so production adds a document-frequency cap — included);
+  shingles fan out; kept exact here for the oracle — at scale, cap shingle
+  document-frequency or use the MinHash variant below);
 - MinHash + LSH: k=16 universal-hash minhash signatures, banded 4×4 so
   near-duplicates collide in ≥1 band — turns O(n²) comparison into an
   equi-join on (band, band_hash). The standard 100 TB-scale design;

@@ -141,6 +141,22 @@ def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(F.countDistinct("o_custkey").alias("n_customers"))
 
 
+@query("count_distinct_customers_approx")
+def count_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's 100 TB-scale variant: HyperLogLog++ sketch (rsd 1%).
+
+    Exact COUNT(DISTINCT) expands to a two-phase agg whose shuffle carries
+    every distinct key; the HLL sketch is constant-size per partition, so
+    the shuffle is O(partitions) regardless of cardinality. Rows-only check
+    (sketch estimates differ across engines by construction); the exact
+    twin above is the value-checked oracle anchor.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx")
+    )
+
+
 @query(
     "customers_by_status",
     oracle="""

@@ -1,0 +1,149 @@
+"""Property tests (SURVEY.md §5.4): algebraic invariants of the operators
+and the CLV model math.
+
+Model-math properties run driver-side with hypothesis (fast, no Spark);
+operator invariants are asserted once over the sf0.001 tables (running
+Spark per hypothesis example would be pathological).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakehouse_workshop_spark.models import BetaGeoModel, GammaGammaModel
+
+# ---------------------------------------------------------------------------
+# Model math properties (driver-side, hypothesis-driven)
+# ---------------------------------------------------------------------------
+
+# One fixed fit reused across examples — fitting per example would be slow
+# and the properties under test are of the *scoring* functions.
+_rng = np.random.default_rng(7)
+_x = _rng.integers(0, 20, size=200).astype(float)
+_tx = _rng.uniform(0, 50, size=200)
+_T = _tx + _rng.uniform(0, 10, size=200)
+_m = _rng.uniform(1, 500, size=200)
+
+_BGF = BetaGeoModel.fit(_x, _tx, _T, penalizer_coef=0.0001)
+_GGF = GammaGammaModel.fit(
+    _x[_x > 1] + 1, _m[_x > 1], penalizer_coef=0.01
+)
+
+customer = st.tuples(
+    st.integers(min_value=0, max_value=60),  # frequency
+    st.floats(min_value=0.0, max_value=50.0),  # recency
+    st.floats(min_value=0.0, max_value=15.0),  # age - recency
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(customer)
+def test_prob_alive_is_probability(c):
+    x, t_x, dt = c
+    xa, ta, Ta = np.array([float(x)]), np.array([t_x]), np.array([t_x + dt])
+    p = _BGF.conditional_probability_alive(xa, ta, Ta)
+    assert 0.0 <= p[0] <= 1.0 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(customer, st.floats(min_value=0.1, max_value=104.0))
+def test_expected_purchases_nonnegative_and_monotone_in_horizon(c, t):
+    x, t_x, dt = c
+    xa, ta, Ta = np.array([float(x)]), np.array([t_x]), np.array([t_x + dt])
+    e1 = _BGF.conditional_expected_purchases(t, xa, ta, Ta)[0]
+    e2 = _BGF.conditional_expected_purchases(t + 10.0, xa, ta, Ta)[0]
+    assert e1 >= -1e-9
+    assert e2 >= e1 - 1e-9  # more horizon, no fewer expected purchases
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=60),
+    st.floats(min_value=0.5, max_value=1000.0),
+)
+def test_gamma_gamma_profit_positive_and_shrinks_toward_prior(x, m):
+    xa, ma = np.array([float(x)]), np.array([m])
+    e = _GGF.conditional_expected_average_profit(xa, ma)[0]
+    assert e > 0.0
+    # with more observations the estimate moves toward the observed mean
+    e_many = _GGF.conditional_expected_average_profit(np.array([60.0]), ma)[0]
+    assert abs(e_many - m) <= abs(e - m) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Operator invariants over sf0.001 (one Spark pass each)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def q():
+    from lakehouse_workshop_spark.operators import all_queries
+
+    return all_queries()
+
+
+def test_bucketing_is_total(spark, sf_dir, q):
+    """P8: every order lands in exactly one band — bucket counts sum to the
+    table count."""
+    from lakehouse_workshop_spark.catalog import load_table
+
+    buckets = q["order_value_buckets"](spark, sf_dir).toPandas()
+    total = load_table(spark, sf_dir, "orders").count()
+    assert int(buckets["n_orders"].sum()) == total
+
+
+def test_rfm_invariants(spark, sf_dir, q):
+    """A4: frequency = count-1 >= 0; recency >= 0; avg monetary > 0."""
+    pdf = q["rfm_summary"](spark, sf_dir).toPandas()
+    assert (pdf["frequency"] >= 0).all()
+    assert (pdf["recency"] >= 0).all()
+    assert (pdf["avg_profit"] > 0).all()
+
+
+def test_minhash_signature_range(spark, sf_dir, q):
+    from lakehouse_workshop_spark.operators.llm_dedup import MINHASH_P
+
+    pdf = q["minhash_signatures"](spark, sf_dir).toPandas()
+    sig_cols = [c for c in pdf.columns if c.startswith("sig")]
+    assert len(sig_cols) == 16
+    for c in sig_cols:
+        assert pdf[c].between(0, MINHASH_P - 1).all()
+
+
+def test_simhash_pairs_within_hamming_budget(spark, sf_dir, q):
+    pdf = q["simhash_near_pairs"](spark, sf_dir).toPandas()
+    assert pdf["hamming"].between(0, 6).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+
+
+def test_jaccard_bounds_and_pair_order(spark, sf_dir, q):
+    pdf = q["ngram_jaccard_pairs"](spark, sf_dir).toPandas()
+    assert pdf["jaccard"].between(0.2, 1.0).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+
+
+def test_sessionization_conserves_events(spark, sf_dir, q):
+    from lakehouse_workshop_spark.catalog import load_table
+
+    sessions = q["sessionize_events"](spark, sf_dir).toPandas()
+    total = load_table(spark, sf_dir, "events").count()
+    assert int(sessions["n_events"].sum()) == total
+
+
+def test_cosine_topk_is_valid_ranking(spark, sf_dir, q):
+    pdf = q["cosine_topk"](spark, sf_dir).toPandas()
+    assert pdf["cosine"].between(-1.0 - 1e-9, 1.0 + 1e-9).all()
+    for _, g in pdf.groupby("query_id"):
+        ranks = sorted(g["rnk"].tolist())
+        assert ranks == list(range(1, len(ranks) + 1))
+        by_rank = g.sort_values("rnk")["cosine"].tolist()
+        assert all(a >= b - 1e-12 for a, b in zip(by_rank, by_rank[1:]))
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir, q):
+    exact = q["count_distinct_customers"](spark, sf_dir).collect()[0][0]
+    approx = q["count_distinct_customers_approx"](spark, sf_dir).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
