@@ -192,7 +192,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_sql(sig_sql: str) -> str:
-    rows = MINHASH_K // LSH_BANDS
+    """Oracle form (DuckDB materializes multi-referenced CTEs, so the
+    3 references to ``sigs`` cost one evaluation there)."""
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sigs"
         for b, expr in enumerate(_band_exprs())
@@ -225,9 +226,67 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from an equi-join on (band_id, band_hash) —
     never a cross join. Hot buckets (boilerplate docs) are the skew risk;
     AQE skew-join splits them, or cap bucket size upstream.
+
+    Plan shape: Spark inlines deterministic CTEs, so the oracle's 3-way
+    ``sigs`` reference would recompute the whole shingle→signature
+    pipeline 6×. Here bands come from ONE pass over sigs (explode of the
+    4 band structs) carrying the full signature array, so the expensive
+    pipeline runs once and the pair stage is a self-equi-join on
+    (band_id, band_hash).
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(_lsh_pairs_sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)))
+    # Materialize the signature stage once (lazily): both sides of the
+    # band self-join read the same blocks instead of re-deriving the
+    # shingle→minhash pipeline per side. Signatures are ~100 B/doc, so the
+    # materialization is negligible next to the corpus.
+    sigs = spark.sql(
+        _minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)
+    ).localCheckpoint(eager=False)
+    rows = MINHASH_K // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig{b * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(MINHASH_K)])
+    bands = sigs.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -312,13 +371,47 @@ def _simhash_pairs_sql(simhash_sql: str, xor_expr: str, bitcount_fn: str, intdiv
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming ≤ 6, candidates via byte-banding
-    (pigeonhole over 4 bands of 8 bits — no cross join)."""
+    (pigeonhole over 4 bands of 8 bits — no cross join).
+
+    Like minhash_lsh_pairs, the Spark plan bands with ONE explode pass over
+    the fingerprints (CTE inlining would recompute the token pipeline 4×
+    through the oracle's UNION ALL form).
+    """
     _docs_view(spark, sf_dir)
-    return spark.sql(
-        _simhash_pairs_sql(
-            _simhash_sql(_SPARK_TOK_INT, "split", unnest=False),
-            "sim_a ^ sim_b",
-            "bit_count",
-            intdiv="div",
+    fp = spark.sql(
+        _simhash_sql(_SPARK_TOK_INT, "split", unnest=False)
+    ).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"(simhash div {256**b}) % 256").alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
