@@ -104,3 +104,90 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature-extraction operator: Arrow-batched mapInPandas over payloads."""
     return media.mapInPandas(extract_features_batch, schema=FEATURE_SCHEMA)
+
+
+# --- resize / frame-sample plumbing ---------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("frame_no", LongType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize operator: Arrow-batched mapInPandas; codec injected.
+
+    Without a codec in the image (this container), ``resizer=None`` keeps
+    the payload bytes and stamps the target dims — the partitioning, batch
+    iteration, and schema are the real production shape; swapping in
+    ``resizer=lambda b, w, h: PIL_resize(b, w, h)`` is the only change.
+    """
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if resizer is not None:
+                out["payload"] = [resizer(p, width, height) for p in out["payload"]]
+            out["width"] = width
+            out["height"] = height
+            yield out[["media_id", "media_type", "payload", "width", "height"]]
+
+    return media.mapInPandas(body, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    decoder: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame-sampling operator for video payloads (1 row in → ≤k frames out).
+
+    With no video codec available, the deterministic fake treats every
+    ``every_n_bytes`` slice of the payload as a "frame" — exercising the
+    row-expanding mapInPandas shape (output cardinality > input) that a
+    real ffmpeg-style sampler needs. Inject ``decoder`` to decode real
+    containers; batch shape is unchanged.
+    """
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            nos: list[int] = []
+            frames: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                chunks = (
+                    decoder(payload)
+                    if decoder is not None
+                    else [
+                        payload[i : i + every_n_bytes]
+                        for i in range(0, len(payload), every_n_bytes)
+                    ]
+                )
+                for no, chunk in enumerate(chunks[:max_frames]):
+                    ids.append(int(mid))
+                    nos.append(no)
+                    frames.append(bytes(chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(body, schema=FRAME_SCHEMA)

@@ -34,3 +34,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the identical batch shape.
     """
     return extract_features(media_from_documents(spark, sf_dir))
+
+
+@query(
+    "frame_samples",
+    oracle="""
+    WITH framed AS (
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0,
+                   least(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 8) - 1)) AS frame_no,
+               text
+        FROM documents
+    )
+    SELECT media_id, frame_no,
+           CAST(strlen(substr(text, frame_no * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+           md5(substr(text, frame_no * 64 + 1, 64)) AS frame_md5
+    FROM framed
+    """,
+)
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampler (video path) over binary payloads.
+
+    One media row fans out to ≤8 "frames" (64-byte slices under the
+    deterministic fake decoder) through ``mapInPandas`` — the exact batch
+    shape an ffmpeg-backed sampler needs; the oracle reproduces slice
+    lengths and checksums in SQL.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.llm.multimodal import sample_frames
+
+    frames = sample_frames(media_from_documents(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.length("frame_payload").cast("bigint").alias("n_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )

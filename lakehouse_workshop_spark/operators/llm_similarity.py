@@ -186,20 +186,27 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine rank within candidates. Same answer quality knob as
     IVF nprobe=1. (Declared rows-only; the bucket and scoring pieces are
-    each oracle-checked separately.)"""
+    each oracle-checked separately.)
+
+    The bucketed+prepped vector set materializes once (lazy localCheckpoint)
+    — the query and candidate sides of the bucket equi-join read the same
+    blocks rather than re-deriving the plane dot products per side.
+    """
     _emb_view(spark, sf_dir)
+    spark.sql(
+        f"""
+        WITH buckets AS ({_SPARK_BUCKETS}),
+        prepped AS ({_SPARK_PREP})
+        SELECT e.vec_id, e.emb, e.nrm, b.bucket
+        FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("bucketed_vecs")
     sql = f"""
-    WITH buckets AS ({_SPARK_BUCKETS}),
-    prepped AS ({_SPARK_PREP}),
-    qa AS (SELECT e.vec_id, e.emb, e.nrm, b.bucket
-           FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id
-           WHERE e.vec_id % 100 = 0),
-    qb AS (SELECT e.vec_id, e.emb, e.nrm, b.bucket
-           FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id),
+    WITH qa AS (SELECT * FROM bucketed_vecs WHERE vec_id % 100 = 0),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                ROUND({_SPARK_COS}, 6) AS cosine
-        FROM qa a JOIN qb b
+        FROM qa a JOIN bucketed_vecs b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ), ranked AS (
         SELECT query_id, vec_id, cosine,

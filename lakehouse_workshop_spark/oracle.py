@@ -38,6 +38,8 @@ def _canon_cell(v: object) -> object:
         return v  # exact float comparison — the goal is hash-match
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()  # Spark yields bytearray, DuckDB bytes
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_cell(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar

@@ -90,3 +90,35 @@ def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
+
+
+def test_resize_stub_stamps_dims(spark, sf_dir):
+    from lakehouse_workshop_spark.llm.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    out = resize_images(media, 224, 224).limit(5).toPandas()
+    assert (out["width"] == 224).all() and (out["height"] == 224).all()
+    # no codec injected -> payload passes through
+    assert out["payload"].map(len).gt(0).all()
+
+    # injected "codec" is applied per payload
+    resized = resize_images(
+        media, 2, 2, resizer=lambda b, w, h: b[: w * h]
+    ).limit(5).toPandas()
+    assert resized["payload"].map(len).le(4).all()
+
+
+def test_sample_frames_expands_rows(spark, sf_dir):
+    from lakehouse_workshop_spark.llm.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(spark, sf_dir).limit(10)
+    frames = sample_frames(media).toPandas()
+    assert len(frames) >= 10  # row-expanding
+    assert frames.groupby("media_id")["frame_no"].max().le(7).all()
+    assert frames["frame_payload"].map(len).le(64).all()
