@@ -36,6 +36,35 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_windowed_counts_watermarked",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL '10 minutes'
+    """,
+)
+def streaming_windowed_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: watermarked windowed counts in append mode.
+
+    Only windows the watermark has closed are emitted (open tails stay in
+    state) — under availableNow that is exactly ``window_end <= max(ts) −
+    delay``, which the oracle's HAVING-style predicate reproduces.
+    """
+    from lakehouse_workshop_spark.streaming.jobs import (
+        run_streaming_windowed_counts_watermarked,
+    )
+
+    return run_streaming_windowed_counts_watermarked(spark, sf_dir)
+
+
+@query(
     "session_window_batch",
     oracle=f"""
     WITH flagged AS (

@@ -94,6 +94,47 @@ def run_streaming_windowed_counts(
     )
 
 
+def run_streaming_windowed_counts_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Windowed counts with a watermark, append mode — the late-data path.
+
+    Append mode only emits a window once the watermark (max observed event
+    time − delay) passes its end, so the result is the *closed* windows;
+    the final open windows stay in state. Under availableNow this is
+    deterministic: watermark = max(ts) − delay after the single data
+    batch, and the closing flush emits every window with
+    ``window_end <= watermark`` — which is exactly the SQL oracle's
+    HAVING predicate.
+    """
+    events = _event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "stream_windowed_counts_wm"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
 _SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), True),

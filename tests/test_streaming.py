@@ -42,3 +42,27 @@ def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
     # every closed session emitted by the stateful op exists in batch output
     assert s.exceptAll(batch).count() == 0
     assert streamed.count() > 0
+
+
+def test_watermarked_append_emits_exactly_closed_windows(spark, sf_dir):
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.streaming.jobs import (
+        run_streaming_windowed_counts_watermarked,
+    )
+
+    streamed = run_streaming_windowed_counts_watermarked(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    maxts = ev.agg(F.max("ts")).collect()[0][0]
+    closed = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .filter(F.col("window_end") <= F.lit(maxts) - F.expr("INTERVAL 10 minutes"))
+    )
+    assert streamed.count() == closed.count() > 0
+    assert streamed.exceptAll(closed).count() == 0
