@@ -126,6 +126,31 @@ def describe(spark: SparkSession, name: str) -> DataFrame:
     return spark.sql(f"DESCRIBE {name}")
 
 
+# --- bucketed tables (co-located joins) -----------------------------------
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    buckets: int,
+    key: str,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a managed table hash-bucketed (and optionally sorted) on
+    ``key``.
+
+    The 100 TB lever for repeated joins/aggregations on the same key: two
+    tables bucketed identically join with ZERO exchanges (Catalyst proves
+    the child distribution from bucket metadata), so the shuffle is paid
+    once at write time instead of per query. Spark-native bucketing
+    (Hive-compatible layout); bucket pruning applies on equality filters.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(name)
+
+
 # --- testdata loading -----------------------------------------------------
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic testdata table (TESTDATA.md).

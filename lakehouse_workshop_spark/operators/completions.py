@@ -220,6 +220,38 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_agg",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column JVM-side
+    (``get_json_object``) and aggregate the extracted field.
+
+    Scale: JSON parsing happens inside the scan→agg pipeline (no shuffle of
+    raw strings); for hot paths, parse once into a struct column
+    (``from_json``) at ingest and let Parquet store it natively.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "latest_order_asof_event",
     oracle="""
     SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,

@@ -108,3 +108,29 @@ def test_path_scan_parquet_roundtrip(spark, tmp_path):
     dest = str(tmp_path / "tbl")
     src.write.parquet(dest)
     assert cat.path_scan(spark, dest).count() == 10
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must join shuffle-free."""
+    from lakehouse_workshop_spark.catalog import load_table, write_bucketed, drop_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", buckets=8, key="o_custkey")
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        buckets=8,
+        key="o_custkey",
+    )
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        # Force a non-broadcast plan decision by disabling broadcast threshold
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        drop_table(spark, "b_orders")
+        drop_table(spark, "b_customer")
