@@ -36,6 +36,8 @@ HEADLINE = [
     "cosine_topk",
     "ann_topk_lsh",
     "multimodal_features",
+    "frame_samples",
+    "event_props_agg",
     "clv_distributed",
 ]
 
