@@ -123,15 +123,23 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
     """U1: shuffle by GroupKey → per-group fit+score → golden schema.
 
-    The explicit ``repartition(n_groups, GroupKey)`` matters: the fit stage
-    is compute-bound, not byte-bound, and AQE's coalescer would otherwise
-    merge the few-KB shuffle partitions into ONE and serialize all the
-    model fits. A user repartition is exempt from coalescing and already
-    satisfies the grouped-map distribution, so no second shuffle appears.
+    The explicit ``repartitionByRange(n_groups, GroupKey)`` matters twice
+    for this compute-bound stage:
+
+    - AQE's byte-based coalescer would merge the few-KB shuffle partitions
+      into ONE and serialize all the model fits; a user repartition is
+      exempt.
+    - hash-partitioning n_groups keys into n_groups buckets collides
+      (balls-in-bins: ~1/3 of partitions empty, stragglers carrying 3-5
+      fits each); the range partitioner assigns each key its own
+      partition, so every fit runs concurrently.
+
+    Range partitioning on the key satisfies the grouped-map clustering
+    requirement, so no second shuffle appears.
     """
     rfm = rfm_from_orders(spark, sf_dir, n_groups=n_groups)
     return (
-        rfm.repartition(n_groups, "GroupKey")
+        rfm.repartitionByRange(n_groups, "GroupKey")
         .groupBy("GroupKey")
         .applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
     )

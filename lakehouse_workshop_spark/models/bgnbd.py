@@ -24,8 +24,12 @@ def _neg_log_likelihood(
     log_params: np.ndarray, x: np.ndarray, t_x: np.ndarray, T: np.ndarray, penalizer: float
 ) -> float:
     r, alpha, a, b = np.exp(np.clip(log_params, -15.0, 15.0))
-    a1 = lgamma(r + x) - lgamma(r) + r * np.log(alpha)
-    a2 = lgamma(a + b) + lgamma(b + x) - lgamma(b) - lgamma(a + b + x)
+    # x is small-integer frequency: compress to unique values so the three
+    # data-dependent lgamma evaluations run over ~20 points, not the whole
+    # group (bit-identical — same values, indexed back).
+    ux, inv = np.unique(x, return_inverse=True)
+    a1 = lgamma(r + ux)[inv] - lgamma(r) + r * np.log(alpha)
+    a2 = lgamma(a + b) + lgamma(b + ux)[inv] - lgamma(b) - lgamma(a + b + ux)[inv]
     a3 = -(r + x) * np.log(alpha + T)
     with np.errstate(divide="ignore", invalid="ignore"):
         a4 = np.where(

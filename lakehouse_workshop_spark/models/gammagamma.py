@@ -20,9 +20,12 @@ def _neg_log_likelihood(
     log_params: np.ndarray, x: np.ndarray, m: np.ndarray, penalizer: float
 ) -> float:
     p, q, v = np.exp(np.clip(log_params, -15.0, 15.0))
+    # frequency x is small-integer — evaluate the lgamma terms over unique
+    # values only (see bgnbd._neg_log_likelihood).
+    ux, inv = np.unique(x, return_inverse=True)
     ll = (
-        lgamma(p * x + q)
-        - lgamma(p * x)
+        lgamma(p * ux + q)[inv]
+        - lgamma(p * ux)[inv]
         - lgamma(q)
         + q * np.log(v)
         + (p * x - 1.0) * np.log(m)
