@@ -325,6 +325,31 @@ _SPARK_TOK_INT = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
 _DUCK_TOK_INT = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
 
 
+def _spark_simhash_sql() -> str:
+    """Spark form: ONE groupBy(doc_id) with 32 conditional sums instead of
+    the oracle's tokens×32 explode (19M-row intermediate + second shuffle
+    at sf0.1). Per-bit sums are identical, so values match the oracle."""
+    ws = ",\n               ".join(
+        f"SUM(CASE WHEN shiftright(x, {j}) % 2 = 1 THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(32)
+    )
+    fp = " + ".join(
+        f"CASE WHEN w{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    return f"""
+    WITH tokens AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+    tokints AS (SELECT doc_id, {_SPARK_TOK_INT} AS x FROM tokens),
+    bits AS (
+        SELECT doc_id,
+               {ws}
+        FROM tokints
+        GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash
+    FROM bits
+    """
+
+
 @query(
     "simhash_fingerprints",
     oracle=_simhash_sql(_DUCK_TOK_INT, "string_split", unnest=True),
@@ -332,11 +357,11 @@ _DUCK_TOK_INT = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit simhash per document.
 
-    Scale: explode(tokens×32 bits) → two partial-aggregated groupBys on
-    doc_id; all JVM-side integer arithmetic.
+    Scale: token explode → one partial-aggregated groupBy(doc_id) carrying
+    the 32 per-bit sums as columns; all JVM-side integer arithmetic.
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(_simhash_sql(_SPARK_TOK_INT, "split", unnest=False))
+    return spark.sql(_spark_simhash_sql())
 
 
 def _simhash_pairs_sql(simhash_sql: str, xor_expr: str, bitcount_fn: str, intdiv: str = "//") -> str:
@@ -378,9 +403,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the oracle's UNION ALL form).
     """
     _docs_view(spark, sf_dir)
-    fp = spark.sql(
-        _simhash_sql(_SPARK_TOK_INT, "split", unnest=False)
-    ).localCheckpoint(eager=False)
+    fp = spark.sql(_spark_simhash_sql()).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
