@@ -42,13 +42,16 @@ SIMHASH_MAX_HAMMING = 6
 
 # --- shared SQL fragments (Spark dialect / DuckDB dialect) -----------------
 
+# NB: tokens split ONCE in the inner select — referencing split(text) inside
+# the transform lambda would re-tokenize the document per shingle index
+# (measured 3x slower).
 _SPARK_SHINGLES = f"""
     SELECT doc_id,
            explode(array_distinct(transform(
-               sequence(1, size(split(text, ' ')) - {SHINGLE_WIDTH - 1}),
-               i -> array_join(slice(split(text, ' '), i, {SHINGLE_WIDTH}), ' ')
+               sequence(1, size(toks) - {SHINGLE_WIDTH - 1}),
+               i -> array_join(slice(toks, i, {SHINGLE_WIDTH}), ' ')
            ))) AS shingle
-    FROM documents
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
 """
 
 _DUCK_SHINGLES = f"""

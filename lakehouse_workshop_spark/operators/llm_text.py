@@ -165,13 +165,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: exact content hash + min-hashed 5-token shingle
     (a 1-permutation minhash — the rolling-hash fingerprint primitive)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
+    # tokens split once (see llm_dedup._SPARK_SHINGLES note)
+    return docs.selectExpr("doc_id", "text", "split(text, ' ') AS toks").selectExpr(
         "doc_id",
         "md5(text) AS content_hash",
         """
         array_min(transform(
-            transform(sequence(1, size(split(text, ' ')) - 4),
-                      i -> array_join(slice(split(text, ' '), i, 5), ' ')),
+            transform(sequence(1, size(toks) - 4),
+                      i -> array_join(slice(toks, i, 5), ' ')),
             s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
         )) AS min_shingle_hash
         """,
