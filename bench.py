@@ -30,7 +30,9 @@ HEADLINE = [
     "sessionize_events",
     "latest_order_asof_event",
     "dedup_exact",
+    "dedup_keep_canonical",
     "text_stats",
+    "tfidf_top_terms",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_topk",

@@ -97,6 +97,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_canonical",
+    oracle="""
+    SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d
+    JOIN (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ) keep ON keep.doc_id = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *application*: the corpus with only canonical copies kept.
+
+    Plan: hash-groupBy picks min doc_id per content hash, then a semi-join
+    filters the corpus. At scale the right side (one id per distinct doc)
+    is far smaller than the corpus and the join is an equi-join on doc_id;
+    Spark plans the aggregation partial+final and AQE sizes the join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard
 # ---------------------------------------------------------------------------

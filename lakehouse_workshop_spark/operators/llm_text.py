@@ -180,6 +180,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tokens GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.cnt * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, tok, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Scale: term frequencies and document frequencies are both partial-
+    aggregated groupBys; the DF side is vocabulary-sized, so its join back
+    onto TF broadcasts. Ranking runs on the 6-dp-rounded score (ties
+    broken by term) so the cutoff is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+@query(
     "token_counts",
     oracle="""
     SELECT doc_id,
