@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash_near_pairs",
     "cosine_topk",
     "ann_topk_lsh",
+    "ivf_topk",
     "multimodal_features",
     "frame_samples",
     "event_props_agg",

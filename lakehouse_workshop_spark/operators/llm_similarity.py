@@ -181,6 +181,102 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SPARK_BUCKETS)
 
 
+IVF_NLIST = 16  # centroid count; nprobe=1
+
+
+def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
+    """IVF top-k, one dialect-parametrized SQL for both engines.
+
+    Centroids are the first IVF_NLIST vectors by vec_id — deterministic, so
+    the whole index build + search is value-checkable. A KMeans-trained
+    centroid table drops in with the identical plan shape: broadcast
+    centroids → per-vector argmax assignment → equi-join on cluster id.
+    """
+    return f"""
+    WITH e AS ({prep}),
+    cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {centroid_filter}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, b.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
+            FROM e a JOIN cent b ON 1 = 1
+        ) WHERE rn = 1
+    ),
+    clustered AS (
+        SELECT e.vec_id, e.emb, e.nrm, assign.cid
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROUND({cos}, 6) AS cosine
+        FROM (SELECT * FROM clustered WHERE {QUERY_FILTER}) a
+        JOIN clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+_IVF_CENTROIDS = f"vec_id < {IVF_NLIST}"
+
+
+@query("ivf_topk", oracle=_ivf_sql(_DUCK_PREP, _DUCK_COS, _IVF_CENTROIDS))
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nlist=16, nprobe=1) approximate top-k — the trained-index twin
+    of the sign-LSH path.
+
+    Scale: the centroid table is tiny (broadcast); assignment is one
+    narrow pass over the vectors (argmax over nlist dots); search is an
+    equi-join on cluster id. Swapping deterministic seed centroids for
+    KMeans-trained ones changes recall, not the plan.
+    """
+    _emb_view(spark, sf_dir)
+    # Materialize the assigned (vector, cluster) set once — both sides of
+    # the cluster equi-join read it back instead of re-running the argmax
+    # assignment (Spark re-inlines CTEs per reference).
+    spark.sql(
+        f"""
+        WITH e AS ({_SPARK_PREP}),
+        cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {_IVF_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, b.cid,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY ROUND({_SPARK_COS}, 6) DESC, b.cid) AS rn
+                FROM e a JOIN cent b ON 1 = 1
+            ) WHERE rn = 1
+        )
+        SELECT e.vec_id, e.emb, e.nrm, assign.cid
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("ivf_clustered")
+    return spark.sql(
+        f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   ROUND({_SPARK_COS}, 6) AS cosine
+            FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) a
+            JOIN ivf_clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+        """
+    )
+
+
 @query("ann_topk_lsh")
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
