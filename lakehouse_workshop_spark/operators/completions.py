@@ -220,6 +220,74 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "churned_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey AS customer_id FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '1995-02-01' AND o_orderdate < DATE '1996-01-01'
+    """,
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in Jan 1995 with no later-1995
+    order (EXCEPT — planned as a left-anti hash join on the distinct key
+    sets; both inputs carry scan-pushable date ranges)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select(F.col("o_custkey").alias("customer_id"))
+            .distinct()
+        )
+
+    return active("1995-01-01", "1995-02-01").exceptAll(
+        active("1995-02-01", "1996-01-01")
+    )
+
+
+@query(
+    "cumulative_monthly_revenue",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT order_year, order_month, revenue,
+           SUM(revenue) OVER (
+               PARTITION BY order_year ORDER BY order_month
+               ROWS UNBOUNDED PRECEDING
+           ) AS revenue_ytd
+    FROM monthly
+    """,
+)
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running yearly total over monthly revenue — the cumulative-window
+    completion (frame ROWS UNBOUNDED PRECEDING; partial-aggregated monthly
+    rollup shuffles once, the window sorts within year partitions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    w = (
+        Window.partitionBy("order_year")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "order_year",
+        "order_month",
+        "revenue",
+        F.sum("revenue").over(w).alias("revenue_ytd"),
+    )
+
+
+@query(
     "event_props_agg",
     oracle="""
     SELECT event_type,
