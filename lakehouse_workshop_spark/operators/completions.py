@@ -338,30 +338,48 @@ def event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks the user's most recent order at event time.
 
-    Spark lacks a native as-of join; this is the join + argmax form:
-    equi-join on the key (range predicate applied as join filter), then
-    ``max(struct(ts, id))`` per event. The struct-max aggregates partially
-    map-side, so the shuffle carries one row per event — unlike the
-    row_number()-window form, which re-shuffles the whole inflated join.
-    For dense right sides the scale path is time-bucketizing or
-    ``applyInPandas`` + ``pd.merge_asof`` per key; here per-user order
-    counts are small and AQE handles key skew.
+    Spark lacks a native as-of join; this is the union-merge form: tag and
+    union both tables, one shuffle on the key, and a running
+    ``max(struct(order_ts, order_id))`` window up to the current row. The
+    input never inflates — unlike the join+argmax form, whose intermediate
+    is |events per user| × |orders per user| rows (quadratic in key
+    density); here the shuffle carries exactly |events| + |orders| rows.
+    Orders sort before events at equal timestamps, giving the oracle's
+    inclusive (``o_orderdate <= ts``) semantics; events with no prior
+    order drop out (inner as-of).
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    joined = events.join(
-        orders,
-        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    tagged_orders = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
     )
-    # Lexicographic struct max == ORDER BY o_orderdate DESC, o_orderkey DESC.
-    return (
-        joined.groupBy("event_id", "user_id", "ts")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("best.o_orderkey").alias("last_orderkey"),
-            F.col("best.o_orderdate").alias("last_orderdate"),
-        )
+    tagged_events = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp_ntz,o_orderkey:bigint>")
+        .alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_orders.unionByName(tagged_events).withColumn(
+        "best", F.max("ord").over(w)  # lexicographic max == latest (date, key)
+    )
+    return merged.filter((F.col("is_event") == 1) & F.col("best").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("best.o_orderkey").alias("last_orderkey"),
+        F.col("best.o_orderdate").alias("last_orderdate"),
     )
