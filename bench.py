@@ -16,8 +16,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Headline set: one per operator family — keep in sync as coverage widens.
-# (embedding_near_pairs is deliberately absent: it is the exact-quadratic
-# baseline kept for oracle parity; ann_topk_lsh is its scale path.)
 HEADLINE = [
     "monthly_sales",
     "profit_by_returnflag",
@@ -36,6 +34,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_topk",
+    "embedding_near_pairs",
     "ann_topk_lsh",
     "ivf_topk",
     "multimodal_features",

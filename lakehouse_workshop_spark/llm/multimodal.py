@@ -91,7 +91,11 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the binary-column path end-to-end without real media files."""
     from lakehouse_workshop_spark.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Spread payload rows across workers: the parquet is one row group, and
+    # mapInPandas parallelism equals input partitions.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text/fake").alias("media_type"),

@@ -67,7 +67,14 @@ _DUCK_SHINGLE_INT = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
 
 
 def _docs_view(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # The corpus parquet is a single row group, so the scan (and everything
+    # pipelined into it — the shingle/token lambdas, the expensive part of
+    # these queries) would run on ONE core. Spreading the raw text first
+    # costs a ~MB shuffle and parallelizes the compute; at 100 TB the scan
+    # arrives pre-split and this repartition coalesces into AQE's plan.
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("documents")
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,11 @@ _DUCK_COS = "list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)"
 
 
 def _emb_view(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # Single-row-group parquet → single-task scan; spread vectors so the
+    # fold-heavy scoring parallelizes (see llm_dedup._docs_view).
+    load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("embeddings")
 
 
 def _topk_sql(cos: str, prep: str) -> str:

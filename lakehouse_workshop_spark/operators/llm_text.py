@@ -164,7 +164,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: exact content hash + min-hashed 5-token shingle
     (a 1-permutation minhash — the rolling-hash fingerprint primitive)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group parquet: spread rows so the shingle lambdas
+    # parallelize (see llm_dedup._docs_view)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # tokens split once (see llm_dedup._SPARK_SHINGLES note)
     return docs.selectExpr("doc_id", "text", "split(text, ' ') AS toks").selectExpr(
         "doc_id",
@@ -213,11 +217,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
