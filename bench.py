@@ -60,8 +60,21 @@ def main() -> None:
         n for n in sorted(queries) if n.startswith("bench_") and n not in HEADLINE
     ]
 
-    # Warm the JVM/codegen once so timings measure steady-state throughput.
+    # Warm the JVM/codegen AND the Python worker pool once so timings
+    # measure steady-state throughput (first pandas-UDF use otherwise pays
+    # one fork+import per worker).
     _force(queries[names[0]](spark, sf_dir))
+    import pandas as _pd  # noqa: F401
+
+    def _noop_batch(it):
+        for pdf in it:
+            yield pdf
+
+    _force(
+        spark.range(0, 256, 1, 32)
+        .withColumnRenamed("id", "n")
+        .mapInPandas(_noop_batch, schema="n long")
+    )
 
     timings: dict[str, float] = {}
     for name in names:

@@ -222,7 +222,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # DF derives from TF (one row per doc×term) — COUNT(*) there equals
+    # COUNT(DISTINCT doc_id) over raw tokens, without re-exploding the
+    # corpus or shuffling raw tokens a second time.
+    tf = tf.localCheckpoint(eager=False)
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
