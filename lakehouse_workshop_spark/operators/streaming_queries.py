@@ -65,6 +65,25 @@ def streaming_windowed_counts_watermarked(spark: SparkSession, sf_dir: str) -> D
 
 
 @query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: event stream ⋈ customer ⋈ nation, counts per
+    nation — the enrichment-join shape of a streaming ingest pipeline,
+    driven to completion and value-checked against the batch join."""
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_enriched_counts
+
+    return run_streaming_enriched_counts(spark, sf_dir)
+
+
+@query(
     "session_window_batch",
     oracle=f"""
     WITH flagged AS (

@@ -135,6 +135,39 @@ def run_streaming_windowed_counts_watermarked(
     )
 
 
+def run_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer→nation dimension path, aggregated per nation.
+
+    The static side is a plain DataFrame (broadcast by Catalyst per
+    micro-batch); only the stream side holds state. Complete mode +
+    availableNow drives it to a deterministic, oracle-checkable result.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    events = _event_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = events.join(customer, "user_id").join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    )
+    agg = enriched.groupBy("n_name").agg(F.count("*").alias("n_events"))
+    name = "stream_enriched_counts"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 _SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), True),
