@@ -151,6 +151,26 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    name: str,
+    *,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist a managed table hive-partitioned on ``partition_by``.
+
+    The other write-time scale lever (beside bucketing): equality/range
+    filters on the partition columns prune whole directories at plan time
+    (PartitionFilters in the scan), so a day-partitioned 100 TB table
+    serves a one-day query by reading one directory. Keep partition
+    cardinality bounded (≈10³–10⁵ dirs) — derive a date/bucket column
+    rather than partitioning on a high-cardinality key.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.format("parquet").mode(mode).partitionBy(*cols).saveAsTable(name)
+
+
 # --- testdata loading -----------------------------------------------------
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic testdata table (TESTDATA.md).

@@ -134,3 +134,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         drop_table(spark, "b_orders")
         drop_table(spark, "b_customer")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """A filter on the partition column must prune at plan time."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.catalog import drop_table, load_table, write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, "p_orders", partition_by="order_year")
+    try:
+        q = spark.table("p_orders").filter(F.col("order_year") == 1995)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(order_year" in plan, plan
+        # pruned read returns exactly the 1995 rows
+        expected = orders.filter(F.col("order_year") == 1995).count()
+        assert q.count() == expected > 0
+    finally:
+        drop_table(spark, "p_orders")
