@@ -12,8 +12,10 @@ declarative Spark plan with a DuckDB oracle:
   near-duplicates collide in ≥1 band — turns O(n²) comparison into an
   equi-join on (band, band_hash). The standard 100 TB-scale design;
 - SimHash: 32-bit sign-of-weighted-sum fingerprint; candidate pairs via
-  byte-banding (pigeonhole: hamming ≤ 6 ⟹ some band of 8 bits is equal
-  ... for ≤3 of 4 differing bands) + exact hamming filter.
+  byte-banding + exact hamming filter. Recall note: pigeonhole guarantees
+  a band collision only for hamming ≤ 3 (4 bands); pairs with 4-6
+  differing bits spread across all four bands are missed — the standard
+  LSH recall/cost trade, identical in the oracle so parity is exact.
 
 Every hash derives from md5 so Spark and DuckDB agree bit-for-bit:
 ``conv(substr(md5(s),1,15),16,10)`` ≡ ``('0x'||substr(md5(s),1,15))::BIGINT``.
