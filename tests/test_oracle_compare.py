@@ -1,0 +1,43 @@
+"""Unit tests for the oracle comparator itself (the correctness gate's own
+correctness): cell canonicalization across the Spark/DuckDB type seams and
+the row-alignment rules."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from lakehouse_workshop_spark.oracle import _canon_cell, canon_rows
+
+
+def test_bytes_and_bytearray_canonicalize_identically():
+    assert _canon_cell(b"\x00\xff") == _canon_cell(bytearray(b"\x00\xff")) == "00ff"
+
+
+def test_nan_canonicalizes_to_marker():
+    assert _canon_cell(float("nan")) == "NaN"
+    assert _canon_cell(1.5) == 1.5
+
+
+def test_timestamp_canonicalizes_to_isoformat():
+    t = pd.Timestamp("2026-01-02T03:04:05.123456")
+    assert _canon_cell(t) == "2026-01-02T03:04:05.123456"
+
+
+def test_numpy_scalars_and_arrays_unwrap():
+    import numpy as np
+
+    assert _canon_cell(np.int64(7)) == 7
+    assert _canon_cell(np.array([1.0, 2.0])) == (1.0, 2.0)
+    assert _canon_cell([np.float64(0.5)]) == (0.5,)
+
+
+def test_canon_rows_sorts_columns_and_rows():
+    a = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    b = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    assert canon_rows(a) == canon_rows(b)
+
+
+def test_none_survives():
+    assert _canon_cell(None) is None

@@ -66,3 +66,32 @@ def test_watermarked_append_emits_exactly_closed_windows(spark, sf_dir):
     )
     assert streamed.count() == closed.count() > 0
     assert streamed.exceptAll(closed).count() == 0
+
+
+def test_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running an availableNow stream over the same checkpoint must be a
+    no-op: the committed offsets make delivery exactly-once."""
+    from lakehouse_workshop_spark.streaming.jobs import _event_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            _event_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    from lakehouse_workshop_spark.catalog import load_table
+
+    expected = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == expected
+
+    run_once()  # same checkpoint: source already committed, nothing new
+    assert spark.read.parquet(out).count() == expected
