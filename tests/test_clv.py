@@ -47,3 +47,27 @@ def test_fanout_partitions_cover_customers(spark, sf_dir):
     assert per_group.count() == 20
     total = per_group.agg(F.sum("count")).collect()[0][0]
     assert total == rfm.count()
+
+
+def test_driver_and_distributed_agree_single_group(spark, sf_dir):
+    """Entry-point-3a (collect-fit) and 3b (grouped-map) must agree: same
+    math, same penalizers — tolerance covers float-order effects of the
+    differing row order seen by the fitters."""
+    from lakehouse_workshop_spark.clv.pipeline import driver_clv
+
+    a = (
+        driver_clv(spark, sf_dir)
+        .toPandas()
+        .sort_values("CustomerID")
+        .reset_index(drop=True)
+    )
+    b = (
+        distributed_clv(spark, sf_dir, n_groups=1)
+        .toPandas()
+        .sort_values("CustomerID")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["CustomerID"] == b["CustomerID"]).all()
+    for col in ["PRED_VISITS", "PROB_ALIVE", "PROB_ALIVE_t", "PRED_CLV"]:
+        assert np.allclose(a[col], b[col], rtol=1e-3, atol=1e-4), col
