@@ -147,3 +147,24 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir, q):
     exact = q["count_distinct_customers"](spark, sf_dir).collect()[0][0]
     approx = q["count_distinct_customers_approx"](spark, sf_dir).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_results_independent_of_shuffle_partitioning(spark, sf_dir, q):
+    """The determinism contract: float aggregates go through decimal
+    accumulation, so results are bit-identical under any partitioning —
+    what makes the oracle hash stable on a 1000-executor cluster."""
+    name = "monthly_sales"
+    base = canon(q[name](spark, sf_dir).toPandas())
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert canon(q[name](spark, sf_dir).toPandas()) == base, n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+def canon(pdf):
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    return canon_rows(pdf)
