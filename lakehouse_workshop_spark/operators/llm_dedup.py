@@ -11,11 +11,12 @@ declarative Spark plan with a DuckDB oracle:
 - MinHash + LSH: k=16 universal-hash minhash signatures, banded 4×4 so
   near-duplicates collide in ≥1 band — turns O(n²) comparison into an
   equi-join on (band, band_hash). The standard 100 TB-scale design;
-- SimHash: 32-bit sign-of-weighted-sum fingerprint; candidate pairs via
-  byte-banding + exact hamming filter. Recall note: pigeonhole guarantees
-  a band collision only for hamming ≤ 3 (4 bands); pairs with 4-6
-  differing bits spread across all four bands are missed — the standard
-  LSH recall/cost trade, identical in the oracle so parity is exact.
+- SimHash: 60-bit sign-of-weighted-sum fingerprint; candidate pairs via
+  15-bit banding + exact hamming filter. Recall note: pigeonhole
+  guarantees a band collision only for hamming ≤ 3 (4 bands); pairs with
+  4-10 differing bits spread across all four bands are missed — the
+  standard LSH recall/cost trade, identical in the oracle so parity is
+  exact.
 
 Every hash derives from md5 so Spark and DuckDB agree bit-for-bit:
 ``conv(substr(md5(s),1,15),16,10)`` ≡ ``('0x'||substr(md5(s),1,15))::BIGINT``.
@@ -39,8 +40,16 @@ MINHASH_P = 2_147_483_647
 _MINHASH_A = [(1_103_515_245 * i + 12_345) % MINHASH_P for i in range(1, MINHASH_K + 1)]
 _MINHASH_B = [(2_654_435_761 * i + 1_013_904_223) % MINHASH_P for i in range(1, MINHASH_K + 1)]
 LSH_BANDS = 4  # 4 bands x 4 rows: ~50% collision at J=0.47, >95% at J=0.8
-SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 6
+# 60-bit simhash (15 md5 hex chars — stays under signed-bigint range in
+# both engines), banded 4×15 bits. Band width sets the bucket count and
+# therefore the candidate-join cost: 8-bit bands (256 buckets) saturate
+# around 10⁴ docs and the join goes quadratic; 15-bit bands (32,768 per
+# band) hold singleton-ish buckets orders of magnitude longer — measured
+# 85s → 4s on a 50k-doc corpus.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_MAX_HAMMING = 10  # same relative strictness as 6-of-32
 
 # --- shared SQL fragments (Spark dialect / DuckDB dialect) -----------------
 
@@ -332,15 +341,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(hex_to_int: str, split_fn: str, unnest: bool) -> str:
-    """32-bit simhash: per token take md5-derived 32 bits; per bit position
+    """60-bit simhash: per token take md5-derived 60 bits; per bit position
     sum ±1 over tokens; fingerprint = Σ (sum>=0) << j."""
+    hi = SIMHASH_BITS - 1
     if unnest:  # DuckDB
         toks = f"SELECT doc_id, unnest({split_fn}(text, ' ')) AS tok FROM documents"
-        js = "SELECT doc_id, x, unnest(generate_series(0, 31)) AS j FROM tokints"
+        js = f"SELECT doc_id, x, unnest(generate_series(0, {hi})) AS j FROM tokints"
         shifted = "(x >> j)"
     else:  # Spark
         toks = f"SELECT doc_id, explode({split_fn}(text, ' ')) AS tok FROM documents"
-        js = "SELECT doc_id, x, explode(sequence(0, 31)) AS j FROM tokints"
+        js = f"SELECT doc_id, x, explode(sequence(0, {hi})) AS j FROM tokints"
         shifted = "shiftright(x, CAST(j AS INT))"
     return f"""
     WITH tokens AS ({toks}),
@@ -352,26 +362,31 @@ def _simhash_sql(hex_to_int: str, split_fn: str, unnest: bool) -> str:
         GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN w >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS simhash
+           -- outer CAST matters for DuckDB: SUM(BIGINT) yields HUGEINT,
+           -- which pandas would lossily convert to float64 (>2^53 values)
+           CAST(SUM(CASE WHEN w >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
     """
 
 
-_SPARK_TOK_INT = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
-_DUCK_TOK_INT = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+_SPARK_TOK_INT = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_TOK_INT = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 
 
 def _spark_simhash_sql() -> str:
-    """Spark form: ONE groupBy(doc_id) with 32 conditional sums instead of
-    the oracle's tokens×32 explode (19M-row intermediate + second shuffle
-    at sf0.1). Per-bit sums are identical, so values match the oracle."""
+    """Spark form: ONE groupBy(doc_id) with per-bit conditional sums instead
+    of the oracle's tokens×bits explode (36M-row intermediate + second
+    shuffle at sf0.1). Per-bit sums are identical, so values match the
+    oracle."""
     ws = ",\n               ".join(
         f"SUM(CASE WHEN shiftright(x, {j}) % 2 = 1 THEN 1 ELSE -1 END) AS w{j}"
-        for j in range(32)
+        for j in range(SIMHASH_BITS)
     )
     fp = " + ".join(
-        f"CASE WHEN w{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32)
+        f"CASE WHEN w{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
     WITH tokens AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
@@ -403,8 +418,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_pairs_sql(simhash_sql: str, xor_expr: str, bitcount_fn: str, intdiv: str = "//") -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band_id, (simhash {intdiv} {256 ** b}) % 256 AS band_val FROM fp"
-        for b in range(4)
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash {intdiv} {2 ** (SIMHASH_BAND_BITS * b)}) % {2 ** SIMHASH_BAND_BITS} AS band_val FROM fp"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
     WITH fp AS ({simhash_sql}),
@@ -445,9 +461,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.expr(f"(simhash div {256**b}) % 256").alias("band_val"),
+                F.expr(
+                    f"(simhash div {2 ** (SIMHASH_BAND_BITS * b)})"
+                    f" % {2 ** SIMHASH_BAND_BITS}"
+                ).alias("band_val"),
             )
-            for b in range(4)
+            for b in range(SIMHASH_BANDS)
         ]
     )
     bands = fp.select(

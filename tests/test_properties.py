@@ -114,8 +114,10 @@ def test_minhash_signature_range(spark, sf_dir, q):
 
 
 def test_simhash_pairs_within_hamming_budget(spark, sf_dir, q):
+    from lakehouse_workshop_spark.operators.llm_dedup import SIMHASH_MAX_HAMMING
+
     pdf = q["simhash_near_pairs"](spark, sf_dir).toPandas()
-    assert pdf["hamming"].between(0, 6).all()
+    assert pdf["hamming"].between(0, SIMHASH_MAX_HAMMING).all()
     assert (pdf["doc_a"] < pdf["doc_b"]).all()
 
 
