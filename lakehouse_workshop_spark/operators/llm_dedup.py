@@ -193,6 +193,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 50  # drop shingles present in more than DF_CAP documents
+
+
+def _jaccard_capped_sql(shingles_cte: str) -> str:
+    """DF-capped Jaccard: identical to the exact form, but shingles whose
+    document frequency exceeds DF_CAP are dropped BEFORE the self-join —
+    they carry no discrimination and are precisely the quadratic fan-out.
+    Note sizes are computed on the capped shingle set (the estimate is of
+    Jaccard over discriminative shingles)."""
+    return f"""
+    WITH all_shingles AS ({shingles_cte}),
+    df AS (SELECT shingle, COUNT(*) AS df FROM all_shingles GROUP BY 1),
+    shingles AS (
+        SELECT s.doc_id, s.shingle
+        FROM all_shingles s JOIN df ON s.shingle = df.shingle
+        WHERE df.df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query(
+    "ngram_jaccard_pairs_capped",
+    oracle=_jaccard_capped_sql(_DUCK_SHINGLES),
+)
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard family's scale path: cap shingle document frequency
+    before the candidate self-join.
+
+    The exact variant's cost is Σ_shingle df² — boilerplate shingles
+    dominate; capping df bounds per-shingle fan-out at DF_CAP² and the
+    join becomes corpus-linear for natural corpora. Same scoring formula
+    on the surviving shingles.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_jaccard_capped_sql(_SPARK_SHINGLES))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
