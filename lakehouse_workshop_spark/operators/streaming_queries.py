@@ -84,6 +84,28 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_to_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+               AND p.event_type = 'purchase'
+               AND p.ts > c.ts
+               AND p.ts <= c.ts + INTERVAL '10 minutes'
+    WHERE c.event_type = 'click'
+    """,
+)
+def streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-range join (click → purchase ≤ 10 min later, per
+    user), watermarked on both sides so join state is bounded; value-checked
+    against the batch self-join."""
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_click_to_purchase
+
+    return run_streaming_click_to_purchase(spark, sf_dir)
+
+
+@query(
     "session_window_batch",
     oracle=f"""
     WITH flagged AS (

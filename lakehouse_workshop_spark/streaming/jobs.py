@@ -168,6 +168,55 @@ def run_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def run_streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    purchases within the next 10 minutes.
+
+    Both sides are watermarked so the join state is bounded (clicks held
+    ≤ watermark+range, purchases ≤ watermark); the time-range predicate is
+    what lets Spark expire state. Under availableNow the single batch
+    contains both sides, so the inner join emits every qualifying pair —
+    deterministic and oracle-checkable.
+    """
+    events = _event_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    name = "stream_click_to_purchase"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 _SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), True),
