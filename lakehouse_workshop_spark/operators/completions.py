@@ -291,7 +291,9 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_agg",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT -> pandas float64,
+           -- while Spark emits int64 (see llm_dedup.py dtype note)
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
                       THEN 1 END) AS n_high
     FROM events

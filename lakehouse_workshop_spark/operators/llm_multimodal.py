@@ -20,10 +20,11 @@ from lakehouse_workshop_spark.operators import query
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS checksum,
-           list_transform(generate_series(1, 4),
-               i -> ROUND(('0x' || substr(md5(text), 2*i-1, 2))::BIGINT / 255.0, 6)
-           ) AS feature
+           CAST(i - 1 AS INT) AS dim_idx,
+           ROUND(('0x' || substr(md5(text), 2*i-1, 2))::BIGINT / 255.0, 6)
+               AS feature_val
     FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,8 +33,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The payloads are document text bytes (ASCII — strlen == byte length in
     the oracle); a real deployment swaps the fake encoder for a codec call
     with the identical batch shape.
+
+    The registered (driver-checked) shape posexplodes the feature vector to
+    one scalar row per dimension: the driver's pandas canonicalizer crashes
+    on array cells (round-1 ``unhashable type: 'list'``), and doubles
+    compare bit-exactly where a float→string render would not. The
+    array-shaped API is :func:`lakehouse_workshop_spark.llm.multimodal.extract_features`.
     """
-    return extract_features(media_from_documents(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.posexplode("feature").alias("dim_idx", "feature_val"),
+    )
 
 
 @query(

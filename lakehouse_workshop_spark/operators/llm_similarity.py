@@ -168,7 +168,9 @@ _DUCK_BUCKETS = f"""
         FROM embeddings e CROSS JOIN planes p
     )
     SELECT vec_id,
-           SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+           -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT -> pandas float64
+           CAST(SUM(CASE WHEN dot >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 """
 

@@ -86,6 +86,36 @@ def compare_query(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareR
     if not cols_match:
         mismatches.append(f"columns: spark={s_cols} oracle={d_cols}")
 
+    # The driver's value-hash is dtype-sensitive (int64 255 != float64 255.0)
+    # and its canonicalizer sort_values-crashes on list cells — reproduce both
+    # strictnesses locally so a slip can't pass 100 parity tests and then fail
+    # the driver (this is exactly what happened with DuckDB SUM(BIGINT) ->
+    # HUGEINT -> float64 in round 1).
+    if cols_match:
+        # Kind-level check (int vs float vs object...), not exact width:
+        # the driver accepted int32-vs-int64 (customer_recast r1) but
+        # rejected int64-vs-float64 (255 != 255.0 after canonicalization).
+        def _kind(dtype) -> str:
+            k = dtype.kind
+            return "i" if k == "u" else k
+
+        for c in s_cols:
+            sk, dk = _kind(spark_pdf[c].dtype), _kind(duck_pdf[c].dtype)
+            if sk != dk:
+                mismatches.append(
+                    f"dtype-kind[{c}]: spark={spark_pdf[c].dtype} "
+                    f"oracle={duck_pdf[c].dtype}"
+                )
+        for c in s_cols:
+            col = spark_pdf[c]
+            if col.dtype == object and col.map(
+                lambda v: isinstance(v, (list, dict)) or type(v).__name__ == "ndarray"
+            ).any():
+                mismatches.append(
+                    f"driver-unsafe[{c}]: contains list/array cells "
+                    "(driver comparator crashes on unhashable types)"
+                )
+
     ok = cols_match and len(spark_pdf) == len(duck_pdf)
     if ok:
         s_rows, d_rows = canon_rows(spark_pdf), canon_rows(duck_pdf)
