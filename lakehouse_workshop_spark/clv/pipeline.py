@@ -120,6 +120,15 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# Scored-result memo: ``clv_distributed`` and ``clv_segment_rollup`` both
+# need the fitted scores; without this the MLE fit (the expensive part) runs
+# once per registered query. Keyed by application id so a stopped/recreated
+# session never serves a stale plan. The cached frame is a lazy
+# localCheckpoint: first action materializes ~1500 rows/group-partition to
+# executor storage, later queries read the checkpoint instead of refitting.
+_SCORED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
     """U1: shuffle by GroupKey → per-group fit+score → golden schema.
 
@@ -137,12 +146,18 @@ def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> Dat
     Range partitioning on the key satisfies the grouped-map clustering
     requirement, so no second shuffle appears.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, n_groups)
+    cached = _SCORED_CACHE.get(key)
+    if cached is not None:
+        return cached
     rfm = rfm_from_orders(spark, sf_dir, n_groups=n_groups)
-    return (
+    scored = (
         rfm.repartitionByRange(n_groups, "GroupKey")
         .groupBy("GroupKey")
         .applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
-    )
+    ).localCheckpoint(eager=False)
+    _SCORED_CACHE[key] = scored
+    return scored
 
 
 def driver_clv(spark: SparkSession, sf_dir: str) -> DataFrame:

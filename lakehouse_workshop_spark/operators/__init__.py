@@ -30,17 +30,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    # Import for side effect of registration.
+    # Import for side effect of registration. Order = the driver's
+    # correctness-pass order: the CLV and streaming families run mid-pass
+    # (round 1's pass stopped at query 50 of 57, orphaning exactly the
+    # then-last clv_distributed/clv_segment_rollup + streaming rows), and
+    # the pass tail is the cheapest-per-query family.
     from lakehouse_workshop_spark.operators import (  # noqa: F401
         relational,
         insights,
         completions,
+        clv_queries,
+        streaming_queries,
         llm_text,
         llm_dedup,
         llm_similarity,
         llm_multimodal,
-        clv_queries,
-        streaming_queries,
     )
 
     return dict(QUERIES)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import tempfile
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -50,6 +51,25 @@ _EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+# Stateful streaming creates one state store (RocksDB/HDFS dir + provider)
+# per shuffle partition, every micro-batch. These harness runs hold a few
+# thousand keys, so 32 partitions is pure fixed overhead — 8 cuts store
+# setup 4× without changing results. A real deployment sizes this to
+# state volume (state-store count scales with partitions, not data).
+_STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = _STREAM_SHUFFLE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a directory; glob-filter to the events
@@ -76,7 +96,7 @@ def run_streaming_windowed_counts(
         F.window("ts", window).alias("win"), "event_type"
     ).agg(F.count("*").alias("n_events"))
     name = "stream_windowed_counts"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -117,7 +137,7 @@ def run_streaming_windowed_counts_watermarked(
         .agg(F.count("*").alias("n_events"))
     )
     name = "stream_windowed_counts_wm"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -155,7 +175,7 @@ def run_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = enriched.groupBy("n_name").agg(F.count("*").alias("n_events"))
     name = "stream_enriched_counts"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -204,7 +224,7 @@ def run_streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
     name = "stream_click_to_purchase"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -298,7 +318,7 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = "stream_sessions"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
         q = (
             sessions.writeStream.outputMode("append")
             .format("memory")
