@@ -13,7 +13,7 @@ hash-match stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,6 +43,52 @@ def case_bucket(col: Column | str, edges: list[tuple[float, float, str]], other:
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     assert expr is not None
     return expr.otherwise(F.lit(other))
+
+
+def global_row_number(df: DataFrame, *order: Column, name: str = "rank") -> DataFrame:
+    """Scale-safe global ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    A bare ``Window.orderBy`` moves the whole table into ONE partition — the
+    textbook full-table-rank scale killer (Spark itself warns). This is the
+    classic two-pass alternative:
+
+    1. ``repartitionByRange`` on the sort keys: a balanced shuffle whose
+       partitions are globally ordered (the shuffle a global sort needs
+       anyway), sorted within each partition.
+    2. Stamp ``spark_partition_id`` and lazily ``localCheckpoint`` — one
+       materialization so the offset pass below re-reads instead of
+       re-shuffling, and partition ids stay consistent across the two jobs.
+    3. Per-partition ``row_number`` (window PARTITIONed by the stamp — every
+       partition ranks in parallel).
+    4. Per-partition counts (tiny: one row per partition) → cumulative
+       offsets on the driver-sized side, broadcast-joined back.
+
+    No stage ever sees more than one partition's rows; the only global
+    object is the #partitions-row offset table. ``order`` must be a total
+    order (include a tiebreaker) for the result to be deterministic.
+    """
+    stamped = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_rank_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = stamped.withColumn(
+        "_rank_local",
+        F.row_number().over(Window.partitionBy("_rank_pid").orderBy(*order)),
+    )
+    counts = stamped.groupBy("_rank_pid").agg(F.count("*").alias("_rank_n"))
+    offsets = counts.withColumn(
+        "_rank_offset",
+        F.sum("_rank_n")
+        .over(Window.orderBy("_rank_pid").rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long"),
+    ).select("_rank_pid", F.coalesce("_rank_offset", F.lit(0)).alias("_rank_offset"))
+    return (
+        local.join(F.broadcast(offsets), "_rank_pid")
+        .withColumn(name, (F.col("_rank_offset") + F.col("_rank_local")).cast("int"))
+        .drop("_rank_pid", "_rank_local", "_rank_offset")
+    )
 
 
 def row_id() -> Column:

@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.catalog import load_table
-from lakehouse_workshop_spark.functions.exprs import case_bucket, dec_avg, dec_sum
+from lakehouse_workshop_spark.functions.exprs import (
+    case_bucket,
+    dec_avg,
+    dec_sum,
+    global_row_number,
+)
 from lakehouse_workshop_spark.operators import query
 
 # ---------------------------------------------------------------------------
@@ -333,11 +338,12 @@ def customer_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant for pipeline use.
     """
     cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
+    recast = cust.select(
         F.col("c_custkey").cast("int").alias("customer_id"),
         F.col("c_acctbal").cast("float").alias("acct_balance"),
         F.col("c_mktsegment").alias("segment"),
-    ).withColumn("id", F.row_number().over(Window.orderBy("customer_id")))
+    )
+    return global_row_number(recast, F.col("customer_id"), name="id")
 
 
 # ---------------------------------------------------------------------------
@@ -408,8 +414,9 @@ def customers_ranked_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         dec_sum("o_totalprice").alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), "customer_id")
-    return spend.withColumn("rank", F.row_number().over(w))
+    return global_row_number(
+        spend, F.desc("total_spend"), F.asc("customer_id"), name="rank"
+    )
 
 
 @query(
