@@ -15,6 +15,8 @@ adds no query semantics here). When the jar is present the same API emits Delta.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -120,6 +122,25 @@ def create_database(spark: SparkSession, name: str) -> None:
 
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # A run that died between DROP and the managed-table commit leaves the
+    # location behind, and Spark then refuses to recreate the table
+    # (LOCATION_ALREADY_EXISTS). Clear the orphaned local-warehouse dir so
+    # drop→create sequences are crash-safe.
+    import shutil
+    from urllib.parse import urlparse
+
+    try:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    except Exception:
+        return
+    if warehouse:
+        parts = name.lower().split(".")
+        rel = (
+            f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+        )
+        leftover = os.path.join(warehouse, rel)
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
 
 
 def describe(spark: SparkSession, name: str) -> DataFrame:

@@ -105,8 +105,11 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out = pd.DataFrame(
         {
-            "GroupKey": pdf["GroupKey"].astype("int32"),
-            "CustomerID": pdf["CustomerID"].astype("int32"),
+            # nullable Int32: real data (Summary_2011.csv) carries one null
+            # CustomerID, which groups under a null GroupKey — Arrow maps
+            # pandas' nullable ints onto the (nullable) golden schema.
+            "GroupKey": pdf["GroupKey"].astype("Int32"),
+            "CustomerID": pdf["CustomerID"].astype("Int32"),
             "FREQUENCY": pdf["FREQUENCY"].astype("int64"),
             "RECENCY": t_x.astype("float32"),
             "AGE": T.astype("float32"),

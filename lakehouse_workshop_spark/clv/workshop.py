@@ -39,9 +39,14 @@ def score_customers(spark: SparkSession, n_groups: int = 20) -> DataFrame:
     """DS phase: recast (ref ``:164-168``) → GroupKey fan-out (``:428-435``)
     → per-group fit/score (``:462-494``) → CTAS ``ltv_results`` (``:352-354``)."""
     summary = cat.catalog_scan(spark, f"{DB}.summary_2011", cache=True)
+    # The shipped Summary_2011.csv spells one missing CustomerID as the
+    # literal text "null", so the inferred column is STRING. The reference
+    # ran under legacy non-ANSI casts where '% 20' silently yielded NULL;
+    # Spark 4's ANSI mode throws, so the tolerant cast must be explicit.
+    cid = F.col("CustomerID").try_cast("long")
     rfm = summary.select(
-        (F.col("CustomerID") % n_groups + 1).cast("int").alias("GroupKey"),
-        F.col("CustomerID").cast("int"),
+        (cid % n_groups + 1).cast("int").alias("GroupKey"),
+        cid.cast("int").alias("CustomerID"),
         F.col("FREQUENCY").cast("long").alias("FREQUENCY"),
         F.col("recency1").cast("float").alias("RECENCY"),
         F.col("T1").cast("float").alias("AGE"),
