@@ -48,6 +48,76 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- 10× corpus probe ------------------------------------------------------
+# The scale regression net for the dedup/similarity families: replicate the
+# documents/embeddings corpus 10× with deterministic per-replica
+# perturbations and re-run the corpus-bound queries. This probe (as a
+# one-off) is what exposed 8-bit simhash banding going quadratic at 50k
+# docs; running it per-round keeps that class of regression in the
+# artifact. Disable with SPARK_GRAFT_PROBE10X=0.
+PROBE_QUERIES = [
+    "dedup_exact",
+    "text_stats",
+    "tfidf_top_terms",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_topk_lsh",
+    "ivf_topk",
+    "multimodal_features",
+]
+PROBE_REPLICAS = 10
+
+
+def _probe_dir(spark, sf_dir: str) -> str:
+    """Materialize (once, cached in /tmp) a 10× corpus derived from sf_dir.
+
+    Each original doc/vector yields 10 perturbed replicas — near-dup but not
+    identical (identical replicas would square the pair-family outputs and
+    measure output explosion, not operator scaling). Written multi-partition
+    so scans parallelize (the driver testdata is single-row-group).
+    """
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_probe10x_{base}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    rep = spark.range(PROBE_REPLICAS).select(F.col("id").cast("int").alias("rep"))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") * PROBE_REPLICAS + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") * PROBE_REPLICAS + F.col("rep")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "CAST(x + 0.003 * rep * ((i % 7) - 3) AS FLOAT))"
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakehouse_workshop_spark import get_spark
@@ -82,14 +152,24 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    if os.environ.get("SPARK_GRAFT_PROBE10X", "1") != "0":
+        probe_sf = _probe_dir(spark, sf_dir)
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            _force(queries[name](spark, probe_sf))
+            timings[f"probe10x_{name}"] = round(time.perf_counter() - t0, 3)
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    headline_total = sum(v for k, v in timings.items() if not k.startswith("probe10x_"))
+    probe_total = sum(v for k, v in timings.items() if k.startswith("probe10x_"))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(headline_total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "probe10x_total": round(probe_total, 3),
                 "sf": sf,
             }
         )

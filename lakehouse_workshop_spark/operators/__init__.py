@@ -15,15 +15,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Baseline → production twin. Entries here are *labeled baselines*: exact
+# but super-linear (quadratic self-joins, brute-force scans) — correct as
+# ground truth, wrong as the operator a 100 TB pipeline schedules. The
+# value names the registered sub-quadratic twin production should use.
+SCALE_PATHS: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named operator query and optionally its DuckDB oracle SQL."""
+def query(
+    name: str, oracle: str | None = None, scale_path: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a named operator query and optionally its DuckDB oracle SQL.
+
+    ``scale_path`` marks this query as an exact-but-super-linear baseline
+    and names the registered twin that holds its cost sub-quadratic at
+    scale (exposed via :func:`all_scale_paths`).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if scale_path is not None:
+            SCALE_PATHS[name] = scale_path
         return fn
 
     return deco
@@ -53,3 +67,12 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     all_queries()
     return dict(ORACLES)
+
+
+def all_scale_paths() -> dict[str, str]:
+    """Baseline-query → production-twin mapping (see ``SCALE_PATHS``)."""
+    all_queries()
+    paths = dict(SCALE_PATHS)
+    missing = [t for t in paths.values() if t not in QUERIES]
+    assert not missing, f"scale_path targets not registered: {missing}"
+    return paths

@@ -147,6 +147,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_pairs",
+    scale_path="ngram_jaccard_pairs_capped",
     oracle=f"""
     WITH shingles AS ({_DUCK_SHINGLES}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),

@@ -90,7 +90,7 @@ def _topk_sql(cos: str, prep: str) -> str:
     """
 
 
-@query("cosine_topk", oracle=_topk_sql(_DUCK_COS, _DUCK_PREP))
+@query("cosine_topk", oracle=_topk_sql(_DUCK_COS, _DUCK_PREP), scale_path="ivf_topk")
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector (brute force).
 
@@ -114,7 +114,11 @@ def _near_pairs_sql(cos: str, prep: str) -> str:
     """
 
 
-@query("embedding_near_pairs", oracle=_near_pairs_sql(_DUCK_COS, _DUCK_PREP))
+@query(
+    "embedding_near_pairs",
+    oracle=_near_pairs_sql(_DUCK_COS, _DUCK_PREP),
+    scale_path="embedding_near_pairs_lsh",
+)
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold self-join).
 

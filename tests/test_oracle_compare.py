@@ -41,3 +41,17 @@ def test_canon_rows_sorts_columns_and_rows():
 
 def test_none_survives():
     assert _canon_cell(None) is None
+
+
+def test_scale_paths_point_at_registered_twins():
+    """Every labeled quadratic baseline names a registered production twin."""
+    from lakehouse_workshop_spark.operators import all_queries, all_scale_paths
+
+    queries, paths = all_queries(), all_scale_paths()
+    assert paths == {
+        "embedding_near_pairs": "embedding_near_pairs_lsh",
+        "ngram_jaccard_pairs": "ngram_jaccard_pairs_capped",
+        "cosine_topk": "ivf_topk",
+    }
+    for baseline, twin in paths.items():
+        assert baseline in queries and twin in queries
