@@ -458,10 +458,10 @@ def _spark_simhash_sql() -> str:
     oracle=_simhash_sql(_DUCK_TOK_INT, "string_split", unnest=True),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit simhash per document.
+    """60-bit simhash per document (SIMHASH_BITS).
 
     Scale: token explode → one partial-aggregated groupBy(doc_id) carrying
-    the 32 per-bit sums as columns; all JVM-side integer arithmetic.
+    the 60 per-bit sums as columns; all JVM-side integer arithmetic.
     """
     _docs_view(spark, sf_dir)
     return spark.sql(_spark_simhash_sql())
@@ -499,8 +499,11 @@ def _simhash_pairs_sql(simhash_sql: str, xor_expr: str, bitcount_fn: str, intdiv
     ),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with simhash hamming ≤ 6, candidates via byte-banding
-    (pigeonhole over 4 bands of 8 bits — no cross join).
+    """Near-dup pairs with simhash hamming ≤ 10 (SIMHASH_MAX_HAMMING),
+    candidates via banding: pigeonhole over 4 bands of 15 bits — no cross
+    join. Band width is the scale knob that keeps candidate buckets small
+    (the original 8-bit bands measured quadratic at a 50k-doc corpus, 85s;
+    15-bit bands run the same probe in ~4s).
 
     Like minhash_lsh_pairs, the Spark plan bands with ONE explode pass over
     the fingerprints (CTE inlining would recompute the token pipeline 4×

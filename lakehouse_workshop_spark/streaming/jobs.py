@@ -329,3 +329,31 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def sessionize_stateful_to_files(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """The production shape of :func:`sessionize_stateful`: identical
+    stateful plan, but the sink is a parquet directory — results flow
+    executor→files and never buffer on the driver (the memory sink above is
+    harness-only). Returns a batch scan of the sink directory."""
+    events = _event_stream(spark, sf_dir)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(_SESSION_OUT_SCHEMA).parquet(out_dir)

@@ -155,3 +155,37 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
         assert q.count() == expected > 0
     finally:
         drop_table(spark, "p_orders")
+
+
+# --- S2/S3 Delta probe branches (delta jars absent from this image) --------
+
+
+def test_delta_probe_branches_via_fake_jvm():
+    """delta_available is a JVM class probe; drive both branches with a
+    fake _jvm so the degrade logic is tested even where the jar is absent
+    (ref writes Delta at DE_data_preparation.py:29; this image has no
+    delta-spark, so write paths degrade to parquet)."""
+    from types import SimpleNamespace
+
+    def fake_spark(forname):
+        cls = SimpleNamespace(forName=forname)
+        return SimpleNamespace(_jvm=SimpleNamespace(java=SimpleNamespace(lang=SimpleNamespace(Class=cls))))
+
+    present = fake_spark(lambda name: object())
+    absent = fake_spark(lambda name: (_ for _ in ()).throw(Exception("no class")))
+    assert cat.delta_available(present) is True
+    assert cat.delta_available(absent) is False
+    assert cat.table_format(present) == "delta"
+    assert cat.table_format(absent) == "parquet"
+
+
+def test_forced_delta_format_reaches_source_resolution(spark, csv_path, monkeypatch):
+    """With the probe mocked True, write_table really asks Spark for the
+    'delta' source — proving the branch wires the format through (the
+    resolution error names the missing datasource, not some earlier
+    failure)."""
+    monkeypatch.setattr(cat, "delta_available", lambda s: True)
+    df = cat.csv_scan(spark, csv_path)
+    with pytest.raises(Exception, match="(?i)delta"):
+        cat.write_table(df, "default.delta_probe_tbl")
+    cat.drop_table(spark, "default.delta_probe_tbl")

@@ -95,3 +95,19 @@ def test_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
 
     run_once()  # same checkpoint: source already committed, nothing new
     assert spark.read.parquet(out).count() == expected
+
+
+def test_sessionize_stateful_file_sink_matches_memory_sink(spark, sf_dir, tmp_path):
+    """The stateful sessionizer through a parquet sink (executor→files, no
+    driver buffering) emits exactly the sessions the memory-sink harness
+    run emits."""
+    from lakehouse_workshop_spark.streaming.jobs import (
+        sessionize_stateful,
+        sessionize_stateful_to_files,
+    )
+
+    via_files = sessionize_stateful_to_files(spark, sf_dir, str(tmp_path / "sessions"))
+    via_memory = sessionize_stateful(spark, sf_dir)
+    assert via_files.count() == via_memory.count() > 0
+    assert via_files.exceptAll(via_memory).count() == 0
+    assert via_memory.exceptAll(via_files).count() == 0
