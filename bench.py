@@ -41,6 +41,11 @@ HEADLINE = [
     "frame_samples",
     "event_props_agg",
     "clv_distributed",
+    "train_val_test_split",
+    "shard_assignments",
+    "merge_upsert_orders",
+    "sales_cube",
+    "customer_spend_quartiles",
 ]
 
 

@@ -53,9 +53,11 @@ def all_queries() -> dict[str, QueryFn]:
         relational,
         insights,
         completions,
+        cdc,
         clv_queries,
         streaming_queries,
         llm_text,
+        llm_pipeline,
         llm_dedup,
         llm_similarity,
         llm_multimodal,

@@ -97,3 +97,108 @@ def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"), dec_sum("total_spend").alias("band_value"))
         .orderBy("value_band")
     )
+
+
+@query(
+    "sales_cube",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): every subtotal combination in one pass.
+
+    Scale: Spark expands grouping sets inside a single partial-aggregated
+    shuffle (one Expand node), not one job per subtotal — the dashboard
+    query shape for 'all the rollups at once'.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.functions.exprs import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderstatus"
+    ).agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+
+
+@query(
+    "order_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles of order value per status.
+
+    Exact ``percentile`` is the correctness baseline; the 100 TB twin is
+    ``approx_percentile`` (t-digest sketch, mergeable map-side — same call
+    shape) when a bounded-error estimate is acceptable.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey,
+               o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey, o_custkey AS customer_id, total_spend,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY total_spend DESC, o_custkey) AS INT) AS quartile
+    FROM spend
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) spend quartiles within each nation.
+
+    The window PARTITIONs by nation, so every partition ranks in parallel —
+    the scale-safe form of quantile bucketing (contrast the global-rank
+    two-pass in ``functions.exprs.global_row_number`` for the
+    un-partitioned case).
+    """
+    from pyspark.sql.window import Window
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.functions.exprs import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(dec_sum("o_totalprice").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("total_spend"), "o_custkey")
+    return spend.select(
+        "c_nationkey",
+        F.col("o_custkey").alias("customer_id"),
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -84,6 +84,22 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates over a deliberately doubled
+    stream — collapses back to exactly the source rows (the at-least-once
+    ingest guard for a training corpus)."""
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+@query(
     "streaming_click_to_purchase",
     oracle="""
     SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

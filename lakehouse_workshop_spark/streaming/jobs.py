@@ -188,6 +188,37 @@ def run_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the ingest-time guard that keeps replayed /
+    at-least-once-delivered records out of a corpus.
+
+    The harness doubles the stream (self-union — two scans of the source)
+    and ``dropDuplicates`` on the key collapses it back to exactly the
+    source rows, which is what makes the result oracle-checkable. The
+    watermark bounds the dedup state: keys older than the delay are
+    evicted, so state is O(keys per window), not O(all keys ever).
+    """
+    events = _event_stream(spark, sf_dir)
+    doubled = events.unionByName(_event_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    name = "stream_dedup"
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each click matched to the same user's
     purchases within the next 10 minutes.
