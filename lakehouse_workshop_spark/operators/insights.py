@@ -128,6 +128,7 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_percentiles",
+    scale_path="order_percentiles_approx",
     oracle="""
     SELECT o_orderstatus,
            ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -201,4 +202,25 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("customer_id"),
         "total_spend",
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query("order_percentiles_approx")
+def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``order_percentiles``: ``approx_percentile``
+    (KLL-style mergeable sketch) — map-side partial sketches merge in one
+    partial-aggregated shuffle instead of sorting every value per group.
+    Rows-only by contract (the sketch's answers are engine-specific; the
+    exact twin is the value-checked one)."""
+    from lakehouse_workshop_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.25, 10000)").alias("p25"),
+            F.expr("approx_percentile(o_totalprice, 0.50, 10000)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.75, 10000)").alias("p75"),
+        )
+        .orderBy("o_orderstatus")
     )

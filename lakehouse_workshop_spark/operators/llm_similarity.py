@@ -412,3 +412,51 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rnk <= {TOP_K}
     """
     return spark.sql(sql)
+
+
+@query("ivf_topk_kmeans")
+def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with *learned* centroids: the KMeans drop-in that
+    ``ivf_topk`` documents. Train MLlib KMeans (fixed seed) on the corpus,
+    assign every vector JVM-side via ``model.transform``, then the search
+    is the identical cluster equi-join + exact rank. Rows-only by contract
+    (iterative training is not SQL-expressible); the search half of the
+    plan is the piece the ``ivf_topk`` oracle already value-checks.
+
+    Scale: training runs on a sample in production (centroid quality needs
+    ~nlist·1e3 points, not the corpus); assignment is one narrow pass; the
+    rest matches ``ivf_topk``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    _emb_view(spark, sf_dir)
+    prepped = spark.sql(_SPARK_PREP)
+    vecs = prepped.withColumn("features", array_to_vector("emb"))
+    model = KMeans(
+        k=IVF_NLIST, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
+    ).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .select("vec_id", "emb", "nrm", "cid")
+        .localCheckpoint(eager=False)
+    )
+    assigned.createOrReplaceTempView("ivf_kmeans_clustered")
+    return spark.sql(
+        f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   ROUND({_SPARK_COS}, 6) AS cosine
+            FROM (SELECT * FROM ivf_kmeans_clustered WHERE {QUERY_FILTER}) a
+            JOIN ivf_kmeans_clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+        """
+    )

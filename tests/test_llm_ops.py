@@ -122,3 +122,29 @@ def test_sample_frames_expands_rows(spark, sf_dir):
     assert len(frames) >= 10  # row-expanding
     assert frames.groupby("media_id")["frame_no"].max().le(7).all()
     assert frames["frame_payload"].map(len).le(64).all()
+
+
+def test_ivf_kmeans_results_bounded_by_exact(spark, sf_dir):
+    """Learned-centroid IVF can never beat the exact top-1 cosine, and its
+    output shape matches the seeded-IVF twin."""
+    import lakehouse_workshop_spark.operators.llm_similarity as S2
+
+    exact = {r.query_id: r.cosine for r in S2.cosine_topk(spark, sf_dir).filter("rnk = 1").collect()}
+    got = S2.ivf_topk_kmeans(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.cosine <= exact[r.query_id] + 1e-9
+        assert 1 <= r.rnk <= S2.TOP_K
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from lakehouse_workshop_spark.operators.insights import (
+        order_percentiles,
+        order_percentiles_approx,
+    )
+
+    exact = {r.o_orderstatus: r for r in order_percentiles(spark, sf_dir).collect()}
+    for r in order_percentiles_approx(spark, sf_dir).collect():
+        e = exact[r.o_orderstatus]
+        for c in ("p25", "p50", "p75"):
+            assert abs(getattr(r, c) - getattr(e, c)) / getattr(e, c) < 0.02

@@ -52,6 +52,7 @@ def test_scale_paths_point_at_registered_twins():
         "embedding_near_pairs": "embedding_near_pairs_lsh",
         "ngram_jaccard_pairs": "ngram_jaccard_pairs_capped",
         "cosine_topk": "ivf_topk",
+        "order_percentiles": "order_percentiles_approx",
     }
     for baseline, twin in paths.items():
         assert baseline in queries and twin in queries
