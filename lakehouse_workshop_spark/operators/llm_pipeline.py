@@ -128,3 +128,39 @@ def shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.withColumn(
         "shard_id", F.expr(f"CAST(_cum_before div {SHARD_TOKEN_BUDGET} AS INT)")
     ).drop("_cum_before")
+
+
+CLEAN_LANGS = ("en", "de")
+CLEAN_MIN_CHARS = 100
+CLEAN_MAX_CHARS = 100_000
+
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH canon AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN canon ON canon.doc_id = d.doc_id
+    WHERE d.lang IN {CLEAN_LANGS}
+      AND d.n_chars BETWEEN {CLEAN_MIN_CHARS} AND {CLEAN_MAX_CHARS}
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass a training pipeline actually runs:
+    language allow-list + length gate + exact dedup (keep lowest doc_id per
+    content hash), in one plan.
+
+    Scale: the filters are scan-pushable and run BEFORE the dedup shuffle
+    (Catalyst pushes them through the semi-join), so the single exchange
+    carries only surviving rows; dedup is one hash-partitioned
+    min-aggregate + left-semi join, the ``dedup_keep_canonical`` shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("lang").isin(*CLEAN_LANGS)
+        & F.col("n_chars").between(CLEAN_MIN_CHARS, CLEAN_MAX_CHARS)
+    )
+    canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(canon, "doc_id", "left_semi").select("doc_id", "lang", "n_chars")

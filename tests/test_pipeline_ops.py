@@ -98,3 +98,22 @@ def test_merge_upsert_broadcasts_updates(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_salted_join_matches_plain_join_on_skewed_data(spark):
+    from lakehouse_workshop_spark.functions.joins import salted_join
+
+    # 90% of fact rows share one hot key — the shape AQE's splitter can't
+    # fix when a single key dominates.
+    fact = spark.range(10_000).selectExpr(
+        "id AS row_id", "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 100 END AS k"
+    )
+    dim = spark.range(100).selectExpr("id AS k", "concat('v', id) AS attr")
+
+    plain = fact.join(dim, "k").select("row_id", "k", "attr")
+    salted = salted_join(fact, dim, "k").select("row_id", "k", "attr")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_join_salt" in plan  # the shuffle key includes the salt
