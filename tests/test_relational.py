@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.functions.exprs import case_bucket, dec_sum
@@ -52,3 +53,27 @@ def test_top10_is_take_ordered(spark, sf_dir):
     """O4 should plan TakeOrderedAndProject, not a full global sort."""
     plan = R.top10_orders(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("seed,n", [(1, 1), (2, 7), (3, 500), (4, 4096)])
+def test_global_row_number_equals_window_rank(spark, seed, n):
+    """The two-pass distributed rank must agree with the textbook
+    single-partition window on any total order — including sizes smaller
+    than the partition count and non-contiguous keys."""
+    from pyspark.sql import Window
+
+    from lakehouse_workshop_spark.functions.exprs import global_row_number
+
+    df = (
+        spark.range(n)
+        .selectExpr(
+            f"id",
+            f"CAST(conv(substring(md5(CAST(id + {seed} AS STRING)), 1, 8), 16, 10) AS BIGINT) AS v",
+        )
+    )
+    two_pass = global_row_number(df, F.desc("v"), F.asc("id"), name="rk")
+    reference = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id")))
+    )
+    assert two_pass.exceptAll(reference).count() == 0
+    assert two_pass.count() == n
