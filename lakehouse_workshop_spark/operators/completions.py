@@ -385,3 +385,89 @@ def latest_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.o_orderkey").alias("last_orderkey"),
         F.col("best.o_orderdate").alias("last_orderdate"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH stage_ts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END) AS n_click_after_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click THEN 1 END) AS n_purchase_after_click
+    FROM stage_ts
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users counted at a stage only
+    if their first such event follows their first prior-stage event.
+
+    Scale: one groupBy(user_id) with conditional-min partial aggregates —
+    the whole funnel is a single shuffle regardless of stage count (the
+    self-join-per-stage formulation would be K shuffles and K scans).
+    """
+    events = load_table(spark, sf_dir, "events")
+    t = {
+        s: F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in FUNNEL_STAGES
+    }
+    stage_ts = events.groupBy("user_id").agg(*t.values())
+    at_view = F.col("t_view").isNotNull()
+    at_click = at_view & (F.col("t_click") > F.col("t_view"))
+    at_purchase = at_click & (F.col("t_purchase") > F.col("t_click"))
+    return stage_ts.agg(
+        F.count(F.when(at_view, 1)).alias("n_view"),
+        F.count(F.when(at_click, 1)).alias("n_click_after_view"),
+        F.count(F.when(at_purchase, 1)).alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(year(f.cohort_month) * 100 + month(f.cohort_month) AS INT) AS cohort,
+           CAST((year(o.o_orderdate) - year(f.cohort_month)) * 12
+                + (month(o.o_orderdate) - month(f.cohort_month)) AS INT) AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS n_active
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition-cohort retention matrix (cohort × months-since →
+    distinct active customers).
+
+    Scale: firsts is one groupBy(custkey); the cohort join is key-aligned
+    with the fact's own aggregation key so AQE plans it without a second
+    fact shuffle; distinct-count is partial-aggregated. The 100 TB
+    variant swaps COUNT(DISTINCT) for approx_count_distinct.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = orders.join(firsts, "o_custkey")
+    cohort = (F.year("cohort_month") * 100 + F.month("cohort_month")).cast("int")
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("int")
+    return joined.groupBy(
+        cohort.alias("cohort"), months_since.alias("months_since")
+    ).agg(F.count_distinct("o_custkey").alias("n_active"))

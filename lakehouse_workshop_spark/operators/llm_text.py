@@ -265,3 +265,31 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS n_tokens_regex",
         "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est",
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+                               '[ \t\r\n]+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical LM-preprocessing normalization: lowercase, digit-squash
+    (any run of digits → ``0``), whitespace collapse, trim.
+
+    Scale: pure JVM string expressions inside whole-stage codegen — one
+    narrow pass, no shuffle; the normalized column feeds the hash-based
+    dedup family so near-dups differing only in numbers/case collapse.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
