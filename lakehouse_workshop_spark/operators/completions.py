@@ -453,10 +453,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly acquisition-cohort retention matrix (cohort × months-since →
     distinct active customers).
 
-    Scale: firsts is one groupBy(custkey); the cohort join is key-aligned
-    with the fact's own aggregation key so AQE plans it without a second
-    fact shuffle; distinct-count is partial-aggregated. The 100 TB
-    variant swaps COUNT(DISTINCT) for approx_count_distinct.
+    Measured plan (local): ``firsts`` aggregates with one shuffle and
+    BROADCASTs to the fact side, so the fact shuffles exactly once — for
+    the distinct-count's (cohort, months_since, custkey) dedup exchange.
+    At 100 TB ``firsts`` (one row per customer) exceeds broadcast range
+    and AQE falls back to a sort-merge join (second fact shuffle on
+    custkey); the mitigations are bucketing both by custkey, or swapping
+    COUNT(DISTINCT) for ``approx_count_distinct`` so the dedup exchange
+    disappears into a mergeable sketch.
     """
     orders = load_table(spark, sf_dir, "orders")
     firsts = orders.groupBy("o_custkey").agg(

@@ -24,6 +24,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as PsWindow
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -266,6 +267,54 @@ def run_streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_merge_latest(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> DataFrame:
+    """Streaming CDC into a lakehouse table: every micro-batch upserts its
+    latest-event-per-user rows into a parquet target via ``foreachBatch``
+    + :func:`operators.cdc.merge_upsert`.
+
+    This is the standard streaming→table pattern: ``foreachBatch`` hands
+    each micro-batch to arbitrary *batch* writers, so the same body runs
+    Delta's ``MERGE INTO`` when the jar is present (exactly-once via the
+    batch-id); the parquet degrade here is at-least-once with an
+    idempotent merge, so replays converge to the same table. The
+    ``localCheckpoint`` materializes the merged frame before the
+    overwrite — otherwise the lazy plan would read the directory it is
+    rewriting.
+    """
+    import os
+
+    from lakehouse_workshop_spark.operators.cdc import merge_upsert
+
+    events = _event_stream(spark, sf_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = PsWindow.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.select("event_id", "user_id", "ts", "event_type")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(target_dir):
+            target = batch_df.sparkSession.read.parquet(target_dir)
+            merged = merge_upsert(target, latest, "user_id")
+        else:
+            merged = latest
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target_dir)
 
 
 _SESSION_OUT_SCHEMA = StructType(

@@ -111,3 +111,32 @@ def test_sessionize_stateful_file_sink_matches_memory_sink(spark, sf_dir, tmp_pa
     assert via_files.count() == via_memory.count() > 0
     assert via_files.exceptAll(via_memory).count() == 0
     assert via_memory.exceptAll(via_files).count() == 0
+
+
+def test_streaming_merge_latest_converges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch CDC merge: the target holds exactly each user's latest
+    event, and replaying the stream over the existing target (fresh
+    checkpoint, same data) leaves it unchanged — the idempotence that
+    makes at-least-once delivery safe."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_merge_latest
+
+    target = str(tmp_path / "latest_events")
+    got = run_streaming_merge_latest(spark, sf_dir, target)
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expect = (
+        events.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+    again = run_streaming_merge_latest(spark, sf_dir, target)
+    assert again.count() == expect.count()
+    assert again.exceptAll(expect).count() == 0
