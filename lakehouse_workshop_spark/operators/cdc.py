@@ -78,7 +78,7 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return updates.unionByName(untouched.select(*updates.columns))
 
 
-@query("merge_upsert_orders", oracle=_DUCK_MERGE)
+@query("merge_upsert_orders", oracle=_DUCK_MERGE, tier=2)
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE the deterministic CDC batch into orders (updates + inserts +
     pass-through), via broadcast anti-join — target read once, no shuffle."""

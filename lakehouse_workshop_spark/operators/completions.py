@@ -392,6 +392,7 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 
 @query(
     "conversion_funnel",
+    tier=2,
     oracle="""
     WITH stage_ts AS (
         SELECT user_id,
@@ -435,6 +436,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_retention",
+    tier=2,
     oracle="""
     WITH firsts AS (
         SELECT o_custkey,

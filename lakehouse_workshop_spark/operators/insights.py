@@ -101,6 +101,7 @@ def customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sales_cube",
+    tier=2,
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
            o_orderstatus,
@@ -128,6 +129,7 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_percentiles",
+    tier=2,
     scale_path="order_percentiles_approx",
     oracle="""
     SELECT o_orderstatus,
@@ -162,6 +164,7 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_spend_quartiles",
+    tier=2,
     oracle="""
     WITH spend AS (
         SELECT c.c_nationkey,
@@ -205,7 +208,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("order_percentiles_approx")
+@query("order_percentiles_approx", tier=2)
 def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``order_percentiles``: ``approx_percentile``
     (KLL-style mergeable sketch) — map-side partial sketches merge in one

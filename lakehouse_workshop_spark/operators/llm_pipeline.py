@@ -37,6 +37,7 @@ def _duck_md5_pct(key_sql: str) -> str:
 
 @query(
     "train_val_test_split",
+    tier=2,
     oracle=f"""
     SELECT doc_id,
            CASE WHEN {_duck_md5_pct('doc_id')} < {SPLIT_TRAIN_PCT} THEN 'train'
@@ -66,6 +67,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stratified_sample",
+    tier=2,
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
@@ -86,6 +88,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shard_assignments",
+    tier=2,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lang,
@@ -137,6 +140,7 @@ CLEAN_MAX_CHARS = 100_000
 
 @query(
     "corpus_clean",
+    tier=2,
     oracle=f"""
     WITH canon AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

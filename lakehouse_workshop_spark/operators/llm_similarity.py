@@ -414,7 +414,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
-@query("ivf_topk_kmeans")
+@query("ivf_topk_kmeans", tier=2)
 def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with *learned* centroids: the KMeans drop-in that
     ``ivf_topk`` documents. Train MLlib KMeans (fixed seed) on the corpus,

@@ -269,6 +269,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize",
+    tier=2,
     oracle="""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'),

@@ -85,6 +85,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_dedup",
+    tier=2,
     oracle="""
     SELECT event_id, user_id, ts, event_type
     FROM events
