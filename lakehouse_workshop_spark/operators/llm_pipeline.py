@@ -168,3 +168,77 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     return gated.join(canon, "doc_id", "left_semi").select("doc_id", "lang", "n_chars")
+
+
+NEW_BATCH_PRED = "doc_id % 10 = 9"  # synthetic "incoming batch" partition
+
+
+@query(
+    "dedup_incremental",
+    tier=2,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE NOT ({NEW_BATCH_PRED})
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE {NEW_BATCH_PRED}
+    ),
+    batch_canon AS (
+        SELECT MIN(doc_id) AS doc_id, h FROM batch GROUP BY h
+    )
+    SELECT b.doc_id FROM batch_canon b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: admit only incoming-batch docs whose
+    content hash is new — dedup within the batch (keep lowest doc_id),
+    then anti-join against the existing corpus's hash set.
+
+    This is the shape production dedup actually runs (per-ingest, not
+    full-corpus): the batch side is small, so its canonical set
+    broadcasts; the corpus is reduced to a distinct-hash projection before
+    the anti-join. At 100 TB the corpus hash set lives as its own compact
+    table (one 32-byte hash per doc), bucketed by hash for a shuffle-free
+    anti-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.expr(NEW_BATCH_PRED)
+    corpus_hashes = docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    batch_canon = (
+        docs.filter(is_new)
+        .select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch_canon.join(corpus_hashes, "h", "left_anti").select("doc_id")
+
+
+PSEUDO_SALT = "corpus-v1"
+
+
+@query(
+    "pseudonymize_users",
+    tier=2,
+    oracle=f"""
+    SELECT event_id,
+           sha256('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)) AS user_pseudo_id,
+           event_type
+    FROM events
+    """,
+)
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHA-256 pseudonymization of the user key — the privacy
+    transform a training pipeline applies before events leave the trusted
+    zone. Deterministic (same user → same pseudo-id, joins still work),
+    irreversible without the salt; rotate the salt to unlink corpora.
+    Narrow codegen map, no shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256).alias(
+            "user_pseudo_id"
+        ),
+        "event_type",
+    )
