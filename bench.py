@@ -46,6 +46,10 @@ HEADLINE = [
     "merge_upsert_orders",
     "sales_cube",
     "customer_spend_quartiles",
+    "conversion_funnel",
+    "cohort_retention",
+    "corpus_clean",
+    "dedup_incremental",
 ]
 
 
