@@ -140,3 +140,70 @@ def test_streaming_merge_latest_converges_and_is_idempotent(spark, sf_dir, tmp_p
     again = run_streaming_merge_latest(spark, sf_dir, target)
     assert again.count() == expect.count()
     assert again.exceptAll(expect).count() == 0
+
+
+def test_sessionizer_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer's cross-batch path: split the
+    events into 3 time-ordered files and stream with maxFilesPerTrigger=1,
+    so sessions spanning a batch boundary must be stitched from carried
+    state. The closed sessions must equal the single-batch streaming run
+    (sessions are a function of the data, not the batching)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.streaming.jobs import (
+        _EVENTS_RAW_SCHEMA,
+        _stream_shuffle,
+        sessionize_stateful,
+        _session_fn,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Split raw events (int64-nanos ts, pre-decode schema) into 3 ts-ordered
+    # files so each micro-batch is a contiguous time slice.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "split_events"
+    src.mkdir()
+    parts = raw.orderBy("ts").coalesce(1)
+    n = raw.count()
+    pdf = parts.toPandas().sort_values("ts")
+    for i, chunk in enumerate((pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])):
+        spark.createDataFrame(chunk, schema=_EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/slice=*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_sessions_multibatch")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    multibatch = spark.table("stream_sessions_multibatch")
+
+    singlebatch = sessionize_stateful(spark, sf_dir)
+    assert multibatch.count() == singlebatch.count() > 0
+    assert multibatch.exceptAll(singlebatch).count() == 0
+    assert singlebatch.exceptAll(multibatch).count() == 0
