@@ -123,6 +123,44 @@ def streaming_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sessionize_flushed",
+    tier=2,
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_SECONDS}
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, CAST(session_id AS INT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT * FROM sess
+    WHERE session_end + INTERVAL '{SESSION_GAP_SECONDS} seconds'
+          < (SELECT MAX(ts) FROM events)
+    """,
+)
+def streaming_sessionize_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer with event-time timeouts: emits both
+    gap-closed sessions and watermark-expired open tails, making the
+    custom-state operator fully value-checkable (= every session whose
+    tail the stream's frontier has passed)."""
+    from lakehouse_workshop_spark.streaming.jobs import sessionize_stateful_flushed
+
+    return sessionize_stateful_flushed(spark, sf_dir)
+
+
+@query(
     "session_window_batch",
     oracle=f"""
     WITH flagged AS (

@@ -382,6 +382,93 @@ def _session_fn(
         )
 
 
+def _session_fn_eventtime(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """:func:`_session_fn` plus event-time timeouts: the open tail is
+    flushed once the watermark passes last-event + gap. (Round 1 found
+    ProcessingTimeTimeout never terminates under availableNow — empty
+    timeout batches forever; EventTimeTimeout is watermark-driven, so the
+    final timeout batch drains and the query stops.)"""
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        sid, n, start_us, end_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [sid],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+            }
+        )
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_us.sort()
+
+    sid, n, start_us, end_us = state.get if state.exists else (1, 0, None, None)
+    out: list[tuple[int, int, int, int]] = []
+    for t in ts_us:
+        if start_us is None:
+            start_us, end_us, n = t, t, 1
+        elif t - end_us > gap_us:
+            out.append((sid, n, start_us, end_us))
+            sid, n, start_us, end_us = sid + 1, 1, t, t
+        else:
+            end_us, n = t, n + 1
+    state.update((sid, n, start_us, end_us))
+    state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SECONDS * 1000)
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_id": [o[0] for o in out],
+                "n_events": [o[1] for o in out],
+                "session_start": [pd.Timestamp(o[2], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[3], unit="us") for o in out],
+            }
+        )
+
+
+def sessionize_stateful_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization with event-time timeouts: gap-closed
+    sessions AND watermark-expired open tails are both emitted.
+
+    Under availableNow the final watermark is max(ts) − delay (0s here),
+    so the emitted set is exactly every session with
+    ``last_event + gap < max(ts)`` — deterministic and oracle-checkable;
+    only tails still inside the gap window of the stream's frontier stay
+    in state, as they must (more events could still extend them).
+    """
+    events = _event_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn_eventtime,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = "stream_sessions_flushed"
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming sessionization via applyInPandasWithState.
 
