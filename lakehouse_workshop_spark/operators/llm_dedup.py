@@ -548,3 +548,86 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: pairs → connected components → dedup decisions.
+# ---------------------------------------------------------------------------
+
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE edges AS (
+        SELECT doc_a, doc_b FROM ({_ORACLES["minhash_lsh_pairs"]})
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+"""
+
+
+@query("near_dup_clusters", tier=2, oracle=_CLUSTERS_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-pair graph — the
+    step that turns pairwise matches into dedup decisions (one
+    ``cluster_id`` = min doc_id per component; keep that doc, drop the
+    rest).
+
+    Spark-side: Pregel-style min-label propagation — each round every node
+    takes the min of its own and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup components are shallow). Each round
+    is one equi-join + aggregate on the edge list, eagerly checkpointed to
+    truncate lineage; the driver-side loop only reads a convergence COUNT
+    per round (the standard iterative-graph pattern — compare GraphX
+    Pregel). The oracle computes the same components as a recursive-CTE
+    transitive closure.
+    """
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
