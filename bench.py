@@ -50,6 +50,7 @@ HEADLINE = [
     "cohort_retention",
     "corpus_clean",
     "dedup_incremental",
+    "near_dup_clusters",
 ]
 
 
@@ -73,6 +74,9 @@ PROBE_QUERIES = [
     "ann_topk_lsh",
     "ivf_topk",
     "multimodal_features",
+    "corpus_clean",
+    "dedup_incremental",
+    "near_dup_clusters",
 ]
 PROBE_REPLICAS = 10
 
