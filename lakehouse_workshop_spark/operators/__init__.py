@@ -16,6 +16,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
+
+# Explicit driver-pass order for round 3. The driver's correctness pass
+# verifies exactly the first 50 registry entries (r01 stopped at 50/57,
+# r02 at 50/75 — a count cap). r02 covered registry positions 1-50;
+# these 25 queries had no r02 row, so they lead round 3 — union of
+# r02+r03 then covers all 75 names. Led by lsh_buckets and
+# multimodal_features, the two r01 hash failures whose fixes have not
+# yet seen a driver row. Positions 26-50 are a representative
+# r02-green sample: all five green streaming queries (so all 7
+# streaming rows land this round), both CLV queries, and one or two
+# queries per family. Names absent from this list keep registration
+# order behind it.
+DRIVER_ORDER: list[str] = [
+    # -- 1-25: no r02 row ------------------------------------------------
+    "lsh_buckets",              # r01 FAIL (HUGEINT→float64), fix unverified
+    "multimodal_features",      # r01 ERR (list cells), fix unverified
+    "embedding_near_pairs",
+    "embedding_near_pairs_lsh",
+    "ivf_topk",
+    "ivf_topk_kmeans",
+    "ann_topk_lsh",
+    "frame_samples",
+    "near_dup_clusters",
+    "dedup_incremental",
+    "text_normalize",
+    "corpus_clean",
+    "train_val_test_split",
+    "stratified_sample",
+    "shard_assignments",
+    "pseudonymize_users",
+    "sales_cube",
+    "order_percentiles",
+    "customer_spend_quartiles",
+    "order_percentiles_approx",
+    "conversion_funnel",
+    "cohort_retention",
+    "merge_upsert_orders",
+    "streaming_dedup",
+    "streaming_sessionize_flushed",
+    # -- 26-50: r02-green representative sample --------------------------
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "streaming_enriched_counts",
+    "streaming_click_to_purchase",
+    "session_window_batch",
+    "clv_rfm_input",
+    "clv_distributed",
+    "clv_segment_rollup",
+    "monthly_sales",
+    "profit_by_returnflag",
+    "rfm_summary_grouped",
+    "customers_ranked_by_spend",
+    "top10_orders",
+    "customer_recast",
+    "sales_rollup",
+    "top_customer_per_nation",
+    "sessionize_events",
+    "latest_order_asof_event",
+    "cumulative_monthly_revenue",
+    "text_stats",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
 # ground truth, wrong as the operator a 100 TB pipeline schedules. The
@@ -56,11 +122,9 @@ def query(
 
 
 def all_queries() -> dict[str, QueryFn]:
-    # Import for side effect of registration. Order = the driver's
-    # correctness-pass order: the CLV and streaming families run mid-pass
-    # (round 1's pass stopped at query 50 of 57, orphaning exactly the
-    # then-last clv_distributed/clv_segment_rollup + streaming rows), and
-    # the pass tail is the cheapest-per-query family.
+    # Import for side effect of registration. Iteration order =
+    # DRIVER_ORDER (the driver's 50-row correctness window), then any
+    # remaining queries in registration order.
     from lakehouse_workshop_spark.operators import (  # noqa: F401
         relational,
         insights,
@@ -75,8 +139,11 @@ def all_queries() -> dict[str, QueryFn]:
         llm_multimodal,
     )
 
-    order = sorted(QUERIES, key=lambda n: TIERS.get(n, 1))  # stable: keeps
-    return {n: QUERIES[n] for n in order}  # insertion order within a tier
+    pos = {n: i for i, n in enumerate(DRIVER_ORDER)}
+    unknown = [n for n in DRIVER_ORDER if n not in QUERIES]
+    assert not unknown, f"DRIVER_ORDER names not registered: {unknown}"
+    order = sorted(QUERIES, key=lambda n: pos.get(n, len(DRIVER_ORDER)))
+    return {n: QUERIES[n] for n in order}  # stable within the tail
 
 
 def all_oracles() -> dict[str, str]:
