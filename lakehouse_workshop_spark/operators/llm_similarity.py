@@ -279,13 +279,26 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_NLIST = 16  # centroid count; nprobe=1
+IVF_NLIST_MIN = 16  # nlist floor; actual nlist = max(16, floor(sqrt(n)))
+
+# nlist derived from the corpus inside the query itself: ⌊√n⌋ with a floor
+# of 16, as an uncorrelated scalar subquery both engines evaluate from the
+# same COUNT(*). FLOOR (not ROUND) so half-even vs half-up rounding can't
+# diverge the engines. At 100 TB the count comes free from table metadata;
+# here it is one cheap pre-pass. nlist = √n balances the two stages —
+# assignment (n·nlist dots) and per-cluster search (n/nlist candidates per
+# query) are both O(n^1.5) — fixing nlist leaves search O(n²) (the
+# r02-measured 10.1× at the 10× probe, BENCH_SCALING.md).
+_IVF_NLIST_SQL = (
+    f"(SELECT GREATEST({IVF_NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+    " FROM embeddings)"
+)
 
 
 def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
     """IVF top-k, one dialect-parametrized SQL for both engines.
 
-    Centroids are the first IVF_NLIST vectors by vec_id — deterministic, so
+    Centroids are the first nlist vectors by vec_id — deterministic, so
     the whole index build + search is value-checkable. A KMeans-trained
     centroid table drops in with the identical plan shape: broadcast
     centroids → per-vector argmax assignment → equi-join on cluster id.
@@ -322,18 +335,21 @@ def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
     """
 
 
-_IVF_CENTROIDS = f"vec_id < {IVF_NLIST}"
+_IVF_CENTROIDS = f"vec_id < {_IVF_NLIST_SQL}"
 
 
 @query("ivf_topk", oracle=_ivf_sql(_DUCK_PREP, _DUCK_COS, _IVF_CENTROIDS))
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(nlist=16, nprobe=1) approximate top-k — the trained-index twin
-    of the sign-LSH path.
+    """IVF(nlist=⌊√n⌋, nprobe=1) approximate top-k — the trained-index
+    twin of the sign-LSH path.
 
-    Scale: the centroid table is tiny (broadcast); assignment is one
-    narrow pass over the vectors (argmax over nlist dots); search is an
-    equi-join on cluster id. Swapping deterministic seed centroids for
-    KMeans-trained ones changes recall, not the plan.
+    Scale: the centroid table is small (≤√n rows — broadcast); assignment
+    is one narrow pass over the vectors (argmax over nlist dots); search
+    is an equi-join on cluster id with √n-bounded per-cluster lists.
+    nlist tracks the corpus (r02's fixed nlist=16 measured 10.1× at the
+    10× probe because per-cluster lists grew linearly). Swapping the
+    deterministic seed centroids for KMeans-trained ones changes recall,
+    not the plan.
     """
     _emb_view(spark, sf_dir)
     # Materialize the assigned (vector, cluster) set once — both sides of
@@ -433,8 +449,11 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_view(spark, sf_dir)
     prepped = spark.sql(_SPARK_PREP)
     vecs = prepped.withColumn("features", array_to_vector("emb"))
+    # Same nlist rule as ivf_topk: √n, floored at 16. The count is one
+    # cheap metadata-ish pass here; at 100 TB it comes from the catalog.
+    nlist = max(IVF_NLIST_MIN, int(vecs.count() ** 0.5))
     model = KMeans(
-        k=IVF_NLIST, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
+        k=nlist, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
     ).fit(vecs)
     assigned = (
         model.transform(vecs)
