@@ -575,59 +575,118 @@ _CLUSTERS_ORACLE = f"""
 """
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Checkpoint to storage (bounded lineage AND executor-loss-safe — the
+    100 TB posture), falling back to ``localCheckpoint`` only if no
+    checkpoint dir can be set. The dir is set lazily, once per session.
+    """
+    import tempfile
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        try:
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        except Exception:
+            return df.localCheckpoint(eager=True)
+    return df.checkpoint(eager=True)
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list (``doc_a``,
+    ``doc_b``) → (``doc_id``, ``cluster_id`` = component min).
+
+    Alternating large-star/small-star (Kiveris et al., *Connected
+    Components in MapReduce and Beyond*, SoCC 2014): each round rewrites
+    the edge set so every node links toward its neighborhood minimum —
+    large-star hooks big neighbors onto the local min, small-star
+    flattens the small side — and the graph converges to per-component
+    stars in O(log² n) rounds *regardless of diameter or skew* (plain
+    min-label propagation needs O(diameter) rounds: a 1 000-link chain
+    would need 1 000 of them). Each round is two join+agg passes over
+    the edge set, checkpointed to storage so lineage stays bounded; the
+    driver loop reads only an is-empty convergence probe per round.
+
+    Raises ``RuntimeError`` if the edge set is still moving after
+    ``max_rounds`` — unconverged labels are silently-wrong cluster ids,
+    and at probe scale this query runs timing-only with no oracle, so
+    failing loudly is the only signal (log²(10¹²) ≈ 25 rounds covers any
+    conceivable corpus).
+    """
+    # Directed invariant: (u, v) with u > v, no self-loops, distinct.
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = _checkpoint(e)
+
+    def _swap(df: DataFrame) -> DataFrame:
+        return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+    for _ in range(max_rounds):
+        # large-star: m(u) = min(N(u) ∪ {u}) over the *symmetric*
+        # neighborhood; hook every bigger neighbor v > u onto m(u).
+        sym = e.union(_swap(e))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        e1 = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: over the directed (u > v) edges, hook u and all its
+        # smaller neighbors onto m(u) = min of those neighbors.
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            e1.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e2 = _checkpoint(e2)
+        converged = e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+        e = e2
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Converged edge set is per-component stars: (member, root). Roots —
+    # and only roots — never appear on the big side.
+    member = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(member, "doc_id", "left_anti").withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return member.union(roots)
+
+
 @query("near_dup_clusters", tier=2, oracle=_CLUSTERS_ORACLE)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-pair graph — the
     step that turns pairwise matches into dedup decisions (one
     ``cluster_id`` = min doc_id per component; keep that doc, drop the
-    rest).
-
-    Spark-side: Pregel-style min-label propagation — each round every node
-    takes the min of its own and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup components are shallow). Each round
-    is one equi-join + aggregate on the edge list, eagerly checkpointed to
-    truncate lineage; the driver-side loop only reads a convergence COUNT
-    per round (the standard iterative-graph pattern — compare GraphX
-    Pregel). The oracle computes the same components as a recursive-CTE
-    transitive closure.
+    rest). Components via :func:`connected_components`
+    (large-star/small-star — round count independent of component
+    diameter, so a boilerplate doc duplicated thousands of times or a
+    long similarity chain cannot stall the loop). The oracle computes
+    the same components as a recursive-CTE transitive closure.
     """
     edges = (
         minhash_lsh_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # diameter bound; near-dup components are shallow
-        neigh = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return connected_components(edges)

@@ -148,3 +148,27 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         e = exact[r.o_orderstatus]
         for c in ("p25", "p50", "p75"):
             assert abs(getattr(r, c) - getattr(e, c)) / getattr(e, c) < 0.02
+
+
+def test_connected_components_deep_chain_and_big_star(spark):
+    # A 60-link chain (diameter far beyond any per-round propagation
+    # distance) plus a 1000-member star — the "boilerplate doc duplicated
+    # 1k times" shape — plus an isolated pair. Large-star/small-star must
+    # converge in O(log^2 n) rounds, not O(diameter).
+    chain = [(i, i + 1) for i in range(100, 160)]
+    star = [(1000, m) for m in range(1001, 2001)]
+    pair = [(5000, 5001)]
+    edges = spark.createDataFrame(chain + star + pair, ["doc_a", "doc_b"])
+    labels = {r.doc_id: r.cluster_id for r in D.connected_components(edges).collect()}
+    assert all(labels[i] == 100 for i in range(100, 161))
+    assert all(labels[m] == 1000 for m in range(1000, 2001))
+    assert labels[5000] == labels[5001] == 5000
+    assert len(labels) == 61 + 1001 + 2
+
+
+def test_connected_components_raises_when_round_capped(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_rounds=1)
