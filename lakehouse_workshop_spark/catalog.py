@@ -121,11 +121,19 @@ def create_database(spark: SparkSession, name: str) -> None:
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
+    # Crash-recovery only: a run that died between DROP and the
+    # managed-table commit leaves the location behind with no catalog
+    # entry, and Spark then refuses to recreate the table
+    # (LOCATION_ALREADY_EXISTS). Sweep the warehouse dir ONLY in that
+    # orphaned state — i.e. when the catalog did not know the table
+    # before the DROP. When the table exists, DROP itself decides the
+    # data's fate (managed: deleted; external: intentionally preserved —
+    # an unconditional rmtree here would destroy external data parked
+    # under the warehouse root).
+    was_cataloged = spark.catalog.tableExists(name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # A run that died between DROP and the managed-table commit leaves the
-    # location behind, and Spark then refuses to recreate the table
-    # (LOCATION_ALREADY_EXISTS). Clear the orphaned local-warehouse dir so
-    # drop→create sequences are crash-safe.
+    if was_cataloged:
+        return
     import shutil
     from urllib.parse import urlparse
 

@@ -33,6 +33,12 @@ def salted_join(
     — use only when ``other`` is far smaller than the hot key's row count
     but too big to broadcast.
     """
+    # Replicating the right side salts× preserves semantics only for join
+    # types that never emit unmatched *right* rows — a right/full outer
+    # would emit each unmatched right row once per salt.
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     salted_left = skewed.withColumn(
         SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int")
     )

@@ -26,23 +26,33 @@ from lakehouse_workshop_spark.operators import query
 
 # Deterministic synthetic CDC batch derived from the orders table itself:
 # every 50th key is an update (+10.00 price, status 'U'); every 1000th key
-# spawns an insert under a shifted key space. Additive price change — no
-# float rounding ambiguity across engines.
+# spawns an insert shifted above the live key space. The shift is derived
+# from the data (MAX(o_orderkey), as an uncorrelated scalar subquery both
+# engines evaluate identically) rather than a constant — a fixed
+# 10_000_000 shift collides with real orderkeys once sf ≳ 1.7 (TPC-H max
+# orderkey is 6M·sf), silently breaking MERGE key-uniqueness. Additive
+# price change — no float rounding ambiguity across engines.
 UPDATE_EVERY = 50
 INSERT_EVERY = 1000
-INSERT_KEY_SHIFT = 10_000_000
+# +1 because orderkey 0 exists in the synthetic data: with a bare MAX
+# shift, key 0 would map exactly onto the live max key.
+_INSERT_KEY_SHIFT_SQL = "(SELECT MAX(o_orderkey) + 1 FROM orders)"
 
 _CDC_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
 
-_DUCK_MERGE = f"""
-WITH updates AS (
+# Portable SQL (identical text runs on Spark and DuckDB).
+_CDC_BATCH_SQL = f"""
     SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
            o_totalprice + 10.0 AS o_totalprice
     FROM orders WHERE o_orderkey % {UPDATE_EVERY} = 0
     UNION ALL
-    SELECT o_orderkey + {INSERT_KEY_SHIFT}, o_custkey, 'N', o_totalprice
+    SELECT o_orderkey + {_INSERT_KEY_SHIFT_SQL} AS o_orderkey, o_custkey,
+           'N' AS o_orderstatus, o_totalprice
     FROM orders WHERE o_orderkey % {INSERT_EVERY} = 0
-)
+"""
+
+_DUCK_MERGE = f"""
+WITH updates AS ({_CDC_BATCH_SQL})
 SELECT {_CDC_COLS} FROM updates
 UNION ALL
 SELECT {_CDC_COLS} FROM orders t
@@ -52,22 +62,8 @@ WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
 
 def cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic updates+inserts batch (see module docstring)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    updates = orders.filter(F.col("o_orderkey") % UPDATE_EVERY == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.lit("U").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
-    )
-    inserts = orders.filter(F.col("o_orderkey") % INSERT_EVERY == 0).select(
-        (F.col("o_orderkey") + INSERT_KEY_SHIFT).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-    )
-    return updates.unionByName(inserts)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CDC_BATCH_SQL)
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:

@@ -198,11 +198,20 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source rows, which is what makes the result oracle-checkable. The
     watermark bounds the dedup state: keys older than the delay are
     evicted, so state is O(keys per window), not O(all keys ever).
+
+    The oracle (= all distinct source rows) requires that no row is ever
+    dropped as late, which a tight delay only guarantees while the file
+    source lands everything in one micro-batch. Rather than lean on that
+    batching accident, the delay is set wider than the test corpus's
+    whole event-time span (~30 days), so the equality holds however
+    availableNow splits batches. Production ingest wants the tight delay
+    ("10 minutes"-ish) — there, late replays *should* be dropped and
+    state must stay small; the knob is the only difference.
     """
     events = _event_stream(spark, sf_dir)
     doubled = events.unionByName(_event_stream(spark, sf_dir))
     deduped = (
-        doubled.withWatermark("ts", "10 minutes")
+        doubled.withWatermark("ts", "90 days")
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "ts", "event_type")
     )

@@ -59,6 +59,8 @@ def test_shard_token_totals_bounded(spark, sf_dir):
 def test_merge_upsert_semantics(spark, sf_dir):
     merged = cdc.merge_upsert_orders(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
+    # insert keys live strictly above the live key space (shift = max+1)
+    shift = orders.agg(F.max("o_orderkey")).collect()[0][0]
 
     # keys stay unique after the merge
     assert merged.count() == merged.select("o_orderkey").distinct().count()
@@ -66,7 +68,7 @@ def test_merge_upsert_semantics(spark, sf_dir):
     # updated rows: status flipped to 'U', price bumped by exactly +10
     upd = merged.filter(
         (F.col("o_orderkey") % cdc.UPDATE_EVERY == 0)
-        & (F.col("o_orderkey") < cdc.INSERT_KEY_SHIFT)
+        & (F.col("o_orderkey") <= shift)
     )
     assert upd.filter("o_orderstatus != 'U'").count() == 0
     joined = upd.alias("m").join(
@@ -77,12 +79,12 @@ def test_merge_upsert_semantics(spark, sf_dir):
 
     # inserts appended under the shifted key space
     n_inserts = orders.filter(F.col("o_orderkey") % cdc.INSERT_EVERY == 0).count()
-    assert merged.filter(F.col("o_orderkey") >= cdc.INSERT_KEY_SHIFT).count() == n_inserts
+    assert merged.filter(F.col("o_orderkey") > shift).count() == n_inserts
 
     # untouched rows pass through byte-identical
     untouched = merged.filter(
         (F.col("o_orderkey") % cdc.UPDATE_EVERY != 0)
-        & (F.col("o_orderkey") < cdc.INSERT_KEY_SHIFT)
+        & (F.col("o_orderkey") <= shift)
     )
     orig = orders.filter(F.col("o_orderkey") % cdc.UPDATE_EVERY != 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
