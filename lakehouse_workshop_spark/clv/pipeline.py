@@ -50,6 +50,16 @@ LTV_RESULT_SCHEMA = StructType(
     ]
 )
 
+# Optional-column variant: the reference's driver path additionally emits
+# COND_EXP_AVG_PROFT (M6, ``DS_cust_lifetime_value.py:316-325``) alongside
+# the scores; its distributed UDF schema (``DS:444-454``) omits it. The
+# engine computes it either way — the flag only controls whether the
+# column is emitted, keeping default output byte-identical to the golden
+# schema.
+LTV_RESULT_SCHEMA_WITH_PROFIT = StructType(
+    LTV_RESULT_SCHEMA.fields + [StructField("COND_EXP_AVG_PROFT", FloatType(), True)]
+)
+
 # Reference scoring constants (``DS:204-205, 253, 471-489``).
 PRED_HORIZON_WEEKS = 52.08
 PROB_ALIVE_HORIZON = 10.0
@@ -75,9 +85,13 @@ def rfm_from_orders(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> Dat
     )
 
 
-def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def clv_score_group(
+    pdf: pd.DataFrame, *, include_cond_exp_avg_profit: bool = False
+) -> pd.DataFrame:
     """Grouped-map UDF body (ref ``DS:462-494``): fit both models on this
-    group's customers, score everyone, return the golden schema.
+    group's customers, score everyone, return the golden schema —
+    optionally extended with ``COND_EXP_AVG_PROFT`` (M6, the reference
+    driver path's extra column, ``DS:316-325``).
 
     Importable and driver-testable standalone, matching the reference's
     driver-side re-run of the UDF body (``DS:498-503``, U2).
@@ -120,6 +134,8 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "PRED_CLV": clv.astype("float32"),
         }
     )
+    if include_cond_exp_avg_profit:
+        out["COND_EXP_AVG_PROFT"] = exp_profit.astype("float32")
     return out
 
 
@@ -129,10 +145,16 @@ def clv_score_group(pdf: pd.DataFrame) -> pd.DataFrame:
 # session never serves a stale plan. The cached frame is a lazy
 # localCheckpoint: first action materializes ~1500 rows/group-partition to
 # executor storage, later queries read the checkpoint instead of refitting.
-_SCORED_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SCORED_CACHE: dict[tuple[str, str, int, bool], DataFrame] = {}
 
 
-def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> DataFrame:
+def distributed_clv(
+    spark: SparkSession,
+    sf_dir: str,
+    n_groups: int = 20,
+    *,
+    include_cond_exp_avg_profit: bool = False,
+) -> DataFrame:
     """U1: shuffle by GroupKey → per-group fit+score → golden schema.
 
     The explicit ``repartitionByRange(n_groups, GroupKey)`` matters twice
@@ -149,15 +171,28 @@ def distributed_clv(spark: SparkSession, sf_dir: str, n_groups: int = 20) -> Dat
     Range partitioning on the key satisfies the grouped-map clustering
     requirement, so no second shuffle appears.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, n_groups)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        n_groups,
+        include_cond_exp_avg_profit,
+    )
     cached = _SCORED_CACHE.get(key)
     if cached is not None:
         return cached
+    if include_cond_exp_avg_profit:
+        schema = LTV_RESULT_SCHEMA_WITH_PROFIT
+
+        def body(pdf: pd.DataFrame) -> pd.DataFrame:
+            return clv_score_group(pdf, include_cond_exp_avg_profit=True)
+
+    else:
+        schema, body = LTV_RESULT_SCHEMA, clv_score_group
     rfm = rfm_from_orders(spark, sf_dir, n_groups=n_groups)
     scored = (
         rfm.repartitionByRange(n_groups, "GroupKey")
         .groupBy("GroupKey")
-        .applyInPandas(clv_score_group, schema=LTV_RESULT_SCHEMA)
+        .applyInPandas(body, schema=schema)
     ).localCheckpoint(eager=False)
     _SCORED_CACHE[key] = scored
     return scored

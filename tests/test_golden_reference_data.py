@@ -127,3 +127,41 @@ def test_workshop_end_to_end_on_reference_data(spark):
     finally:
         cat.drop_table(spark, "customer_info.ltv_results")
         cat.drop_table(spark, "customer_info.summary_2011")
+
+
+def test_cond_exp_avg_profit_pinned_on_reference_data(summary_pdf):
+    """M6 driver-path parity: the reference additionally emits
+    COND_EXP_AVG_PROFT (``DS:316-325``); behind the flag the UDF body
+    appends it to the golden schema. Pin spot values + portfolio total."""
+    inp = pd.DataFrame(
+        {
+            "GroupKey": np.ones(len(summary_pdf), dtype="int32"),
+            "CustomerID": summary_pdf["CustomerID"].fillna(-1).astype("int32"),
+            "FREQUENCY": summary_pdf["FREQUENCY"].astype("int64"),
+            "RECENCY": summary_pdf["recency1"].to_numpy("float32"),
+            "AGE": summary_pdf["T1"].to_numpy("float32"),
+            "AVG_MONETARY_VALUE": summary_pdf["profit"].to_numpy("float32"),
+        }
+    )
+    out = P.clv_score_group(inp, include_cond_exp_avg_profit=True).set_index(
+        "CustomerID"
+    )
+    assert list(out.columns)[-1] == "COND_EXP_AVG_PROFT"
+    pinned = {13261: 23.493, 12471: 9.8451, 12347: 6.1075, 18287: 6.9407}
+    for cid, v in pinned.items():
+        assert float(out.loc[cid].COND_EXP_AVG_PROFT) == pytest.approx(v, rel=1e-3)
+    assert float(out.COND_EXP_AVG_PROFT.sum()) == pytest.approx(41_404.1, rel=1e-3)
+    # default body output is unchanged (golden schema, no extra column)
+    assert "COND_EXP_AVG_PROFT" not in P.clv_score_group(inp).columns
+
+
+def test_distributed_clv_profit_flag(spark):
+    df = P.distributed_clv(
+        spark, "/root/testdata/sf0.001", include_cond_exp_avg_profit=True
+    )
+    assert df.schema == P.LTV_RESULT_SCHEMA_WITH_PROFIT
+    pdf = df.toPandas()
+    assert pdf["COND_EXP_AVG_PROFT"].notna().all()
+    # repeat customers' expected profit stays within sane bounds of the
+    # observed monetary value
+    assert (pdf["COND_EXP_AVG_PROFT"] > 0).all()
