@@ -58,6 +58,38 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Single-shot timings made round-over-round deltas half noise (r01→r02
+# showed a ±20%-ish spread on sub-second queries, and one 1.8× "regression"
+# no commit explained). Per-query median-of-N is the fix: each query builds
+# and forces its plan N times; the median discards the one-off GC pause /
+# codegen-cache-miss outliers while staying cheap (~3× wall on a
+# seconds-scale suite). Override with SPARK_GRAFT_BENCH_REPS=1 for a quick
+# smoke.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _timed_median(fn, reps: int = BENCH_REPS) -> float:
+    # Each rep must pay the query's full cost: the CLV memo would
+    # otherwise hand reps 2..N a checkpointed result and the median
+    # would measure a cache read, not the operator.
+    from lakehouse_workshop_spark.clv import pipeline as _clv
+
+    samples = []
+    for _ in range(reps):
+        _clv._SCORED_CACHE.clear()
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    mid = len(samples) // 2
+    med = (
+        samples[mid]
+        if len(samples) % 2
+        else (samples[mid - 1] + samples[mid]) / 2
+    )
+    return round(med, 3)
+
+
 # --- 10× corpus probe ------------------------------------------------------
 # The scale regression net for the dedup/similarity families: replicate the
 # documents/embeddings corpus 10× with deterministic per-replica
@@ -161,16 +193,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _timed_median(lambda: _force(queries[name](spark, sf_dir)))
 
     if os.environ.get("SPARK_GRAFT_PROBE10X", "1") != "0":
         probe_sf = _probe_dir(spark, sf_dir)
         for name in PROBE_QUERIES:
-            t0 = time.perf_counter()
-            _force(queries[name](spark, probe_sf))
-            timings[f"probe10x_{name}"] = round(time.perf_counter() - t0, 3)
+            timings[f"probe10x_{name}"] = _timed_median(
+                lambda: _force(queries[name](spark, probe_sf))
+            )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     headline_total = sum(v for k, v in timings.items() if not k.startswith("probe10x_"))
@@ -183,6 +213,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "probe10x_total": round(probe_total, 3),
+                "reps": BENCH_REPS,
                 "sf": sf,
             }
         )
