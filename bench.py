@@ -51,6 +51,14 @@ HEADLINE = [
     "corpus_clean",
     "dedup_incremental",
     "near_dup_clusters",
+    "shipping_priority",
+    "local_supplier_volume",
+    "rolling_revenue_7d",
+    "customer_order_gaps",
+    "doc_chunks",
+    "repetition_ratio",
+    "decontaminate",
+    "embedding_normalized",
 ]
 
 
@@ -109,6 +117,9 @@ PROBE_QUERIES = [
     "corpus_clean",
     "dedup_incremental",
     "near_dup_clusters",
+    "doc_chunks",
+    "repetition_ratio",
+    "decontaminate",
 ]
 PROBE_REPLICAS = 10
 

@@ -55,7 +55,16 @@ DRIVER_ORDER: list[str] = [
     "merge_upsert_orders",
     "streaming_dedup",
     "streaming_sessionize_flushed",
-    # -- 26-50: r02-green representative sample --------------------------
+    # -- 26-33: new in round 3 (first driver check) ----------------------
+    "shipping_priority",
+    "local_supplier_volume",
+    "rolling_revenue_7d",
+    "customer_order_gaps",
+    "doc_chunks",
+    "repetition_ratio",
+    "decontaminate",
+    "embedding_normalized",
+    # -- 34-50: r02-green representative sample --------------------------
     "streaming_windowed_counts",
     "streaming_windowed_counts_watermarked",
     "streaming_enriched_counts",
@@ -68,16 +77,8 @@ DRIVER_ORDER: list[str] = [
     "profit_by_returnflag",
     "rfm_summary_grouped",
     "customers_ranked_by_spend",
-    "top10_orders",
-    "customer_recast",
-    "sales_rollup",
-    "top_customer_per_nation",
-    "sessionize_events",
     "latest_order_asof_event",
-    "cumulative_monthly_revenue",
-    "text_stats",
     "tfidf_top_terms",
-    "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_topk",
@@ -137,6 +138,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_dedup,
         llm_similarity,
         llm_multimodal,
+        olap_extras,
     )
 
     pos = {n: i for i, n in enumerate(DRIVER_ORDER)}

@@ -690,3 +690,57 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return connected_components(edges)
+
+
+# --- train/eval contamination check ---------------------------------------
+# Deterministic md5 bucket (the llm_pipeline split rule): docs with bucket
+# >= BENCH_PCT play the held-out benchmark; the rest are the training
+# corpus. A train doc sharing >= CONTAM_MIN_SHINGLES distinct 5-gram
+# shingles with ANY benchmark doc is flagged.
+CONTAM_BENCH_PCT = 90
+CONTAM_MIN_SHINGLES = 3
+
+_SPARK_DOC_PCT = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"
+)
+_DUCK_DOC_PCT = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) % 100"
+)
+
+
+def _decontaminate_sql(shingles: str, pct: str) -> str:
+    return f"""
+    WITH sh AS ({shingles}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE {pct} >= {CONTAM_BENCH_PCT}
+    ),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE {pct.replace('doc_id', 's.doc_id')} < {CONTAM_BENCH_PCT}
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shared_shingles AS BIGINT) AS n_shared_shingles
+    FROM hits WHERE n_shared_shingles >= {CONTAM_MIN_SHINGLES}
+    """
+
+
+@query(
+    "decontaminate",
+    oracle=_decontaminate_sql(_DUCK_SHINGLES, _DUCK_DOC_PCT),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: training docs whose 5-gram shingle
+    overlap with the held-out benchmark slice reaches the flag threshold —
+    the decontamination pass every serious pretraining corpus runs so eval
+    answers don't leak into training data.
+
+    Scale: the benchmark side is eval-suite-sized (tiny next to the
+    corpus), so its distinct-shingle set makes a compact build side for
+    the equi-join on shingle; per-doc shingles are pre-deduped
+    (array_distinct in the shared fragment) so COUNT(*) after the join IS
+    the distinct overlap — no second aggregation. One uniform
+    hash-keyed exchange; no pairwise comparison anywhere.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_decontaminate_sql(_SPARK_SHINGLES, _SPARK_DOC_PCT))

@@ -23,6 +23,7 @@ variant is the only viable plan; both share the scoring expression.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.catalog import load_table
 from lakehouse_workshop_spark.operators import query
@@ -478,4 +479,32 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= {TOP_K}
         """
+    )
+
+
+@query(
+    "embedding_normalized",
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP})
+    SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+           ROUND(emb[g.i] / nrm, 6) AS val
+    FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    """,
+)
+def embedding_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized embeddings, posexploded to (vec_id, pos, val) scalar
+    rows — unit vectors are the precondition for dot-product == cosine in
+    every downstream ANN index; scalar rows keep the result comparator-
+    checkable (the driver rejects array cells).
+
+    Scale: one narrow pass (norm hoisted once per vector by the shared
+    prep), the explode is a row-expanding map with no shuffle.
+    """
+    _emb_view(spark, sf_dir)
+    prepped = spark.sql(_SPARK_PREP)
+    return prepped.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(emb, x -> ROUND(x / nrm, 6))")).alias(
+            "pos", "val"
+        ),
     )

@@ -294,3 +294,98 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", norm.alias("norm_text"))
+
+
+# Fixed-size character chunking with overlap: CHUNK_CHARS window sliding by
+# CHUNK_CHARS - CHUNK_OVERLAP. Character-based (not token) so the chunk
+# boundaries are exact and engine-portable; a token-budget variant is the
+# shard_assignments pattern.
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+_CHUNK_STEP = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STEP} AS INT) AS chunk_id,
+           substr(text, s + 1, {CHUNK_CHARS}) AS chunk_text,
+           CAST(length(substr(text, s + 1, {CHUNK_CHARS})) AS BIGINT)
+               AS n_chunk_chars
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                      {_CHUNK_STEP})) AS s
+        FROM documents
+    )
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into {CHUNK_CHARS}-char chunks overlapping by
+    {CHUNK_OVERLAP} — the context-window packing prep step.
+
+    Scale: row-expanding narrow map (explode over a computed start-offset
+    sequence) — no shuffle, chunk count proportional to corpus bytes;
+    substring extraction stays inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(s div {_CHUNK_STEP} AS INT) AS chunk_id,
+               substring(text, s + 1, {CHUNK_CHARS}) AS chunk_text,
+               CAST(length(substring(text, s + 1, {CHUNK_CHARS})) AS BIGINT)
+                   AS n_chunk_chars
+        FROM (
+            SELECT doc_id, text,
+                   explode(sequence(0, GREATEST(length(text) - 1, 0),
+                                    {_CHUNK_STEP})) AS s
+            FROM documents
+        )
+        """
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+               AS top_token_share
+    FROM tf GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam signal: share of the document taken by its single
+    most frequent token (1.0 → one token repeated; ~1/n_tokens → fully
+    diverse). The quality-filter complement to ``ttr`` in ``text_stats``.
+
+    Scale: explode → per-(doc, token) partial count → per-doc max/sum;
+    both aggregates map-side combine, the only exchange is keyed by
+    doc_id × token (uniform).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_token_count"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_share"),
+    )

@@ -1,0 +1,235 @@
+"""Multi-join and time-window OLAP operators (engine extensions).
+
+The reference's exercised surface is single-table heavy; these add the
+canonical warehouse shapes its users run next — TPC-H-style multi-join
+aggregates (Q3/Q5 adapted to the testdata schema) and event-time window
+analytics (moving aggregates, inter-order gaps).
+
+Scale posture: every dimension join is explicitly broadcast (region /
+nation / supplier / customer stay far under the broadcast threshold at
+any realistic sf — customer is the largest and still ~1/10 of orders);
+the fact tables join by their natural keys with AQE handling skew; the
+moving-window queries aggregate FIRST (to per-day / per-customer grain)
+so the window runs over the reduced set, never the raw fact table.
+
+Determinism: money sums accumulate in DECIMAL (partition-order
+independent — `functions/exprs.py:dec_sum`), ranks break ties on the
+group keys, and date filters are half-open ranges that push into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.functions.exprs import dec_sum
+from lakehouse_workshop_spark.operators import query
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1996-03-15"
+Q5_REGION = "ASIA"
+Q5_YEAR_LO, Q5_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < '{Q3_CUTOFF}'
+      AND l_shipdate  > '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the testdata schema (``o_orderpriority`` stands
+    in for ``o_shippriority``): top-10 undelivered high-revenue orders in
+    one market segment.
+
+    Plan shape: customer is filtered on the segment THEN broadcast into
+    orders (small side), the orders⨝lineitem join shuffles on orderkey
+    with both date filters pushed to the scans, and the top-10 runs as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_CUTOFF
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_CUTOFF
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, scale=4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= '{Q5_YEAR_LO}' AND o_orderdate < '{Q5_YEAR_HI}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share the
+    nation, one region, one year — the canonical many-join aggregate.
+
+    Plan shape: region⨝nation collapses to a broadcast filter on
+    nationkey; supplier and customer broadcast into the fact joins (both
+    dimension-sized); only the orders⨝lineitem join shuffles. The
+    n_name grain is 25 rows — the final agg is map-side partial then one
+    tiny exchange.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_YEAR_LO) & (F.col("o_orderdate") < Q5_YEAR_HI)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "rolling_revenue_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(38,2))) OVER (
+                ORDER BY day_num
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS revenue_7d
+    FROM daily
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a 7-day moving sum — RANGE frame over an integer
+    day number, so calendar gaps are respected (a ROWS frame would span
+    across missing days).
+
+    Scale: the window input is the per-day aggregate (one row per
+    calendar day — thousands of rows at ANY corpus size), so the
+    unpartitioned window is a non-issue; the heavy lifting is the daily
+    groupBy, which partial-aggregates map-side. The rolling sum
+    re-accumulates in DECIMAL for partition-order independence.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    rolling = (
+        F.sum(F.col("revenue").cast("decimal(38,2)")).over(w).cast("double")
+    )
+    # DATE → TIMESTAMP for the comparator: Spark DATE lands in pandas as
+    # object-dtype datetime.date, DuckDB DATE as datetime64 — kind
+    # mismatch even with identical values.
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "revenue",
+        rolling.alias("revenue_7d"),
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days) AS DOUBLE)
+               AS avg_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (lag over an event-time
+    window) — the purchase-cadence feature behind churn/frequency models.
+
+    Scale: the lag window is PARTITIONed by customer — one shuffle on the
+    natural key, no global ordering anywhere; gap sums are integer-exact
+    so no decimal accumulation is needed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        (F.sum("gap_days").cast("double") / F.count("gap_days")).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
