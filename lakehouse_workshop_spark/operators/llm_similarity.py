@@ -392,12 +392,37 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_lsh")
+_DUCK_ANN_TOPK = f"""
+    WITH buckets AS ({_DUCK_BUCKETS}),
+    prepped AS ({_DUCK_PREP}),
+    bv AS (
+        SELECT p.vec_id, p.emb, p.nrm, b.bucket
+        FROM prepped p JOIN buckets b ON p.vec_id = b.vec_id
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROUND({_DUCK_COS}, 6) AS cosine
+        FROM (SELECT * FROM bv WHERE {QUERY_FILTER}) a
+        JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_topk_lsh", oracle=_DUCK_ANN_TOPK)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine rank within candidates. Same answer quality knob as
-    IVF nprobe=1. (Declared rows-only; the bucket and scoring pieces are
-    each oracle-checked separately.)
+    IVF nprobe=1. Fully value-checked: the bucketing, scoring, and rank
+    stages are all deterministic, so the whole pipeline has a DuckDB
+    oracle (rows-only in r01-r02 was historical, not a contract).
 
     The bucketed+prepped vector set materializes once (lazy localCheckpoint)
     — the query and candidate sides of the bucket equi-join read the same
