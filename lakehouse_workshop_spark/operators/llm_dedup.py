@@ -628,6 +628,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     e = _checkpoint(e)
+    n_edges = e.count()
 
     def _swap(df: DataFrame) -> DataFrame:
         return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -656,8 +657,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             .distinct()
         )
         e2 = _checkpoint(e2)
-        converged = e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
-        e = e2
+        # Both sets are distinct, so equal cardinality + empty one-sided
+        # difference ⟺ set equality — one count (cheap off the fresh
+        # checkpoint) replaces the second exceptAll scan.
+        n2 = e2.count()
+        converged = n2 == n_edges and e2.exceptAll(e).isEmpty()
+        e, n_edges = e2, n2
         if converged:
             break
     else:
