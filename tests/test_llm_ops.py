@@ -172,3 +172,46 @@ def test_connected_components_raises_when_round_capped(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(edges, max_rounds=1)
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    # Many seeded random graphs packed into ONE job (disjoint id spaces) —
+    # one Spark run covers chains, cliques, stars, forests, and sparse
+    # noise; a pure-python union-find is the reference.
+    import random
+
+    rng = random.Random(20260813)
+    edges, parent = [], {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    base = 0
+    for _ in range(12):
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 3 * n)
+        for _ in range(m):
+            a, b = base + rng.randrange(n), base + rng.randrange(n)
+            if a != b:
+                edges.append((a, b))
+                union(a, b)
+        base += 1000
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(
+            spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        ).collect()
+    }
+    assert got == expected
