@@ -59,6 +59,9 @@ HEADLINE = [
     "repetition_ratio",
     "decontaminate",
     "embedding_normalized",
+    "integrity_orphans",
+    "hot_keys_events",
+    "order_price_histogram",
 ]
 
 

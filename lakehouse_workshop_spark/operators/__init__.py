@@ -64,7 +64,10 @@ DRIVER_ORDER: list[str] = [
     "repetition_ratio",
     "decontaminate",
     "embedding_normalized",
-    # -- 34-50: r02-green representative sample --------------------------
+    "integrity_orphans",
+    "hot_keys_events",
+    "order_price_histogram",
+    # -- 37-50: r02-green representative sample --------------------------
     "streaming_windowed_counts",
     "streaming_windowed_counts_watermarked",
     "streaming_enriched_counts",
@@ -78,10 +81,7 @@ DRIVER_ORDER: list[str] = [
     "rfm_summary_grouped",
     "customers_ranked_by_spend",
     "latest_order_asof_event",
-    "tfidf_top_terms",
     "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "cosine_topk",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_similarity,
         llm_multimodal,
         olap_extras,
+        profiling,
     )
 
     pos = {n: i for i, n in enumerate(DRIVER_ORDER)}

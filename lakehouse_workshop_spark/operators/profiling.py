@@ -1,0 +1,154 @@
+"""Data-quality and distribution-profiling operators (engine extensions).
+
+The checks a pipeline runs before trusting a 100 TB corpus: referential
+integrity (orphaned fact rows), hot-key detection (the skew diagnosis
+that decides whether a join needs salting — `functions/joins.py`), and
+value histograms (partition/bucket sizing inputs).
+
+All three reduce to counts, so every oracle is exact; money totals
+accumulate in DECIMAL as everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.functions.exprs import dec_sum
+from lakehouse_workshop_spark.operators import query
+
+HOT_KEYS_TOP = 20
+HIST_BIN_WIDTH = 10_000  # o_totalprice bin width
+
+
+@query(
+    "integrity_orphans",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: fact rows whose foreign key resolves to
+    no dimension row, per relationship.
+
+    Scale: each check is a broadcast (customer/part) or shuffle (orders)
+    LEFT ANTI join collapsed to a count — the anti-join build side is the
+    key projection only, and counts partial-aggregate; three checks run
+    as one union job sharing scans where possible.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def check(name: str, fact: DataFrame, dim: DataFrame, fk: str, pk: str) -> DataFrame:
+        orphans = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_orphans"),
+        )
+
+    return (
+        check("orders_without_customer", orders, customer, "o_custkey", "c_custkey")
+        .unionByName(
+            check("lineitem_without_order", lineitem, orders, "l_orderkey", "o_orderkey")
+        )
+        .unionByName(
+            check("lineitem_without_part", lineitem, part, "l_partkey", "p_partkey")
+        )
+    )
+
+
+@query(
+    "hot_keys_events",
+    oracle=f"""
+    WITH k AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM k),
+    ranked AS (
+        SELECT user_id, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+        FROM k
+    )
+    SELECT user_id, CAST(c AS BIGINT) AS n_events,
+           ROUND(CAST(c AS DOUBLE) / total, 6) AS share,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked CROSS JOIN t
+    WHERE rnk <= {HOT_KEYS_TOP}
+    """,
+)
+def hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: the {HOT_KEYS_TOP} hottest join keys in the events
+    table with their traffic share — the measurement that decides between
+    AQE skew splitting and explicit salting (``functions/joins.py``).
+
+    Scale: one partial-aggregated groupBy on the key; the top-k ranks a
+    key-cardinality-sized set (≪ corpus) and the total broadcasts as a
+    1-row cross join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    k = k.localCheckpoint(eager=False)  # shared by ranks and the total
+    total = k.agg(F.sum("c").cast("long").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"), "user_id")
+    return (
+        k.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= HOT_KEYS_TOP)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("c").cast("long").alias("n_events"),
+            F.round(F.col("c").cast("double") / F.col("total"), 6).alias("share"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over order totals (bin = floor(v/w)) —
+    the distribution profile that sizes range partitions and flags
+    outlier mass.
+
+    Scale: a groupBy on a derived int with ~hundreds of distinct bins —
+    partial aggregation does nearly all the work map-side; the exchange
+    carries one row per bin per task.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_value"),
+        )
+    )
