@@ -215,3 +215,68 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_doc_chunks_reconstruct_original_text(spark):
+    rows = [(1, "x" * 450), (2, "short doc"), (3, "y" * 200)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    out = spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(s div {T._CHUNK_STEP} AS INT) AS chunk_id,
+               substring(text, s + 1, {T.CHUNK_CHARS}) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     explode(sequence(0, GREATEST(length(text) - 1, 0),
+                                      {T._CHUNK_STEP})) AS s
+              FROM documents)
+        """
+    ).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    for doc_id, text in rows:
+        chunks = by_doc[doc_id]
+        # stitching chunks minus their overlap reproduces the original
+        rebuilt = chunks[0] + "".join(c[T.CHUNK_OVERLAP:] for c in chunks[1:])
+        assert rebuilt == text
+        # every chunk except possibly the last is full-size
+        assert all(len(c) == T.CHUNK_CHARS for c in chunks[:-1])
+        # consecutive chunks agree on the overlap region
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[T._CHUNK_STEP:] == b[: len(a) - T._CHUNK_STEP]
+
+
+def test_decontaminate_flags_planted_leak(spark, sf_dir):
+    # Plant a train doc that copies a benchmark doc verbatim: it must be
+    # flagged with at least as many shared shingles as the threshold.
+    from lakehouse_workshop_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr(D._SPARK_DOC_PCT)
+    bench_doc = docs.withColumn("p", pct).filter(F.col("p") >= D.CONTAM_BENCH_PCT)
+    bench_row = bench_doc.orderBy("doc_id").first()
+    assert bench_row is not None
+    # choose a doc_id hashing into the train slice
+    plant_id = next(
+        i
+        for i in range(1_000_000, 1_000_200)
+        if spark.sql(
+            f"SELECT {D._SPARK_DOC_PCT} AS p FROM (SELECT {i} AS doc_id)"
+        ).first().p
+        < D.CONTAM_BENCH_PCT
+    )
+    planted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(plant_id, bench_row.text)], ["doc_id", "text"])
+    )
+    planted.repartition(8).createOrReplaceTempView("documents")
+    out = {
+        r.doc_id: r.n_shared_shingles
+        for r in spark.sql(
+            D._decontaminate_sql(D._SPARK_SHINGLES, D._SPARK_DOC_PCT)
+        ).collect()
+    }
+    assert plant_id in out
+    assert out[plant_id] >= D.CONTAM_MIN_SHINGLES
