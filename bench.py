@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "doc_chunks",
     "repetition_ratio",
     "decontaminate",
+    "ngram_jaccard_pairs_capped",
 ]
 PROBE_REPLICAS = 10
 
