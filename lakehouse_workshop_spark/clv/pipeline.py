@@ -95,7 +95,15 @@ def clv_score_group(
 
     Importable and driver-testable standalone, matching the reference's
     driver-side re-run of the UDF body (``DS:498-503``, U2).
+
+    The group is sorted by CustomerID before fitting: the MLE objective is
+    a float sum over rows, so arrival order (shuffle-dependent) would
+    perturb the fitted params in the last bits. Sorting pins the fit
+    bit-for-bit across runs — the property the golden-parquet oracle for
+    ``clv_distributed`` relies on.
     """
+    pdf = pdf.sort_values("CustomerID", kind="mergesort", na_position="last")
+    pdf = pdf.reset_index(drop=True)
     x = pdf["FREQUENCY"].to_numpy(dtype=float)
     t_x = pdf["RECENCY"].to_numpy(dtype=float)
     T = pdf["AGE"].to_numpy(dtype=float)

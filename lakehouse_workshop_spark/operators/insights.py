@@ -208,22 +208,49 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("order_percentiles_approx", tier=2)
+@query(
+    "order_percentiles_approx",
+    tier=2,
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25_exact,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75_exact,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
 def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``order_percentiles``: ``approx_percentile``
     (KLL-style mergeable sketch) — map-side partial sketches merge in one
     partial-aggregated shuffle instead of sorting every value per group.
-    Rows-only by contract (the sketch's answers are engine-specific; the
-    exact twin is the value-checked one)."""
+
+    The sketch's raw answers are engine-specific, so the value-checked
+    emission is a *bounded-error contract*: exact and approx quartiles are
+    computed in the same aggregation, the exact values are emitted (hash
+    against DuckDB's ``quantile_cont``), and each approx value is emitted
+    as the boolean ``|approx - exact| / exact <= 2%`` — the oracle expects
+    literal TRUE, so an out-of-bound sketch hash-fails at the driver
+    instead of hiding behind a rows-only check.
+    """
     from lakehouse_workshop_spark.catalog import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.expr("approx_percentile(o_totalprice, 0.25, 10000)").alias("p25"),
-            F.expr("approx_percentile(o_totalprice, 0.50, 10000)").alias("p50"),
-            F.expr("approx_percentile(o_totalprice, 0.75, 10000)").alias("p75"),
+    aggs = []
+    for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+        aggs.append(F.expr(f"percentile(o_totalprice, {q})").alias(f"{name}_x"))
+        aggs.append(
+            F.expr(f"approx_percentile(o_totalprice, {q}, 10000)").alias(f"{name}_a")
         )
-        .orderBy("o_orderstatus")
-    )
+    both = orders.groupBy("o_orderstatus").agg(*aggs)
+    cols = [F.col("o_orderstatus")]
+    cols += [F.round(f"{n}_x", 6).alias(f"{n}_exact") for n in ("p25", "p50", "p75")]
+    cols += [
+        (F.abs(F.col(f"{n}_a") - F.col(f"{n}_x")) / F.col(f"{n}_x") <= F.lit(0.02)).alias(
+            f"{n}_ok"
+        )
+        for n in ("p25", "p50", "p75")
+    ]
+    return both.select(*cols).orderBy("o_orderstatus")

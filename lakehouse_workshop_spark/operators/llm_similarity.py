@@ -456,18 +456,25 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
-@query("ivf_topk_kmeans", tier=2)
-def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+IVF_NPROBE = 8
+
+
+def ivf_kmeans_search(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF top-k with *learned* centroids: the KMeans drop-in that
     ``ivf_topk`` documents. Train MLlib KMeans (fixed seed) on the corpus,
-    assign every vector JVM-side via ``model.transform``, then the search
-    is the identical cluster equi-join + exact rank. Rows-only by contract
-    (iterative training is not SQL-expressible); the search half of the
-    plan is the piece the ``ivf_topk`` oracle already value-checks.
+    assign every vector JVM-side via ``model.transform``, then search the
+    ``nprobe`` clusters nearest each query (the standard IVF quality knob:
+    recall scales ~linearly in nprobe at ~nprobe× per-query candidates —
+    nprobe=1 measured only ~0.2 mean recall@10 on near-uniform synthetic
+    embeddings, nprobe=8 clears the 0.5 contract with headroom at both test SFs).
 
     Scale: training runs on a sample in production (centroid quality needs
     ~nlist·1e3 points, not the corpus); assignment is one narrow pass; the
-    rest matches ``ivf_topk``.
+    centroid table stays ≤√n rows (broadcast to rank probes per query);
+    the search is still a cluster equi-join with √n-bounded lists, just
+    with nprobe candidate lists per query instead of one.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -487,13 +494,38 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     assigned.createOrReplaceTempView("ivf_kmeans_clustered")
+    # Centroids leave the JVM once as a ≤√n-row literal table (the exact
+    # thing a 1000-executor cluster would broadcast from the index build).
+    centers = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c) ** 0.5))
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centers, "cid INT, cemb ARRAY<DOUBLE>, cnrm DOUBLE"
+    ).createOrReplaceTempView("ivf_kmeans_centroids")
+    probe_cos = """
+        aggregate(zip_with(q.emb, c.cemb, (x, y) -> x * y),
+                  0.0D, (acc, v) -> acc + v) / (q.nrm * c.cnrm)
+    """
     return spark.sql(
         f"""
-        WITH scored AS (
+        WITH probes AS (
+            SELECT q.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {probe_cos} DESC, c.cid) AS prn
+            FROM (SELECT * FROM ivf_kmeans_clustered WHERE {QUERY_FILTER}) q
+            CROSS JOIN ivf_kmeans_centroids c
+        ),
+        qprobe AS (SELECT qid, cid FROM probes WHERE prn <= {nprobe}),
+        scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
-            FROM (SELECT * FROM ivf_kmeans_clustered WHERE {QUERY_FILTER}) a
-            JOIN ivf_kmeans_clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid AS pcid
+                  FROM (SELECT * FROM ivf_kmeans_clustered
+                        WHERE {QUERY_FILTER}) q
+                  JOIN qprobe p ON q.vec_id = p.qid) a
+            JOIN ivf_kmeans_clustered b
+              ON a.pcid = b.cid AND a.vec_id <> b.vec_id
         ),
         ranked AS (
             SELECT query_id, vec_id, cosine,
@@ -503,6 +535,49 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= {TOP_K}
+        """
+    )
+
+
+@query(
+    "ivf_topk_kmeans",
+    tier=2,
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP})
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM e WHERE {QUERY_FILTER}
+    """,
+)
+def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract for :func:`ivf_kmeans_search` (the learned-centroid
+    IVF). Iterative KMeans training is not SQL-expressible, so instead of a
+    rows-only check the emission is a *thresholded recall* the driver can
+    value-check: run the KMeans search AND the exact ``cosine_topk`` set in
+    one query, join them per (query, neighbor), and emit
+
+    - ``n_queries`` — the query-set size (exactly derivable by the oracle);
+    - ``recall_ok`` — mean recall@{TOP_K} >= 0.5, which the oracle expects
+      to be literal TRUE (the documented nprobe=1-class quality floor;
+      pinned tighter in tests/test_recall.py).
+    """
+    approx = ivf_kmeans_search(spark, sf_dir)
+    approx.createOrReplaceTempView("ivf_kmeans_topk")
+    exact = spark.sql(_topk_sql(_SPARK_COS, _SPARK_PREP))
+    exact.createOrReplaceTempView("cosine_topk_exact")
+    return spark.sql(
+        f"""
+        WITH hits AS (
+            SELECT e.query_id,
+                   COUNT(a.vec_id) AS n_hit,
+                   COUNT(*) AS n_exact
+            FROM cosine_topk_exact e
+            LEFT JOIN ivf_kmeans_topk a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
+        )
+        SELECT COUNT(*) AS n_queries,
+               AVG(n_hit / n_exact) >= 0.5D AS recall_ok
+        FROM hits
         """
     )
 

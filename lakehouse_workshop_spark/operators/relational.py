@@ -146,19 +146,37 @@ def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(F.countDistinct("o_custkey").alias("n_customers"))
 
 
-@query("count_distinct_customers_approx")
+@query(
+    "count_distinct_customers_approx",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers_exact,
+           TRUE AS approx_within_3pct
+    FROM orders
+    """,
+)
 def count_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2's 100 TB-scale variant: HyperLogLog++ sketch (rsd 1%).
 
     Exact COUNT(DISTINCT) expands to a two-phase agg whose shuffle carries
     every distinct key; the HLL sketch is constant-size per partition, so
-    the shuffle is O(partitions) regardless of cardinality. Rows-only check
-    (sketch estimates differ across engines by construction); the exact
-    twin above is the value-checked oracle anchor.
+    the shuffle is O(partitions) regardless of cardinality.
+
+    The sketch estimate is engine-specific, so the value-checked emission
+    is a bounded-error contract: exact and HLL counts computed in the same
+    aggregation, the exact count emitted for hashing, and the sketch as
+    the boolean ``|hll - exact| / exact <= 3%`` (3× the 1% rsd) that the
+    oracle expects to be literal TRUE.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx")
+    both = orders.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_hll"),
+    )
+    return both.select(
+        F.col("n_exact").alias("n_customers_exact"),
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact") <= F.lit(0.03)
+        ).alias("approx_within_3pct"),
     )
 
 

