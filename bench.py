@@ -127,30 +127,62 @@ PROBE_QUERIES = [
 ]
 PROBE_REPLICAS = 10
 
+# 100× probe: timing-only extrapolation anchor for the two cheapest
+# scale-critical ops (hash dedup, banded minhash join) — 500k docs at
+# sf0.1. One rep (the point is the order of growth, not ±5%).
+PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs"]
+PROBE100X_REPLICAS = 100
 
-def _probe_dir(spark, sf_dir: str) -> str:
-    """Materialize (once, cached in /tmp) a 10× corpus derived from sf_dir.
+# Replica perturbation: rep 0 keeps the original text; each other replica
+# drops ~5% of tokens (deterministic in (doc_id, rep, position)) and
+# carries a replica-tag token. Exact replicas would make every near-dup
+# family's candidate structure degenerate (all-pairs within a replica
+# group share ALL shingles) — token dropping makes banded-LSH recall and
+# candidate growth realistic while keeping the corpus deterministic.
+_PERTURB_TEXT = """
+    array_join(
+        filter(
+            transform(split(text, ' '),
+                      (t, i) -> CASE WHEN rep > 0
+                                      AND pmod(hash(doc_id, rep, i), 20) = 0
+                                     THEN NULL ELSE t END),
+            t -> t IS NOT NULL),
+        ' ')
+"""
 
-    Each original doc/vector yields 10 perturbed replicas — near-dup but not
-    identical (identical replicas would square the pair-family outputs and
-    measure output explosion, not operator scaling). Written multi-partition
-    so scans parallelize (the driver testdata is single-row-group).
+
+def _probe_dir(
+    spark,
+    sf_dir: str,
+    replicas: int = PROBE_REPLICAS,
+    tag: str = "probe10x",
+    embeddings: bool = True,
+) -> str:
+    """Materialize (once, cached in /tmp) a replicas× corpus from sf_dir.
+
+    Each original doc/vector yields `replicas` perturbed variants — near-dup
+    but not identical (identical replicas would square the pair-family
+    outputs and measure output explosion, not operator scaling). Written
+    multi-partition so scans parallelize (the driver testdata is
+    single-row-group).
     """
     from pyspark.sql import functions as F
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_probe10x_{base}"
+    out = f"/tmp/spark_graft_{tag}_{base}"
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
-    rep = spark.range(PROBE_REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     (
         docs.crossJoin(rep)
         .select(
-            (F.col("doc_id") * PROBE_REPLICAS + F.col("rep")).alias("doc_id"),
-            F.concat("text", F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+            (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.expr(_PERTURB_TEXT), F.lit(" rep"), F.col("rep").cast("string")
+            ).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
         .repartition(32)
@@ -158,21 +190,22 @@ def _probe_dir(spark, sf_dir: str) -> str:
         .parquet(f"{out}/documents.parquet")
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    (
-        emb.crossJoin(rep)
-        .select(
-            (F.col("vec_id") * PROBE_REPLICAS + F.col("rep")).alias("vec_id"),
-            F.expr(
-                "transform(embedding, (x, i) -> "
-                "CAST(x + 0.003 * rep * ((i % 7) - 3) AS FLOAT))"
-            ).alias("embedding"),
-            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    if embeddings:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (
+            emb.crossJoin(rep)
+            .select(
+                (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "CAST(x + 0.003 * rep * ((i % 7) - 3) AS FLOAT))"
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out}/embeddings.parquet")
         )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{out}/embeddings.parquet")
-    )
     with open(marker, "w") as f:
         f.write("ok\n")
     return out

@@ -17,71 +17,70 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 3. The driver's correctness pass
-# verifies exactly the first 50 registry entries (r01 stopped at 50/57,
-# r02 at 50/75 — a count cap). r02 covered registry positions 1-50;
-# these 25 queries had no r02 row, so they lead round 3 — union of
-# r02+r03 then covers all 75 names. Led by lsh_buckets and
-# multimodal_features, the two r01 hash failures whose fixes have not
-# yet seen a driver row. Positions 26-50 are a representative
-# r02-green sample: all five green streaming queries (so all 7
-# streaming rows land this round), both CLV queries, and one or two
-# queries per family. Names absent from this list keep registration
-# order behind it.
+# Explicit driver-pass order for round 4. The driver's correctness pass
+# verifies the first 50 registry entries per round, so coverage rotates.
+# The ordering rule (enforced by tests/test_registry.py, rebuilt each
+# round with tools/make_driver_order.py):
+#   1. Every query whose latest driver row is >= 2 rounds old leads the
+#      window (positions 1-36 here: the 36 queries last verified in r02).
+#   2. Then every query whose registered source changed since its last
+#      driver row (positions 37-50: the r4 oracle-closure + ADVICE-fix
+#      queries — new emissions for the approx/CLV/recall contracts, plan
+#      changes for profiling, probe change for components).
+# Names absent from this list keep registration order behind it.
 DRIVER_ORDER: list[str] = [
-    # -- 1-25: no r02 row ------------------------------------------------
-    "lsh_buckets",              # r01 FAIL (HUGEINT→float64), fix unverified
-    "multimodal_features",      # r01 ERR (list cells), fix unverified
+    # -- 1-36: latest driver row is r02 (max-staleness rule) -------------
+    "monthly_sales_1997",
+    "count_distinct_customers",
+    "count_distinct_customers_approx",  # also: new bounded-error emission
+    "customers_by_status",
+    "rfm_summary",
+    "distinct_parts",
+    "corr_frequency_monetary",
+    "orders_in_1995",
+    "customer_recast",
+    "order_value_buckets",
+    "top10_orders",
+    "frequency_bands",
+    "customer_value_bands",
+    "revenue_by_nation",
+    "top_customer_per_nation",
+    "active_or_rich_customers",
+    "sales_rollup",
+    "orders_pivot_status",
+    "sessionize_events",
+    "churned_customers",
+    "cumulative_monthly_revenue",
+    "event_props_agg",
+    "text_stats",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "token_counts",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "cosine_topk",
+    # -- 37-50: r03-green but changed in round 4 (changed-source rule) ---
+    "clv_distributed",          # new golden-fixture value-check emission
+    "clv_segment_rollup",       # decimal-sum + fixture-backed oracle
+    "order_percentiles_approx", # new bounded-error boolean emission
+    "ivf_topk_kmeans",          # new recall-contract emission, nprobe=8
+    "near_dup_clusters",        # checksum convergence probe
+    "hot_keys_events",          # top-k via sort+limit, no global window
+    "integrity_orphans",        # orders anti-join no longer broadcast
+    "embedding_normalized",     # EMB_DIM assertion added
+    "lsh_buckets",              # module changed (EMB_DIM interpolation)
+    "ann_topk_lsh",
+    "ivf_topk",
     "embedding_near_pairs",
     "embedding_near_pairs_lsh",
-    "ivf_topk",
-    "ivf_topk_kmeans",
-    "ann_topk_lsh",
-    "frame_samples",
-    "near_dup_clusters",
-    "dedup_incremental",
-    "text_normalize",
-    "corpus_clean",
-    "train_val_test_split",
-    "stratified_sample",
-    "shard_assignments",
-    "pseudonymize_users",
-    "sales_cube",
-    "order_percentiles",
-    "customer_spend_quartiles",
-    "order_percentiles_approx",
-    "conversion_funnel",
-    "cohort_retention",
-    "merge_upsert_orders",
-    "streaming_dedup",
-    "streaming_sessionize_flushed",
-    # -- 26-33: new in round 3 (first driver check) ----------------------
-    "shipping_priority",
-    "local_supplier_volume",
-    "rolling_revenue_7d",
-    "customer_order_gaps",
-    "doc_chunks",
-    "repetition_ratio",
-    "decontaminate",
-    "embedding_normalized",
-    "integrity_orphans",
-    "hot_keys_events",
-    "order_price_histogram",
-    # -- 37-50: r02-green representative sample --------------------------
-    "streaming_windowed_counts",
-    "streaming_windowed_counts_watermarked",
-    "streaming_enriched_counts",
-    "streaming_click_to_purchase",
-    "session_window_batch",
-    "clv_rfm_input",
-    "clv_distributed",
-    "clv_segment_rollup",
-    "monthly_sales",
-    "profit_by_returnflag",
-    "rfm_summary_grouped",
-    "customers_ranked_by_spend",
-    "latest_order_asof_event",
-    "minhash_lsh_pairs",
+    "decontaminate",            # llm_dedup module changed
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

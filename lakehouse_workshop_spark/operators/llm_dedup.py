@@ -591,7 +591,7 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Connected components over an undirected edge list (``doc_a``,
     ``doc_b``) → (``doc_id``, ``cluster_id`` = component min).
 
@@ -604,13 +604,17 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     min-label propagation needs O(diameter) rounds: a 1 000-link chain
     would need 1 000 of them). Each round is two join+agg passes over
     the edge set, checkpointed to storage so lineage stays bounded; the
-    driver loop reads only an is-empty convergence probe per round.
+    driver loop reads only a (count, checksum) pair per round.
 
     Raises ``RuntimeError`` if the edge set is still moving after
     ``max_rounds`` — unconverged labels are silently-wrong cluster ids,
     and at probe scale this query runs timing-only with no oracle, so
-    failing loudly is the only signal (log²(10¹²) ≈ 25 rounds covers any
-    conceivable corpus).
+    failing loudly is the only signal. The paper's bound is O(log² n)
+    *worst case* (for n = 10¹² that is (log₂ 10¹²)² ≈ 1600), but measured
+    convergence is far faster — single-digit rounds on every graph shape
+    tested, including 60-link chains and 10³-degree stars. 100 rounds is
+    generous empirical headroom, not the worst-case bound; converged runs
+    exit early, so the headroom costs nothing.
     """
     # Directed invariant: (u, v) with u > v, no self-loops, distinct.
     e = (
@@ -628,7 +632,23 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     e = _checkpoint(e)
-    n_edges = e.count()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        """(count, commutative checksum) of a distinct edge set — one scan.
+
+        Equal counts + equal SUM(hash(u, v)) ⟺ set equality up to a
+        vanishing hash-collision probability (both sets are distinct, the
+        sum is order-independent). Replaces the prior count + ``exceptAll``
+        probe: one pass per round instead of two over the engine's most
+        expensive iterative operator.
+        """
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("chk"),
+        ).collect()[0]
+        return row["n"], row["chk"]
+
+    sig = _sig(e)
 
     def _swap(df: DataFrame) -> DataFrame:
         return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -657,12 +677,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             .distinct()
         )
         e2 = _checkpoint(e2)
-        # Both sets are distinct, so equal cardinality + empty one-sided
-        # difference ⟺ set equality — one count (cheap off the fresh
-        # checkpoint) replaces the second exceptAll scan.
-        n2 = e2.count()
-        converged = n2 == n_edges and e2.exceptAll(e).isEmpty()
-        e, n_edges = e2, n2
+        sig2 = _sig(e2)
+        converged = sig2 == sig
+        e, sig = e2, sig2
         if converged:
             break
     else:
@@ -700,8 +717,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- train/eval contamination check ---------------------------------------
 # Deterministic md5 bucket (the llm_pipeline split rule): docs with bucket
 # >= BENCH_PCT play the held-out benchmark; the rest are the training
-# corpus. A train doc sharing >= CONTAM_MIN_SHINGLES distinct 5-gram
-# shingles with ANY benchmark doc is flagged.
+# corpus. A train doc is flagged when >= CONTAM_MIN_SHINGLES of its
+# distinct 5-gram shingles appear in the POOLED benchmark shingle set
+# (the union over all benchmark docs — a doc sharing one shingle each
+# with three different benchmark docs IS flagged; overlap is not
+# counted per benchmark doc).
 CONTAM_BENCH_PCT = 90
 CONTAM_MIN_SHINGLES = 3
 

@@ -32,6 +32,11 @@ TOP_K = 10
 NEAR_PAIR_THRESHOLD = 0.4
 LSH_PLANES = 8  # 2^8 = 256 buckets
 QUERY_FILTER = "vec_id % 100 = 0"
+# The embedding dimension every dim-sensitive fragment interpolates (LSH
+# plane length, the normalized-explode oracle). A datagen dim change must
+# fail loudly, not silently diverge the oracle: embedding_normalized
+# raise_error()s on any row whose array length differs.
+EMB_DIM = 64
 
 # --- dialect fragments -----------------------------------------------------
 
@@ -135,7 +140,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planes_sql(strpos_fn: str) -> str:
     """Builds rows (j, plane) where plane is a 64-long array of ±1."""
     return f"""
-        SELECT j, transform(sequence(0, 63),
+        SELECT j, transform(sequence(0, {EMB_DIM - 1}),
                    d -> CASE WHEN {strpos_fn}('13579bdf',
                                   substring(md5(concat(j, '_', d)), 1, 1)) > 0
                              THEN 1.0D ELSE -1.0D END) AS plane
@@ -144,7 +149,7 @@ def _planes_sql(strpos_fn: str) -> str:
 
 
 _DUCK_PLANES = f"""
-        SELECT j, list_transform(generate_series(0, 63),
+        SELECT j, list_transform(generate_series(0, {EMB_DIM - 1}),
                    d -> CASE WHEN strpos('13579bdf',
                                   substr(md5(concat(j, '_', d)), 1, 1)) > 0
                              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
@@ -238,21 +243,30 @@ def _near_pairs_lsh_sql(prep: str, planes: str, plane_dot: str, cos: str, intdiv
 
 _N_NEAR_PLANES = NEAR_LSH_TABLES * NEAR_LSH_PLANES_PER_TABLE  # 16
 
-_SPARK_NEAR_PLANES = f"""
-        SELECT j, transform(sequence(0, 63),
+
+def _spark_planes_n(n_planes: int) -> str:
+    return f"""
+        SELECT j, transform(sequence(0, {EMB_DIM - 1}),
                    d -> CASE WHEN instr('13579bdf',
                                   substring(md5(concat(j, '_', d)), 1, 1)) > 0
                              THEN 1.0D ELSE -1.0D END) AS plane
-        FROM (SELECT explode(sequence(0, {_N_NEAR_PLANES - 1})) AS j)
+        FROM (SELECT explode(sequence(0, {n_planes - 1})) AS j)
 """
 
-_DUCK_NEAR_PLANES = f"""
-        SELECT j, list_transform(generate_series(0, 63),
+
+def _duck_planes_n(n_planes: int) -> str:
+    return f"""
+        SELECT j, list_transform(generate_series(0, {EMB_DIM - 1}),
                    d -> CASE WHEN strpos('13579bdf',
                                   substr(md5(concat(j, '_', d)), 1, 1)) > 0
                              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
-        FROM (SELECT unnest(generate_series(0, {_N_NEAR_PLANES - 1})) AS j)
+        FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS j)
 """
+
+
+_SPARK_NEAR_PLANES = _spark_planes_n(_N_NEAR_PLANES)
+
+_DUCK_NEAR_PLANES = _duck_planes_n(_N_NEAR_PLANES)
 
 _SPARK_PLANE_DOT = """aggregate(zip_with(e.emb, p.plane,
                    (x, w) -> x * w), 0.0D, (acc, v) -> acc + v)"""
@@ -281,6 +295,12 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_NLIST_MIN = 16  # nlist floor; actual nlist = max(16, floor(sqrt(n)))
+# The standard IVF quality knob: each query searches its nprobe nearest
+# clusters (candidates ~ nprobe·√n per query instead of √n). nprobe=1
+# measured ~0.2 recall@10 on the near-uniform synthetic embeddings —
+# true neighbors spread across clusters; nprobe=8 clears the 0.5 floor
+# pinned by tests/test_recall.py at both test SFs.
+IVF_NPROBE = 8
 
 # nlist derived from the corpus inside the query itself: ⌊√n⌋ with a floor
 # of 16, as an uncorrelated scalar subquery both engines evaluate from the
@@ -303,26 +323,36 @@ def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
     the whole index build + search is value-checkable. A KMeans-trained
     centroid table drops in with the identical plan shape: broadcast
     centroids → per-vector argmax assignment → equi-join on cluster id.
+
+    ``cdist`` ranks every vector's centroid distances once: rn = 1 is the
+    index assignment (each vector lives in exactly one cluster), and the
+    query side takes rn <= nprobe as its probe set — so a (query,
+    candidate) pair appears at most once and no dedup is needed.
     """
     return f"""
     WITH e AS ({prep}),
     cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {centroid_filter}),
-    assign AS (
-        SELECT vec_id, cid FROM (
-            SELECT a.vec_id, b.cid,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                      ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
-            FROM e a JOIN cent b ON 1 = 1
-        ) WHERE rn = 1
+    cdist AS (
+        SELECT a.vec_id, b.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
+        FROM e a JOIN cent b ON 1 = 1
     ),
     clustered AS (
-        SELECT e.vec_id, e.emb, e.nrm, assign.cid
-        FROM e JOIN assign ON e.vec_id = assign.vec_id
+        SELECT e.vec_id, e.emb, e.nrm, c.cid
+        FROM e JOIN (SELECT vec_id, cid FROM cdist WHERE rn = 1) c
+          ON e.vec_id = c.vec_id
+    ),
+    qprobe AS (
+        SELECT vec_id, cid FROM cdist
+        WHERE rn <= {IVF_NPROBE} AND {QUERY_FILTER}
     ),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                ROUND({cos}, 6) AS cosine
-        FROM (SELECT * FROM clustered WHERE {QUERY_FILTER}) a
+        FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
+              FROM (SELECT * FROM clustered WHERE {QUERY_FILTER}) q
+              JOIN qprobe p ON q.vec_id = p.vec_id) a
         JOIN clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
     ),
     ranked AS (
@@ -341,21 +371,23 @@ _IVF_CENTROIDS = f"vec_id < {_IVF_NLIST_SQL}"
 
 @query("ivf_topk", oracle=_ivf_sql(_DUCK_PREP, _DUCK_COS, _IVF_CENTROIDS))
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(nlist=⌊√n⌋, nprobe=1) approximate top-k — the trained-index
-    twin of the sign-LSH path.
+    """IVF(nlist=⌊√n⌋, nprobe={IVF_NPROBE}) approximate top-k — the
+    trained-index twin of the sign-LSH path.
 
     Scale: the centroid table is small (≤√n rows — broadcast); assignment
     is one narrow pass over the vectors (argmax over nlist dots); search
-    is an equi-join on cluster id with √n-bounded per-cluster lists.
-    nlist tracks the corpus (r02's fixed nlist=16 measured 10.1× at the
-    10× probe because per-cluster lists grew linearly). Swapping the
-    deterministic seed centroids for KMeans-trained ones changes recall,
-    not the plan.
+    is an equi-join on cluster id with √n-bounded per-cluster lists,
+    nprobe lists per query (candidates ~ nprobe·√n, recall floor pinned
+    by tests/test_recall.py). nlist tracks the corpus (r02's fixed
+    nlist=16 measured 10.1× at the 10× probe because per-cluster lists
+    grew linearly). Swapping the deterministic seed centroids for
+    KMeans-trained ones changes recall, not the plan.
     """
     _emb_view(spark, sf_dir)
-    # Materialize the assigned (vector, cluster) set once — both sides of
-    # the cluster equi-join read it back instead of re-running the argmax
-    # assignment (Spark re-inlines CTEs per reference).
+    # Materialize the assigned (vector, cluster) set once — the probe
+    # ranking and both sides of the cluster equi-join read it back
+    # instead of re-running the argmax assignment (Spark re-inlines CTEs
+    # per reference).
     spark.sql(
         f"""
         WITH e AS ({_SPARK_PREP}),
@@ -374,10 +406,23 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False).createOrReplaceTempView("ivf_clustered")
     return spark.sql(
         f"""
-        WITH scored AS (
+        WITH cent AS (SELECT vec_id AS cid, emb, nrm FROM ivf_clustered
+                      WHERE {_IVF_CENTROIDS}),
+        qprobe AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, b.cid,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY ROUND({_SPARK_COS}, 6) DESC, b.cid) AS rn
+                FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) a
+                JOIN cent b ON 1 = 1
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
-            FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) a
+            FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
+                  FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) q
+                  JOIN qprobe p ON q.vec_id = p.vec_id) a
             JOIN ivf_clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
         ),
         ranked AS (
@@ -392,18 +437,48 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_ANN_TOPK = f"""
-    WITH buckets AS ({_DUCK_BUCKETS}),
-    prepped AS ({_DUCK_PREP}),
-    bv AS (
-        SELECT p.vec_id, p.emb, p.nrm, b.bucket
-        FROM prepped p JOIN buckets b ON p.vec_id = b.vec_id
+# The ANN search ranks ALL true neighbors (not just θ<0.4-class pairs), so
+# it needs more tables than the pair search for the same floor: measured
+# per-table collision ~0.11 for a true top-10 neighbor → 4 tables = 0.37
+# recall@10, 8 tables ≈ 0.60 (1-(1-p)^T).
+ANN_LSH_TABLES = 8
+
+
+def _ann_topk_lsh_sql(prep: str, planes: str, plane_dot: str, cos: str, intdiv: str) -> str:
+    """Multi-table bucketed approximate top-k (the ANN twin of
+    ``_near_pairs_lsh_sql``): candidates = any same-bucket vector in ANY
+    of the {ANN_LSH_TABLES} tables, deduped, then exact cosine rank.
+
+    A single table of {LSH_PLANES} planes gives ~n/2^{LSH_PLANES}-sized
+    buckets — so few candidates that measured recall@10 was ~0 on the
+    synthetic corpus. Multi-table is the standard fix (same math as the
+    pair search: recall 1-(1-p^4)^T per true neighbor); the recall floor
+    is pinned by tests/test_recall.py.
+    """
+    ppt = NEAR_LSH_PLANES_PER_TABLE
+    return f"""
+    WITH e AS ({prep}),
+    planes AS ({planes}),
+    dots AS (
+        SELECT e.vec_id, p.j,
+               CASE WHEN {plane_dot} >= 0 THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN planes p
+    ),
+    buckets AS (
+        SELECT vec_id, (j {intdiv} {ppt}) AS tbl,
+               CAST(SUM(bit * CAST(POW(2, j % {ppt}) AS BIGINT)) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id, (j {intdiv} {ppt})
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vec_id
+        FROM buckets x JOIN buckets y
+          ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        WHERE x.{QUERY_FILTER}
     ),
     scored AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-               ROUND({_DUCK_COS}, 6) AS cosine
-        FROM (SELECT * FROM bv WHERE {QUERY_FILTER}) a
-        JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.vec_id
     ),
     ranked AS (
         SELECT query_id, vec_id, cosine,
@@ -413,47 +488,42 @@ _DUCK_ANN_TOPK = f"""
     )
     SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= {TOP_K}
-"""
+    """
 
 
-@query("ann_topk_lsh", oracle=_DUCK_ANN_TOPK)
+@query(
+    "ann_topk_lsh",
+    oracle=_ann_topk_lsh_sql(
+        _DUCK_PREP,
+        _duck_planes_n(ANN_LSH_TABLES * NEAR_LSH_PLANES_PER_TABLE),
+        _DUCK_PLANE_DOT,
+        _DUCK_COS,
+        "//",
+    ),
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine rank within candidates. Same answer quality knob as
-    IVF nprobe=1. Fully value-checked: the bucketing, scoring, and rank
-    stages are all deterministic, so the whole pipeline has a DuckDB
-    oracle (rows-only in r01-r02 was historical, not a contract).
+    """Approximate top-k via multi-table sign-LSH: candidates from the
+    query's bucket in any of the {ANN_LSH_TABLES} hash tables
+    (equi-join on (table, bucket), deduped), then exact cosine rank
+    within candidates — same quality knob family as IVF nprobe. Fully
+    value-checked: bucketing, scoring, and rank are all deterministic,
+    so the whole pipeline has a DuckDB oracle; the recall floor vs the
+    exact twin is pinned by tests/test_recall.py.
 
-    The bucketed+prepped vector set materializes once (lazy localCheckpoint)
-    — the query and candidate sides of the bucket equi-join read the same
-    blocks rather than re-deriving the plane dot products per side.
+    Scale: bucketing is one narrow pass per vector (32 constant planes,
+    broadcast); candidates come from {ANN_LSH_TABLES} bucket equi-joins
+    — no all-pairs stage; DISTINCT dedup keys on (query, candidate).
     """
     _emb_view(spark, sf_dir)
-    spark.sql(
-        f"""
-        WITH buckets AS ({_SPARK_BUCKETS}),
-        prepped AS ({_SPARK_PREP})
-        SELECT e.vec_id, e.emb, e.nrm, b.bucket
-        FROM prepped e JOIN buckets b ON e.vec_id = b.vec_id
-        """
-    ).localCheckpoint(eager=False).createOrReplaceTempView("bucketed_vecs")
-    sql = f"""
-    WITH qa AS (SELECT * FROM bucketed_vecs WHERE vec_id % 100 = 0),
-    scored AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-               ROUND({_SPARK_COS}, 6) AS cosine
-        FROM qa a JOIN bucketed_vecs b
-          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    ), ranked AS (
-        SELECT query_id, vec_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, vec_id) AS rnk
-        FROM scored
+    return spark.sql(
+        _ann_topk_lsh_sql(
+            _SPARK_PREP,
+            _spark_planes_n(ANN_LSH_TABLES * NEAR_LSH_PLANES_PER_TABLE),
+            _SPARK_PLANE_DOT,
+            _SPARK_COS,
+            "div",
+        )
     )
-    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= {TOP_K}
-    """
-    return spark.sql(sql)
 
 
 IVF_NPROBE = 8
@@ -588,7 +658,7 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS ({_DUCK_PREP})
     SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
            ROUND(emb[g.i] / nrm, 6) AS val
-    FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    FROM e CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) g
     """,
 )
 def embedding_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,12 +667,28 @@ def embedding_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream ANN index; scalar rows keep the result comparator-
     checkable (the driver rejects array cells).
 
+    The oracle's explode is generate_series(1, EMB_DIM) while Spark
+    explodes the actual array — so the Spark side hard-asserts
+    len == EMB_DIM per row (raise_error): a datagen dim change fails
+    loudly instead of silently diverging the two sides.
+
     Scale: one narrow pass (norm hoisted once per vector by the shared
     prep), the explode is a row-expanding map with no shuffle.
     """
     _emb_view(spark, sf_dir)
     prepped = spark.sql(_SPARK_PREP)
-    return prepped.select(
+    checked = prepped.withColumn(
+        "emb",
+        F.when(F.size("emb") == EMB_DIM, F.col("emb")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding dim != {EMB_DIM}: vec_id "),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        ),
+    )
+    return checked.select(
         "vec_id",
         F.posexplode(F.expr("transform(emb, x -> ROUND(x / nrm, 6))")).alias(
             "pos", "val"

@@ -55,22 +55,34 @@ def integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
 
-    def check(name: str, fact: DataFrame, dim: DataFrame, fk: str, pk: str) -> DataFrame:
-        orphans = fact.join(
-            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
-        )
+    def check(
+        name: str, fact: DataFrame, dim: DataFrame, fk: str, pk: str, *, broadcast: bool
+    ) -> DataFrame:
+        # Broadcast only genuinely small dimensions; a fact-sized build side
+        # (orders under lineitem) must shuffle or it OOMs executors at scale.
+        keys = dim.select(F.col(pk).alias(fk))
+        orphans = fact.join(F.broadcast(keys) if broadcast else keys, fk, "left_anti")
         return orphans.agg(
             F.lit(name).alias("check_name"),
             F.count("*").cast("long").alias("n_orphans"),
         )
 
     return (
-        check("orders_without_customer", orders, customer, "o_custkey", "c_custkey")
-        .unionByName(
-            check("lineitem_without_order", lineitem, orders, "l_orderkey", "o_orderkey")
+        check(
+            "orders_without_customer",
+            orders, customer, "o_custkey", "c_custkey", broadcast=True,
         )
         .unionByName(
-            check("lineitem_without_part", lineitem, part, "l_partkey", "p_partkey")
+            check(
+                "lineitem_without_order",
+                lineitem, orders, "l_orderkey", "o_orderkey", broadcast=False,
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_without_part",
+                lineitem, part, "l_partkey", "p_partkey", broadcast=True,
+            )
         )
     )
 
@@ -99,20 +111,23 @@ def hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with their traffic share — the measurement that decides between
     AQE skew splitting and explicit salting (``functions/joins.py``).
 
-    Scale: one partial-aggregated groupBy on the key; the top-k ranks a
-    key-cardinality-sized set (≪ corpus) and the total broadcasts as a
+    Scale: one partial-aggregated groupBy on the key; the top-k is a
+    sort+limit (TakeOrderedAndProject: per-partition partial top-{HOT_KEYS_TOP},
+    merged on the driver) — key cardinality can be billions, so no global
+    window ever sees the full aggregate. The rank window runs AFTER the
+    limit, over exactly {HOT_KEYS_TOP} rows; the total broadcasts as a
     1-row cross join.
     """
     events = load_table(spark, sf_dir, "events")
     k = events.groupBy("user_id").agg(F.count("*").alias("c"))
-    k = k.localCheckpoint(eager=False)  # shared by ranks and the total
+    k = k.localCheckpoint(eager=False)  # shared by top-k and the total
     total = k.agg(F.sum("c").cast("long").alias("total"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("c"), "user_id")
+    top = k.orderBy(F.desc("c"), "user_id").limit(HOT_KEYS_TOP)
+    w = Window.orderBy(F.desc("c"), "user_id")  # bounded: HOT_KEYS_TOP rows
     return (
-        k.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= HOT_KEYS_TOP)
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
         .crossJoin(F.broadcast(total))
         .select(
             "user_id",

@@ -16,7 +16,12 @@ import os
 from lakehouse_workshop_spark import operators as ops
 
 DRIVER_WINDOW = 50
-_PREV_ROWS = "/root/repo/CORRECTNESS_r02.json"
+
+
+def _correctness_files() -> list[str]:
+    from glob import glob
+
+    return sorted(glob("/root/repo/CORRECTNESS_r*.json"))
 
 
 def test_driver_order_is_duplicate_free_and_registered():
@@ -27,16 +32,76 @@ def test_driver_order_is_duplicate_free_and_registered():
 
 
 def test_window_union_covers_every_registered_query():
-    if not os.path.exists(_PREV_ROWS):
+    """Every registered query has a driver row already (any recorded round)
+    or sits in the upcoming window — nothing ships without a check."""
+    files = _correctness_files()
+    if not files:
         return
-    prev = set(json.load(open(_PREV_ROWS)))
+    seen: set[str] = set()
+    for path in files:
+        seen |= set(json.load(open(path)))
     names = list(ops.all_queries())
     window = set(names[:DRIVER_WINDOW])
-    uncovered = [n for n in names if n not in prev and n not in window]
+    uncovered = [n for n in names if n not in seen and n not in window]
     assert not uncovered, (
-        "registered queries with no driver row in the previous round AND "
+        "registered queries with no driver row in ANY recorded round AND "
         f"outside the current {DRIVER_WINDOW}-entry window: {uncovered} — "
         "move them into DRIVER_ORDER's window or they ship unverified"
+    )
+
+
+def test_stale_queries_lead_the_window():
+    """Max staleness <= 1 round: every query whose latest driver row is two
+    or more rounds old must sit inside the upcoming 50-entry window.
+    Derived from the recorded CORRECTNESS_r*.json files, so the rule
+    re-evaluates itself each round without hand-maintained lists."""
+    from glob import glob
+
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        max_round = max(max_round, rnd)
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    if not max_round:
+        return
+    names = list(ops.all_queries())
+    window = set(names[:DRIVER_WINDOW])
+    overdue = [
+        n for n in names if latest.get(n, 0) < max_round and n not in window
+    ]
+    assert not overdue, (
+        f"queries whose latest driver row predates r{max_round:02d} but are "
+        f"outside the {DRIVER_WINDOW}-entry window: {overdue} — rebuild "
+        "DRIVER_ORDER with tools/make_driver_order.py"
+    )
+
+
+def test_changed_source_is_in_window():
+    """Changed-source rule: a query whose registered source (function body +
+    @query block, hence oracle SQL) differs from the hash recorded at its
+    last window entry must re-enter the window — its old driver row
+    vouches for code that no longer exists."""
+    import hashlib
+    import inspect
+
+    manifest_path = "/root/repo/tools/driver_manifest.json"
+    if not os.path.exists(manifest_path):
+        return
+    manifest = json.load(open(manifest_path))
+    queries = ops.all_queries()
+    names = list(queries)
+    window = set(names[:DRIVER_WINDOW])
+    drifted = []
+    for n, fn in queries.items():
+        cur = hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+        if n in manifest and manifest[n]["hash"] != cur and n not in window:
+            drifted.append(n)
+    assert not drifted, (
+        f"queries whose source changed since their manifest hash but are "
+        f"outside the window: {drifted} — rerun tools/make_driver_order.py "
+        "and give them a window slot"
     )
 
 

@@ -1,0 +1,96 @@
+"""Rebuild the driver-window manifest (freshness governance).
+
+The driver's correctness pass verifies only the first 50 registry entries
+per round, so coverage rotates through ``operators.DRIVER_ORDER``. Two
+rules decide who must be in the upcoming window (both enforced by
+``tests/test_registry.py``):
+
+1. **Max staleness <= 1 round**: any query whose latest driver row is two
+   or more rounds old leads the window.
+2. **Changed source re-verifies**: any query whose registered source
+   (``inspect.getsource`` of the decorated function, which includes the
+   ``@query(...)`` block and therefore the oracle SQL) changed since the
+   hash recorded at its last window entry must be in the window.
+
+This tool (a) prints the stale and changed lists so DRIVER_ORDER can be
+rebuilt by hand at round start, and (b) writes
+``tools/driver_manifest.json`` mapping each query to the source hash it
+will have been verified against: queries inside the new window get their
+*current* hash (they are about to be re-verified); queries outside keep
+their previous manifest hash (their old row vouches for the old source).
+
+Run at each round start AFTER updating DRIVER_ORDER:
+
+    python tools/make_driver_order.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import sys
+from glob import glob
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MANIFEST = REPO / "tools" / "driver_manifest.json"
+DRIVER_WINDOW = 50
+
+
+def source_hash(fn) -> str:
+    return hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+
+
+def latest_rows() -> tuple[dict[str, int], int]:
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(Path(path).stem.split("_r")[1])
+        max_round = max(max_round, rnd)
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
+def main() -> None:
+    from lakehouse_workshop_spark.operators import all_queries
+
+    queries = all_queries()
+    names = list(queries)
+    window = set(names[:DRIVER_WINDOW])
+    latest, max_round = latest_rows()
+
+    prev = json.load(open(MANIFEST)) if MANIFEST.exists() else {}
+    stale = [n for n in names if latest.get(n, 0) < max_round]
+    changed = [
+        n
+        for n in names
+        if n in prev and prev[n]["hash"] != source_hash(queries[n])
+    ]
+    print(f"registry: {len(names)}, window: {len(window)}, "
+          f"latest driver round: r{max_round:02d}")
+    print(f"stale (latest row < r{max_round:02d}): {len(stale)}")
+    print(f"  {stale}")
+    print(f"changed since manifest: {len(changed)}")
+    print(f"  {changed}")
+
+    manifest = {}
+    for n in names:
+        if n in window or n not in prev:
+            manifest[n] = {"hash": source_hash(queries[n]), "window_round": max_round + 1}
+        else:
+            manifest[n] = prev[n]
+    MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {MANIFEST}")
+
+    problems = [n for n in stale + changed if n not in window]
+    if problems:
+        print(f"!! queries requiring a window slot but outside it: {problems}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
