@@ -169,7 +169,9 @@ def _probe_dir(
     from pyspark.sql import functions as F
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_{tag}_{base}"
+    # v2: perturbed replicas (5% token drop) — a perturbation-rule change
+    # must invalidate the cached corpus, so the rule version is in the path.
+    out = f"/tmp/spark_graft_{tag}_v2_{base}"
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -250,9 +252,19 @@ def main() -> None:
                 lambda: _force(queries[name](spark, probe_sf))
             )
 
+    if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
+        probe100 = _probe_dir(
+            spark, sf_dir, PROBE100X_REPLICAS, tag="probe100x", embeddings=False
+        )
+        for name in PROBE100X_QUERIES:
+            timings[f"probe100x_{name}"] = _timed_median(
+                lambda: _force(queries[name](spark, probe100)), reps=1
+            )
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    headline_total = sum(v for k, v in timings.items() if not k.startswith("probe10x_"))
+    headline_total = sum(v for k, v in timings.items() if not k.startswith("probe"))
     probe_total = sum(v for k, v in timings.items() if k.startswith("probe10x_"))
+    probe100_total = sum(v for k, v in timings.items() if k.startswith("probe100x_"))
     print(
         json.dumps(
             {
@@ -261,6 +273,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "probe10x_total": round(probe_total, 3),
+                "probe100x_total": round(probe100_total, 3),
                 "reps": BENCH_REPS,
                 "sf": sf,
             }

@@ -631,24 +631,31 @@ def connected_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e = _checkpoint(e)
-
-    def _sig(df: DataFrame) -> tuple[int, int]:
-        """(count, commutative checksum) of a distinct edge set — one scan.
+    def _ckpt_sig(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        """Checkpoint the edge set and return ((checkpointed df), (count,
+        commutative checksum)) — the signature rides the checkpoint
+        materialization via ``DataFrame.observe``, so convergence costs
+        ZERO extra scans per round.
 
         Equal counts + equal SUM(hash(u, v)) ⟺ set equality up to a
         vanishing hash-collision probability (both sets are distinct, the
-        sum is order-independent). Replaces the prior count + ``exceptAll``
-        probe: one pass per round instead of two over the engine's most
-        expensive iterative operator.
+        sum is order-independent). Replaces the r3 count + ``exceptAll``
+        probe (two extra passes per round over the engine's most expensive
+        iterative operator).
         """
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("chk"),
-        ).collect()[0]
-        return row["n"], row["chk"]
+        from pyspark.sql import Observation
 
-    sig = _sig(e)
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("chk"),
+        )
+        ck = _checkpoint(observed)
+        got = obs.get
+        return ck, (got["n"], got["chk"])
+
+    e, sig = _ckpt_sig(e)
 
     def _swap(df: DataFrame) -> DataFrame:
         return df.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -676,8 +683,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e2 = _checkpoint(e2)
-        sig2 = _sig(e2)
+        e2, sig2 = _ckpt_sig(e2)
         converged = sig2 == sig
         e, sig = e2, sig2
         if converged:

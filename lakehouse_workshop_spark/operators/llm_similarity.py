@@ -410,7 +410,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE {_IVF_CENTROIDS}),
         qprobe AS (
             SELECT vec_id, cid FROM (
-                SELECT a.vec_id, b.cid,
+                -- centroid table is <= sqrt(n) rows: broadcast it (the
+                -- checkpointed view has no stats, so the planner would
+                -- otherwise fall back to CartesianProduct)
+                SELECT /*+ BROADCAST(b) */ a.vec_id, b.cid,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                           ORDER BY ROUND({_SPARK_COS}, 6) DESC, b.cid) AS rn
                 FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) a
