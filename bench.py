@@ -62,6 +62,9 @@ HEADLINE = [
     "integrity_orphans",
     "hot_keys_events",
     "order_price_histogram",
+    "sequence_packing",
+    "blocklist_scrub",
+    "embedding_quantize_int8",
 ]
 
 

@@ -91,6 +91,40 @@ def global_row_number(df: DataFrame, *order: Column, name: str = "rank") -> Data
     )
 
 
+def global_cumsum(df: DataFrame, value: str, *order: Column | str, name: str = "cum") -> DataFrame:
+    """Scale-safe global running ``SUM(value) OVER (ORDER BY ...)``.
+
+    Same two-pass construction as :func:`global_row_number` (a bare
+    ``Window.orderBy`` collapses the table into one partition): range
+    partition on the sort keys, partition-local running sums in parallel,
+    then per-partition totals (one row per partition) become broadcast
+    offsets. ``order`` must be a total order. The result column is the
+    INCLUSIVE running sum as ``long``.
+    """
+    stamped = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_cs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = stamped.withColumn(
+        "_cs_local",
+        F.sum(value).over(Window.partitionBy("_cs_pid").orderBy(*order)),
+    )
+    totals = stamped.groupBy("_cs_pid").agg(F.sum(value).alias("_cs_n"))
+    offsets = totals.withColumn(
+        "_cs_offset",
+        F.sum("_cs_n")
+        .over(Window.orderBy("_cs_pid").rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long"),
+    ).select("_cs_pid", F.coalesce("_cs_offset", F.lit(0)).alias("_cs_offset"))
+    return (
+        local.join(F.broadcast(offsets), "_cs_pid")
+        .withColumn(name, (F.col("_cs_offset") + F.col("_cs_local")).cast("long"))
+        .drop("_cs_pid", "_cs_local", "_cs_offset")
+    )
+
+
 def row_id() -> Column:
     """Synthetic unique id (ref ``DS_cust_lifetime_value.py:166``).
 

@@ -75,12 +75,13 @@ DRIVER_ORDER: list[str] = [
     "hot_keys_events",          # top-k via sort+limit, no global window
     "integrity_orphans",        # orders anti-join no longer broadcast
     "embedding_normalized",     # EMB_DIM assertion added
-    "lsh_buckets",              # module changed (EMB_DIM interpolation)
-    "ann_topk_lsh",
-    "ivf_topk",
-    "embedding_near_pairs",
-    "embedding_near_pairs_lsh",
+    "ann_topk_lsh",             # multi-table rework
+    "ivf_topk",                 # nprobe rework
     "decontaminate",            # llm_dedup module changed
+    # -- new in round 4 (first driver check) -----------------------------
+    "sequence_packing",
+    "blocklist_scrub",
+    "embedding_quantize_int8",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

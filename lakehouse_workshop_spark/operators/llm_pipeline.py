@@ -242,3 +242,64 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+PACK_WINDOW_TOKENS = 512
+
+
+@query(
+    "sequence_packing",
+    tier=2,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_WINDOW_TOKENS} AS INT) AS start_window,
+           CAST((cum - 1) // {PACK_WINDOW_TOKENS} AS INT) AS end_window,
+           CAST((cum - 1) // {PACK_WINDOW_TOKENS}
+                - (cum - n_tokens) // {PACK_WINDOW_TOKENS} + 1 AS INT) AS n_windows
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate the corpus token
+    stream in doc_id order and cut it into fixed {PACK_WINDOW_TOKENS}-token
+    context windows — each doc maps to the window span
+    [start_window, end_window] its tokens land in (the standard
+    concat-then-chunk packing; docs straddle window boundaries by design,
+    no padding waste).
+
+    Scale: the only global object is the running token count, computed
+    with the two-pass range-partitioned cumsum
+    (``functions.exprs.global_cumsum`` — same construction as
+    ``global_row_number``): no stage ever holds the corpus in one
+    partition, unlike the textbook ``Window.orderBy`` cumsum. The oracle
+    computes the identical sum with a plain window (DuckDB's single
+    process has no partition-collapse hazard).
+    """
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    c = global_cumsum(toks, "n_tokens", "doc_id", name="cum")
+    w = PACK_WINDOW_TOKENS
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST((cum - n_tokens) div {w} AS INT)").alias("start_window"),
+        F.expr(f"CAST((cum - 1) div {w} AS INT)").alias("end_window"),
+        F.expr(
+            f"CAST((cum - 1) div {w} - (cum - n_tokens) div {w} + 1 AS INT)"
+        ).alias("n_windows"),
+    )

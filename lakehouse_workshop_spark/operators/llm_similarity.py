@@ -697,3 +697,73 @@ def embedding_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "val"
         ),
     )
+
+
+# int8 symmetric per-vector quantization: scale = max|x| / 127, codes =
+# round-half-up(x / scale) — the storage form an ANN index actually ships
+# (4x smaller than f32, 8x than f64). floor(x/s + 0.5) instead of ROUND
+# so the half-rule is bit-identical across engines (ROUND is half-up in
+# Spark, half-even in some engines).
+QUANT_LEVELS = 127
+
+
+@query(
+    "embedding_quantize_int8",
+    tier=2,
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP}),
+    s AS (
+        SELECT vec_id, emb,
+               GREATEST(list_max(list_transform(emb, x -> ABS(x))) / {QUANT_LEVELS}.0,
+                        1e-30) AS qs
+        FROM e
+    )
+    SELECT vec_id,
+           ROUND(qs, 9) AS qscale,
+           CAST(list_sum(list_transform(emb,
+                    x -> CAST(FLOOR(x / qs + 0.5) AS BIGINT))) AS BIGINT)
+               AS code_sum,
+           list_max(list_transform(emb,
+                    x -> ABS(FLOOR(x / qs + 0.5) * qs - x))) <= qs * 0.5 + 1e-12
+               AS recon_ok
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the compression step a 100 TB vector store applies before indexing
+    (scale in f32/f64, codes in int8; reconstruction x̂ = code · scale).
+
+    Emission is the value-checkable contract: the per-vector scale
+    (deterministic max/127), the code checksum (order-independent sum —
+    pins every code without emitting an array column the driver
+    comparator rejects), and ``recon_ok`` asserting the reconstruction
+    error bound |x̂ - x| <= scale/2 that symmetric rounding guarantees —
+    the oracle recomputes all three from the same parquet.
+
+    Scale: one narrow codegen pass per vector (two folds + a transform),
+    no shuffle, no Python.
+    """
+    _emb_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH e AS ({_SPARK_PREP}),
+        s AS (
+            SELECT vec_id, emb,
+                   GREATEST(aggregate(emb, 0.0D, (a, x) -> GREATEST(a, ABS(x)))
+                                / {QUANT_LEVELS}.0D,
+                            1e-30D) AS qs
+            FROM e
+        )
+        SELECT vec_id,
+               ROUND(qs, 9) AS qscale,
+               aggregate(emb, 0L,
+                         (a, x) -> a + CAST(FLOOR(x / qs + 0.5) AS BIGINT))
+                   AS code_sum,
+               aggregate(emb, 0.0D,
+                         (a, x) -> GREATEST(a, ABS(FLOOR(x / qs + 0.5) * qs - x)))
+                   <= qs * 0.5D + 1e-12D
+                   AS recon_ok
+        FROM s
+        """
+    )

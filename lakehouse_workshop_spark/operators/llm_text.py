@@ -389,3 +389,52 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_tokens"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_share"),
     )
+
+
+# Deny-list scrubbing: the content-filter shape every training corpus
+# runs (toxic/PII/secret term lists). Token-exact matching (not regex)
+# so both engines transform the identical split — the list here stands
+# in for a real blocklist.
+BLOCKLIST = ("customer", "vector")
+_BLOCK_SQL = "('" + "', '".join(BLOCKLIST) + "')"
+BLOCK_MARK = "[BLOCKED]"
+
+
+@query(
+    "blocklist_scrub",
+    tier=2,
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> t IN {_BLOCK_SQL})) AS BIGINT)
+               AS n_blocked,
+           array_to_string(
+               list_transform(toks,
+                   t -> CASE WHEN t IN {_BLOCK_SQL}
+                             THEN '{BLOCK_MARK}' ELSE t END), ' ')
+               AS text_scrubbed
+    FROM s
+    """,
+)
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list term scrubbing: replace blocklisted tokens with
+    ``{BLOCK_MARK}`` and count hits per document — the redaction pass a
+    corpus runs for secrets/PII/deny-listed terms before training. Exact
+    token matching over the whitespace split, so the scrub is
+    deterministic and dialect-identical (no regex-engine divergence).
+
+    Scale: one narrow codegen pass (split → transform → array_join), no
+    shuffle; the blocklist is a literal IN-list — a real 10⁴-term list
+    would broadcast as a lookup join on exploded tokens instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size(filter(split(text, ' '), t -> t IN {_BLOCK_SQL})) AS BIGINT)"
+        " AS n_blocked",
+        f"array_join(transform(split(text, ' '),"
+        f" t -> CASE WHEN t IN {_BLOCK_SQL} THEN '{BLOCK_MARK}' ELSE t END), ' ')"
+        " AS text_scrubbed",
+    )

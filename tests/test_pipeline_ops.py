@@ -119,3 +119,100 @@ def test_salted_join_matches_plain_join_on_skewed_data(spark):
 
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_join_salt" in plan  # the shuffle key includes the salt
+
+
+# --- round-4 additions ------------------------------------------------------
+
+
+def test_global_cumsum_matches_single_partition(spark):
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+
+    df = spark.range(0, 1000, 1, 16).select(
+        F.col("id").alias("k"), (F.col("id") % 17 + 1).alias("v")
+    )
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, "v", "k", name="cum").collect()
+    }
+    want = {
+        r.k: r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("v")
+            .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sequence_packing_partitions_token_stream(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        PACK_WINDOW_TOKENS,
+        sequence_packing,
+    )
+
+    rows = sequence_packing(spark, sf_dir).orderBy("doc_id").collect()
+    total = sum(r.n_tokens for r in rows)
+    # windows cover the stream exactly: last window index = (total-1)//W
+    assert max(r.end_window for r in rows) == (total - 1) // PACK_WINDOW_TOKENS
+    assert min(r.start_window for r in rows) == 0
+    # doc spans are contiguous in doc order: next doc starts in the same
+    # window the previous ended in, or the next one
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_window in (prev.end_window, prev.end_window + 1)
+        assert cur.n_windows == cur.end_window - cur.start_window + 1
+
+
+def test_blocklist_scrub_removes_all_blocked_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.operators.llm_text import (
+        BLOCKLIST,
+        BLOCK_MARK,
+        blocklist_scrub,
+    )
+    from lakehouse_workshop_spark.catalog import load_table
+
+    out = blocklist_scrub(spark, sf_dir)
+    # no blocklisted token survives; token count is preserved
+    bad = out.filter(
+        F.arrays_overlap(
+            F.split("text_scrubbed", " "),
+            F.array(*[F.lit(t) for t in BLOCKLIST]),
+        )
+    ).count()
+    assert bad == 0
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    mism = (
+        out.select("doc_id", F.size(F.split("text_scrubbed", " ")).alias("m"))
+        .join(docs, "doc_id")
+        .filter("m <> n")
+        .count()
+    )
+    assert mism == 0
+    # the corpus genuinely exercises the scrub
+    assert out.agg(F.sum("n_blocked")).collect()[0][0] > 0
+    # scrub marks appear exactly n_blocked times
+    marked = out.filter(F.col("n_blocked") > 0).limit(5).collect()
+    for r in marked:
+        assert r.text_scrubbed.split(" ").count(BLOCK_MARK) == r.n_blocked
+
+
+def test_embedding_quantize_reconstruction_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        embedding_quantize_int8,
+    )
+
+    out = embedding_quantize_int8(spark, sf_dir).cache()
+    assert out.filter(~F.col("recon_ok")).count() == 0
+    assert out.filter(F.col("qscale") <= 0).count() == 0
+    out.unpersist()
