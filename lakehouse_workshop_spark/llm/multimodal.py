@@ -4,11 +4,13 @@ Pattern: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python row-by-row.
 
-The actual media decode is STUBBED (no image/audio libs in this container):
-``decode_image`` raises ``NotImplementedError`` unless a decoder is
-injected; ``extract_features_batch`` uses a deterministic md5-based fake
-"feature extractor" so the Spark-side plumbing — schema, batch iterator
-shape, partition sizing — is fully real and testable.
+Decode status: binary PPM (P6) decodes NATIVELY (pure-numpy codec below —
+real decode executes in this container, distributed, via the
+``image_decode_stats`` query over engine-synthesized PPM payloads). Every
+other format (JPEG/PNG/audio/video) still needs an injected codec —
+``decode_image`` raises ``NotImplementedError`` for those, explicitly.
+``extract_features_batch`` keeps a deterministic md5-based fake "feature
+extractor" so the batch plumbing is oracle-checkable end-to-end.
 
 Scale posture: mapInPandas streams Arrow record batches, so peak memory per
 task is one batch (tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -53,15 +55,53 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# --- built-in PPM (P6) codec ------------------------------------------------
+# The one raster format decodable with numpy alone (no codec libs ship in
+# this container): binary PPM = "P6\n<w> <h>\n<maxval>\n" + raw RGB bytes.
+# encode_ppm writes the canonical header; decode_ppm parses exactly that
+# canonical form (no comment lines — this engine writes its own payloads).
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an HxWx3 uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode a canonical binary PPM (P6) payload to an HxWx3 uint8 array."""
+    import numpy as np
+
+    if not payload.startswith(PPM_MAGIC):
+        raise ValueError("not a binary PPM (P6) payload")
+    magic, dims, maxval, raster = bytes(payload).split(b"\n", 3)
+    w, h = (int(x) for x in dims.split())
+    if int(maxval) != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
-    """Decode an image payload. The container ships no codec; callers inject
-    one (e.g. PIL.Image.open) — otherwise this is an explicit stub."""
-    if decoder is None:
-        raise NotImplementedError(
-            "no image codec in this environment — inject decoder=PIL.Image.open "
-            "(or equivalent) when available"
-        )
-    return decoder(payload)
+    """Decode an image payload.
+
+    PPM (P6) decodes natively via :func:`decode_ppm` (pure numpy — really
+    executes in this container; exercised distributed by the
+    ``image_decode_stats`` query). Any other format needs an injected
+    codec (e.g. ``PIL.Image.open``) — without one this raises, explicitly.
+    """
+    if decoder is not None:
+        return decoder(payload)
+    if bytes(payload[:2]) == PPM_MAGIC:
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "no codec for this format in this environment — inject "
+        "decoder=PIL.Image.open (or equivalent) when available"
+    )
 
 
 def _fake_feature(digest: bytes, dim: int = 4) -> list[float]:
@@ -108,6 +148,50 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature-extraction operator: Arrow-batched mapInPandas over payloads."""
     return media.mapInPandas(extract_features_batch, schema=FEATURE_SCHEMA)
+
+
+PPM_SIDE = 8  # synthesized images are PPM_SIDE x PPM_SIDE RGB
+
+
+def media_ppm_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL image table from ``documents``: each doc becomes an
+    8×8 RGB binary-PPM payload whose 192 pixel bytes are md5(text) repeated
+    12× — deterministic, so SQL can recompute any pixel statistic from the
+    digest hex without decoding. Payloads are genuine P6 files (header +
+    raster) that :func:`decode_ppm` — or any external viewer — decodes.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_px_bytes = PPM_SIDE * PPM_SIDE * 3  # 192 = 12 x 16 digest bytes
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reps = n_px_bytes // 16
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = np.frombuffer(digest * reps, dtype=np.uint8).reshape(
+                    PPM_SIDE, PPM_SIDE, 3
+                )
+                payloads.append(encode_ppm(pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "width": PPM_SIDE,
+                    "height": PPM_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)
 
 
 # --- resize / frame-sample plumbing ---------------------------------------

@@ -77,11 +77,14 @@ DRIVER_ORDER: list[str] = [
     "embedding_normalized",     # EMB_DIM assertion added
     "ann_topk_lsh",             # multi-table rework
     "ivf_topk",                 # nprobe rework
-    "decontaminate",            # llm_dedup module changed
+    # (decontaminate's r4 change was docstring-only — ADVICE reword; its
+    # r03-green row still vouches for the unchanged semantics, so its slot
+    # goes to the new image_decode_stats query instead.)
     # -- new in round 4 (first driver check) -----------------------------
     "sequence_packing",
     "blocklist_scrub",
     "embedding_quantize_int8",
+    "image_decode_stats",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

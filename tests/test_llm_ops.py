@@ -92,6 +92,43 @@ def test_decode_image_is_explicit_stub():
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
 
 
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    payload = encode_ppm(pixels)
+    assert payload.startswith(b"P6\n3 5\n255\n")
+    np.testing.assert_array_equal(decode_ppm(payload), pixels)
+    # decode_image dispatches P6 natively, no injected codec needed
+    np.testing.assert_array_equal(decode_image(payload), pixels)
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG not a ppm")
+
+
+def test_ppm_media_decodes_to_digest_pixels(spark, sf_dir):
+    """The synthesized PPM payloads are genuine P6 files whose raster is
+    md5(text) repeated — decode must reproduce exactly those bytes."""
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_ppm,
+        media_ppm_from_documents,
+    )
+
+    media = media_ppm_from_documents(spark, sf_dir).limit(5).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in media:
+        arr = decode_ppm(r.payload)
+        assert arr.shape == (8, 8, 3)
+        digest = hashlib.md5(docs[r.media_id].encode()).digest()
+        assert arr.tobytes() == digest * 12
+
+
 def test_resize_stub_stamps_dims(spark, sf_dir):
     from lakehouse_workshop_spark.llm.multimodal import (
         media_from_documents,
