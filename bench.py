@@ -65,6 +65,11 @@ HEADLINE = [
     "sequence_packing",
     "blocklist_scrub",
     "embedding_quantize_int8",
+    "image_decode_stats",
+    "vocab_coverage",
+    "chunk_dedup",
+    "pii_redact",
+    "semantic_dedup",
 ]
 
 
@@ -127,6 +132,9 @@ PROBE_QUERIES = [
     "repetition_ratio",
     "decontaminate",
     "ngram_jaccard_pairs_capped",
+    "chunk_dedup",
+    "pii_redact",
+    "semantic_dedup",
 ]
 PROBE_REPLICAS = 10
 

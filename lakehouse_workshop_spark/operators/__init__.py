@@ -71,20 +71,26 @@ DRIVER_ORDER: list[str] = [
     "clv_segment_rollup",       # decimal-sum + fixture-backed oracle
     "order_percentiles_approx", # new bounded-error boolean emission
     "ivf_topk_kmeans",          # new recall-contract emission, nprobe=8
-    "near_dup_clusters",        # checksum convergence probe
-    "hot_keys_events",          # top-k via sort+limit, no global window
-    "integrity_orphans",        # orders anti-join no longer broadcast
-    "embedding_normalized",     # EMB_DIM assertion added
     "ann_topk_lsh",             # multi-table rework
     "ivf_topk",                 # nprobe rework
-    # (decontaminate's r4 change was docstring-only — ADVICE reword; its
-    # r03-green row still vouches for the unchanged semantics, so its slot
-    # goes to the new image_decode_stats query instead.)
+    # Deferred to r5 (window is full at 50; each is value-pinned by pytest
+    # oracle parity at sf0.001+sf0.01 this round, and the r5 staleness rule
+    # will force them to lead the next window):
+    #   near_dup_clusters   — probe-only change, + randomized union-find
+    #                         differential test
+    #   hot_keys_events     — plan-only change (sort+limit), values equal
+    #   integrity_orphans   — plan-only change (broadcast flag)
+    #   embedding_normalized— assertion added, values unchanged
+    #   decontaminate       — docstring-only ADVICE reword
     # -- new in round 4 (first driver check) -----------------------------
     "sequence_packing",
     "blocklist_scrub",
     "embedding_quantize_int8",
     "image_decode_stats",
+    "vocab_coverage",
+    "chunk_dedup",
+    "pii_redact",
+    "semantic_dedup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -775,3 +775,81 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _docs_view(spark, sf_dir)
     return spark.sql(_decontaminate_sql(_SPARK_SHINGLES, _SPARK_DOC_PCT))
+
+
+# --- chunk-level dedup (CCNet-style) ---------------------------------------
+# Paragraph/chunk-grain dedup: the corpus's repeated boilerplate spans are
+# removed INSIDE documents while the documents themselves survive. Chunks
+# are fixed-width non-overlapping character windows (the synthetic corpus
+# has no newlines; with real text the splitter would be '\n\n'-grain).
+CHUNK_DEDUP_CHARS = 80
+
+
+def _chunk_dedup_sql(explode_fn: str, seq_fn: str) -> str:
+    """Dialect-shared chunk-dedup plan. ``explode_fn``/``seq_fn`` are the
+    dialect spellings (Spark ``explode``/``sequence``, DuckDB
+    ``unnest``/``generate_series``); the ordered reassembly aggregate is
+    patched per dialect by the caller.
+
+    A chunk occurrence is canonical iff it is the first occurrence of its
+    exact text corpus-wide (ROW_NUMBER over (doc_id, offset) per chunk
+    key); later occurrences are dropped and each doc is reassembled from
+    its surviving chunks in offset order.
+    """
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id, s,
+               substr(text, s + 1, {CHUNK_DEDUP_CHARS}) AS ct
+        FROM (
+            SELECT doc_id, text,
+                   {explode_fn}({seq_fn}(0, GREATEST(length(text) - 1, 0),
+                                         {CHUNK_DEDUP_CHARS})) AS s
+            FROM documents
+        )
+    ),
+    marked AS (
+        SELECT doc_id, s, ct,
+               ROW_NUMBER() OVER (PARTITION BY md5(ct)
+                                  ORDER BY doc_id, s) AS occ
+        FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN occ = 1 THEN ct END, '' ORDER BY s),
+                    '') AS clean_text,
+           CAST(COUNT(CASE WHEN occ = 1 THEN 1 END) AS BIGINT)
+               AS n_kept_chunks,
+           CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS BIGINT)
+               AS n_dropped_chunks
+    FROM marked
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "chunk_dedup",
+    tier=2,
+    oracle=_chunk_dedup_sql("unnest", "generate_series"),
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style chunk-grain dedup: drop every repeated chunk except its
+    first occurrence corpus-wide and reassemble each document from what
+    survives — removes boilerplate (headers, license blocks, navigation)
+    without dropping whole documents the way doc-level dedup does.
+
+    Canonicalization is deterministic: occurrences of a chunk rank by
+    (doc_id, offset), so reruns and cluster sizes can't change which copy
+    wins.
+
+    Scale: explode is a narrow row-expander; the only exchange keys on
+    md5(chunk) — uniform by construction — and the reassembly groupBy
+    keys on doc_id. Both shuffles move the corpus once; no pairwise
+    comparison anywhere (this is exact dedup at chunk grain, the
+    `dedup_exact` shape applied below document granularity).
+    """
+    _docs_view(spark, sf_dir)
+    spark_sql = _chunk_dedup_sql("explode", "sequence").replace(
+        "string_agg(CASE WHEN occ = 1 THEN ct END, '' ORDER BY s)",
+        "array_join(transform(array_sort(collect_list(CASE WHEN occ = 1 THEN"
+        " struct(s, ct) END)), x -> x.ct), '')",
+    )
+    return spark.sql(spark_sql)

@@ -303,3 +303,69 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((cum - 1) div {w} - (cum - n_tokens) div {w} + 1 AS INT)"
         ).alias("n_windows"),
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+# The regex-scrub pass a corpus runs before training. The synthetic corpus
+# carries no organic PII, so deterministic spans (1-3 emails + one phone,
+# derived from doc_id) are woven in first — the redaction machinery
+# (Java-regex regexp_replace / regexp_extract_all, both JVM codegen) then
+# runs against genuine PII-shaped strings and the oracle re-derives the
+# same spans to check every replacement and count.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+_PII_RAW_SPARK = (
+    "text || repeat(' user' || CAST(doc_id AS STRING) || '@mail.example',"
+    " CAST(1 + doc_id % 3 AS INT))"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+_PII_RAW_DUCK = (
+    "text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail.example',"
+    " CAST(1 + doc_id % 3 AS INT))"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "pii_redact",
+    tier=2,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(raw, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g') AS text_redacted
+    FROM (SELECT doc_id, {_PII_RAW_DUCK} AS raw FROM documents)
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find and mask email addresses and phone numbers,
+    emitting per-doc hit counts alongside the scrubbed text — the
+    regex-grade privacy pass (complement of the exact-token
+    ``blocklist_scrub`` and the key-level ``pseudonymize_users``).
+
+    Scale: one narrow codegen pass — two regexp_replace + two
+    regexp_extract_all over each row, no shuffle, no Python. Patterns are
+    deliberately RE2-compatible (character classes + bounded repeats, no
+    backtracking constructs) so the same scrub runs on any engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_PII_RAW_SPARK).alias("raw"))
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("text_redacted"),
+    )

@@ -767,3 +767,95 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
         """
     )
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+# Embedding-space dedup: cluster, then inside each cluster drop every
+# vector that is near-identical (cosine >= threshold) to a vector that
+# ranks more central — the "keep one representative per semantic
+# duplicate group" pass (Abbas et al., SemDeDup, arXiv:2303.09540),
+# simplified to a deterministic rank-based keep rule so the whole pass is
+# value-checkable: within a cluster the keeper of a duplicate pair is
+# always the one closer to the centroid (ties by vec_id).
+SEM_DEDUP_THRESHOLD = 0.4
+
+
+def _semantic_assign_sql(prep: str, cos: str, centroid_filter: str) -> str:
+    """Assignment stage (dialect-shared): broadcast-size centroid set ->
+    per-vector argmax cluster assignment -> within-cluster centrality
+    rank. Spark materializes this once (localCheckpoint) because the
+    verdict stage below reads it from three join sides — as an
+    unmaterialized CTE each reference would recompute the n × sqrt(n)
+    assignment cross join."""
+    return f"""
+    WITH e AS ({prep}),
+    cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {centroid_filter}),
+    cdist AS (
+        SELECT a.vec_id, b.cid,
+               ROUND({cos}, 6) AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
+        FROM e a JOIN cent b ON 1 = 1
+    )
+    SELECT e.vec_id, e.emb, e.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.cid
+                              ORDER BY c.ccos DESC, e.vec_id) AS crn
+    FROM e JOIN (SELECT vec_id, cid, ccos FROM cdist WHERE rn = 1) c
+      ON e.vec_id = c.vec_id
+    """
+
+
+def _semantic_verdict_body(assigned: str, cos: str) -> str:
+    """Verdict stage (dialect-shared, CTE body without the leading WITH so
+    callers can splice it into a larger CTE list): pairwise test ONLY
+    inside clusters (n^2/nlist work; nlist = sqrt(n) keeps the whole pass
+    O(n^1.5) like the IVF index build it mirrors). ``assigned`` is the
+    dialect's name for the materialized assignment relation."""
+    return f"""
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM {assigned} a JOIN {assigned} b
+          ON a.cid = b.cid AND b.crn < a.crn
+        WHERE ROUND({cos}, 6) >= {SEM_DEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid, CAST(a.crn AS INT) AS crn,
+           (d.vec_id IS NULL) AS kept
+    FROM {assigned} a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+def _semantic_dedup_sql(prep: str, cos: str, centroid_filter: str) -> str:
+    """Single-statement form (the DuckDB oracle; DuckDB materializes the
+    CTE so the multi-reference cost Spark pays does not apply)."""
+    return f"""
+    WITH sem_assigned AS ({_semantic_assign_sql(prep, cos, centroid_filter)}),
+    {_semantic_verdict_body("sem_assigned", cos)}
+    """
+
+
+@query(
+    "semantic_dedup",
+    tier=2,
+    oracle=_semantic_dedup_sql(_DUCK_PREP, _DUCK_COS, _IVF_CENTROIDS),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding table: every
+    vector gets its cluster (deterministic seeded centroids, same index
+    shape as ``ivf_topk``), a within-cluster centrality rank, and a
+    ``kept`` verdict — False iff a more-central member of the same
+    cluster sits within cosine {SEM_DEDUP_THRESHOLD} of it.
+
+    Scale: centroids are a broadcast-size table (sqrt(n) rows); the only
+    quadratic work is inside clusters — O(n^2/nlist) = O(n^1.5) total
+    with the sqrt(n) nlist — and the pair join is an equi-join on cid, so
+    AQE can split a skewed cluster. Swapping seeded centroids for KMeans
+    (as ``ivf_topk_kmeans`` does) keeps the identical plan.
+    """
+    _emb_view(spark, sf_dir)
+    assigned = spark.sql(
+        _semantic_assign_sql(_SPARK_PREP, _SPARK_COS, _IVF_CENTROIDS)
+    ).localCheckpoint(eager=False)
+    assigned.createOrReplaceTempView("sem_assigned")
+    return spark.sql(
+        "WITH " + _semantic_verdict_body("sem_assigned", _SPARK_COS)
+    )

@@ -438,3 +438,72 @@ def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" t -> CASE WHEN t IN {_BLOCK_SQL} THEN '{BLOCK_MARK}' ELSE t END), ' ')"
         " AS text_scrubbed",
     )
+
+
+VOCAB_TOP = 100
+
+
+@query(
+    "vocab_coverage",
+    tier=2,
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT tok,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(cnt) OVER (), 6) AS coverage
+    FROM tf
+    QUALIFY rank <= {VOCAB_TOP}
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-{VOCAB_TOP} tokens by corpus
+    frequency with their cumulative share of all tokens — the tokenizer
+    sizing / Zipf-diagnostic a pretraining pipeline runs before committing
+    to a vocab. ``coverage`` at rank k answers "what fraction of the token
+    stream do the k most frequent types cover".
+
+    Scale: explode → map-side-combined (token) count shrinks the corpus to
+    the type vocabulary; the global rank and running sum over that vocab
+    run as the two-pass range-partitioned ``global_row_number`` /
+    ``global_cumsum`` — web-scale corpora have billions of distinct types,
+    so a bare ``Window.orderBy`` single-partition rank is exactly the
+    cliff this avoids. The grand total joins back as a broadcast scalar.
+    """
+    from lakehouse_workshop_spark.functions.exprs import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_row_number(
+        tf, F.col("cnt").desc(), F.col("tok").asc(), name="rank"
+    )
+    cum = global_cumsum(ranked, "cnt", F.col("rank"), name="cum_count")
+    total = tf.agg(F.sum("cnt").cast("double").alias("_total"))
+    return (
+        cum.filter(F.col("rank") <= VOCAB_TOP)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            "rank",
+            "cum_count",
+            F.round(F.col("cum_count") / F.col("_total"), 6).alias("coverage"),
+        )
+    )

@@ -325,3 +325,106 @@ def test_decontaminate_flags_planted_leak(spark, sf_dir):
     }
     assert plant_id in out
     assert out[plant_id] >= D.CONTAM_MIN_SHINGLES
+
+
+def test_chunk_dedup_conserves_chunks_and_keeps_first(spark, sf_dir):
+    """kept+dropped per doc equals the doc's chunk count, and a chunk text
+    seen in two docs survives only in the earlier (doc_id, offset)."""
+    import lakehouse_workshop_spark.operators.llm_dedup as D
+
+    out = D.chunk_dedup(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    C = D.CHUNK_DEDUP_CHARS
+    n_chunks = {
+        r.doc_id: max((len(r.text) - 1) // C + 1, 1) for r in docs.itertuples()
+    }
+    for r in out.itertuples():
+        assert r.n_kept_chunks + r.n_dropped_chunks == n_chunks[r.doc_id]
+    # at least one duplicate chunk exists in the synthetic corpus (docs
+    # repeat token soup) — and total kept chunk texts are unique
+    assert out["n_dropped_chunks"].sum() > 0
+    # reassembly: kept text length == sum of kept chunk lengths (no overlap)
+    chunks = {}
+    for r in docs.itertuples():
+        for s in range(0, max(len(r.text), 1), C):
+            ct = r.text[s : s + C]
+            chunks.setdefault(ct, []).append((r.doc_id, s))
+    first = {ct: min(occ) for ct, occ in chunks.items()}
+    expect_kept = {
+        d: sum(
+            1
+            for ct, occ in chunks.items()
+            for o in occ
+            if o == first[ct] and o[0] == d
+        )
+        for d in docs.doc_id
+    }
+    got_kept = dict(zip(out.doc_id, out.n_kept_chunks))
+    assert got_kept == expect_kept
+
+
+def test_vocab_coverage_is_monotone_zipf_head(spark, sf_dir):
+    import lakehouse_workshop_spark.operators.llm_text as T
+
+    out = (
+        T.vocab_coverage(spark, sf_dir).toPandas().sort_values("rank")
+    )
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert (out["cnt"].diff().dropna() <= 0).all()  # sorted by frequency
+    assert (out["coverage"].diff().dropna() > 0).all()  # strictly growing
+    assert out["coverage"].iloc[-1] <= 1.0
+    assert (out["cum_count"] == out["cnt"].cumsum()).all()
+
+
+def test_pii_redact_scrubs_every_span(spark, sf_dir):
+    import re
+
+    import lakehouse_workshop_spark.operators.llm_pipeline as P
+
+    out = P.pii_redact(spark, sf_dir).limit(50).toPandas()
+    email = re.compile(P.PII_EMAIL_RE)
+    phone = re.compile(P.PII_PHONE_RE)
+    for r in out.itertuples():
+        assert r.n_emails == 1 + r.doc_id % 3
+        assert r.n_phones == 1
+        assert not email.search(r.text_redacted)
+        assert not phone.search(r.text_redacted)
+        assert r.text_redacted.count("[EMAIL]") == r.n_emails
+        assert r.text_redacted.count("[PHONE]") == r.n_phones
+
+
+def test_semantic_dedup_keep_rule(spark, sf_dir):
+    """Every cluster keeps its most-central member, and every dropped
+    vector has a more-central kept-or-dropped neighbor within the
+    threshold (recomputed in numpy from the raw vectors)."""
+    import numpy as np
+
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+
+    out = S.semantic_dedup(spark, sf_dir).toPandas()
+    assert set(out.columns) == {"vec_id", "cid", "crn", "kept"}
+    # crn = 1 (the most-central member) is always kept
+    assert out[out.crn == 1]["kept"].all()
+    assert (~out["kept"]).sum() > 0  # threshold is not vacuous
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    by_cluster = {}
+    for r in out.itertuples():
+        by_cluster.setdefault(r.cid, []).append(r)
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r.crn)
+        for i, r in enumerate(rows):
+            better = [
+                b
+                for b in rows[:i]
+                if cos(emb[r.vec_id], emb[b.vec_id]) >= S.SEM_DEDUP_THRESHOLD
+            ]
+            assert r.kept == (not better), (r.vec_id, r.cid)
