@@ -201,20 +201,34 @@ def write_partitioned(
 
 
 # --- testdata loading -----------------------------------------------------
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one synthetic testdata table (TESTDATA.md).
-
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    default; read it as int64 nanos (legacy conf, runtime-settable) and
-    convert to a microsecond timestamp — matching DuckDB's own ns→µs
-    truncation so oracle comparisons stay exact.
+def decode_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TIMESTAMP regardless of how
+    the datagen encoded it. Observed encodings across driver rounds:
+    TIMESTAMP(NANOS) read as int64 nanos under the legacy conf (r1-r4
+    datagen) and native ``timestamp[us]`` read as TIMESTAMP_NTZ (r5
+    datagen). Both map onto microsecond TIMESTAMP — the ns branch
+    truncates exactly like DuckDB's own ns→µs cast, and the NTZ branch is
+    a value-preserving cast under the UTC session timezone — so oracle
+    comparisons stay exact either way.
     """
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic testdata table (TESTDATA.md)."""
+    if name == "events":
+        # Harmless when the file carries µs timestamps; required when it
+        # carries TIMESTAMP(NANOS), which Spark 4 otherwise refuses.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return decode_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -38,8 +38,11 @@ from pyspark.sql.types import (
 
 from lakehouse_workshop_spark.operators.completions import SESSION_GAP_SECONDS
 
-# events.parquet physical schema (ts stored as int64 nanos — see
-# catalog.load_table).
+# events.parquet physical schema with ts as int64 nanos (the r1-r4 datagen
+# encoding — see catalog.decode_events_ts). Newer datagen writes native µs
+# timestamps; _events_raw_schema probes the file footer and returns whichever
+# physical schema the file actually carries, since a stream source needs the
+# schema declared up front.
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -50,6 +53,12 @@ _EVENTS_RAW_SCHEMA = StructType(
         StructField("props", StringType(), True),
     ]
 )
+
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Physical schema of ``events.parquet`` (one footer read, no data scan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 # Stateful streaming creates one state store (RocksDB/HDFS dir + provider)
@@ -72,16 +81,17 @@ def _stream_shuffle(spark: SparkSession, n: int = _STREAM_SHUFFLE_PARTITIONS):
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from lakehouse_workshop_spark.catalog import decode_events_ts
+
     # The file stream source requires a directory; glob-filter to the events
     # file within the sf dir.
     raw = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_RAW_SCHEMA)
+        .schema(_events_raw_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return decode_events_ts(raw)
 
 
 def run_streaming_windowed_counts(

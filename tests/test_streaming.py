@@ -152,9 +152,9 @@ def test_sessionizer_state_carries_across_micro_batches(spark, sf_dir, tmp_path)
 
     from pyspark.sql import functions as F
 
-    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.catalog import decode_events_ts, load_table
     from lakehouse_workshop_spark.streaming.jobs import (
-        _EVENTS_RAW_SCHEMA,
+        _events_raw_schema,
         _stream_shuffle,
         sessionize_stateful,
         _session_fn,
@@ -163,26 +163,25 @@ def test_sessionizer_state_carries_across_micro_batches(spark, sf_dir, tmp_path)
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # Split raw events (int64-nanos ts, pre-decode schema) into 3 ts-ordered
+    # Split raw events (pre-decode physical schema) into 3 ts-ordered
     # files so each micro-batch is a contiguous time slice.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
     src = tmp_path / "split_events"
     src.mkdir()
     parts = raw.orderBy("ts").coalesce(1)
     n = raw.count()
     pdf = parts.toPandas().sort_values("ts")
     for i, chunk in enumerate((pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])):
-        spark.createDataFrame(chunk, schema=_EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+        spark.createDataFrame(chunk, schema=raw_schema).coalesce(1).write.parquet(
             str(src / f"slice={i}")
         )
 
-    stream = (
+    stream = decode_events_ts(
         spark.readStream.format("parquet")
-        .schema(_EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
         .load(str(src) + "/slice=*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _session_fn,
