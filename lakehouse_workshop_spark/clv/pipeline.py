@@ -201,7 +201,7 @@ def distributed_clv(
         rfm.repartitionByRange(n_groups, "GroupKey")
         .groupBy("GroupKey")
         .applyInPandas(body, schema=schema)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     _SCORED_CACHE[key] = scored
     return scored
 

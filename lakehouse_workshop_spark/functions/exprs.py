@@ -71,7 +71,7 @@ def global_row_number(df: DataFrame, *order: Column, name: str = "rank") -> Data
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_rank_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     local = stamped.withColumn(
         "_rank_local",
@@ -105,7 +105,7 @@ def global_cumsum(df: DataFrame, value: str, *order: Column | str, name: str = "
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_cs_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     local = stamped.withColumn(
         "_cs_local",

@@ -338,7 +338,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization is negligible next to the corpus.
     sigs = spark.sql(
         _minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[
@@ -510,7 +510,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the oracle's UNION ALL form).
     """
     _docs_view(spark, sf_dir)
-    fp = spark.sql(_spark_simhash_sql()).localCheckpoint(eager=False)
+    fp = spark.sql(_spark_simhash_sql()).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -629,7 +629,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
         e.select(F.col("u").alias("doc_id"))
         .union(e.select("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     def _ckpt_sig(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
         """Checkpoint the edge set and return ((checkpointed df), (count,
@@ -715,7 +715,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         minhash_lsh_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     return connected_components(edges)
 

@@ -403,7 +403,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id, e.emb, e.nrm, assign.cid
         FROM e JOIN assign ON e.vec_id = assign.vec_id
         """
-    ).localCheckpoint(eager=False).createOrReplaceTempView("ivf_clustered")
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ivf_clustered")
     return spark.sql(
         f"""
         WITH cent AS (SELECT vec_id AS cid, emb, nrm FROM ivf_clustered
@@ -564,7 +564,7 @@ def ivf_kmeans_search(
     assigned = (
         model.transform(vecs)
         .select("vec_id", "emb", "nrm", "cid")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     assigned.createOrReplaceTempView("ivf_kmeans_clustered")
     # Centroids leave the JVM once as a ≤√n-row literal table (the exact
@@ -854,7 +854,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_view(spark, sf_dir)
     assigned = spark.sql(
         _semantic_assign_sql(_SPARK_PREP, _SPARK_COS, _IVF_CENTROIDS)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     assigned.createOrReplaceTempView("sem_assigned")
     return spark.sql(
         "WITH " + _semantic_verdict_body("sem_assigned", _SPARK_COS)

@@ -225,7 +225,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DF derives from TF (one row per doc×term) — COUNT(*) there equals
     # COUNT(DISTINCT doc_id) over raw tokens, without re-exploding the
     # corpus or shuffling raw tokens a second time.
-    tf = tf.localCheckpoint(eager=False)
+    tf = tf.localCheckpoint(eager=True)
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()
     scored = tf.join(F.broadcast(df), "tok").select(

@@ -120,7 +120,7 @@ def hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     k = events.groupBy("user_id").agg(F.count("*").alias("c"))
-    k = k.localCheckpoint(eager=False)  # shared by top-k and the total
+    k = k.localCheckpoint(eager=True)  # shared by top-k and the total
     total = k.agg(F.sum("c").cast("long").alias("total"))
     from pyspark.sql import Window
 
