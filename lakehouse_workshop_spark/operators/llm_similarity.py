@@ -392,13 +392,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH e AS ({_SPARK_PREP}),
         cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {_IVF_CENTROIDS}),
+        -- argmax as a map-side-combinable max_by over (ccos, -cid): only n
+        -- best-so-far rows reach the shuffle, vs the window form's full
+        -- n*nlist sort. Ordering struct == the oracle window's ORDER BY
+        -- ccos DESC, cid — value parity preserved.
         assign AS (
-            SELECT vec_id, cid FROM (
-                SELECT a.vec_id, b.cid,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                          ORDER BY ROUND({_SPARK_COS}, 6) DESC, b.cid) AS rn
-                FROM e a JOIN cent b ON 1 = 1
-            ) WHERE rn = 1
+            SELECT vec_id,
+                   max_by(cid, named_struct('c', ccos, 'nc', -cid)) AS cid
+            FROM (SELECT a.vec_id, b.cid, ROUND({_SPARK_COS}, 6) AS ccos
+                  FROM e a JOIN cent b ON 1 = 1)
+            GROUP BY vec_id
         )
         SELECT e.vec_id, e.emb, e.nrm, assign.cid
         FROM e JOIN assign ON e.vec_id = assign.vec_id
