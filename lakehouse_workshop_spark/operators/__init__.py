@@ -17,80 +17,70 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 4. The driver's correctness pass
+# Explicit driver-pass order for round 5. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
 #   1. Every query whose latest driver row is >= 2 rounds old leads the
-#      window (positions 1-36 here: the 36 queries last verified in r02).
+#      window (positions 1-44 here: the 44 queries last verified in r03).
 #   2. Then every query whose registered source changed since its last
-#      driver row (positions 37-50: the r4 oracle-closure + ADVICE-fix
-#      queries — new emissions for the approx/CLV/recall contracts, plan
-#      changes for profiling, probe change for components).
-# Names absent from this list keep registration order behind it.
+#      driver row (positions 45-48: the r5 eager-checkpoint + argmax
+#      rewrites; the other three changed queries are already in the
+#      stale block).
+#   3. Remaining slots (2) go to new round-5 queries, appended below as
+#      they land. Names absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-36: latest driver row is r02 (max-staleness rule) -------------
-    "monthly_sales_1997",
-    "count_distinct_customers",
-    "count_distinct_customers_approx",  # also: new bounded-error emission
-    "customers_by_status",
-    "rfm_summary",
-    "distinct_parts",
-    "corr_frequency_monetary",
-    "orders_in_1995",
-    "customer_recast",
-    "order_value_buckets",
-    "top10_orders",
-    "frequency_bands",
-    "customer_value_bands",
-    "revenue_by_nation",
-    "top_customer_per_nation",
-    "active_or_rich_customers",
-    "sales_rollup",
-    "orders_pivot_status",
-    "sessionize_events",
-    "churned_customers",
-    "cumulative_monthly_revenue",
-    "event_props_agg",
-    "text_stats",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
+    # -- 1-44: latest driver row is r03 (max-staleness rule) -------------
+    "monthly_sales",
+    "profit_by_returnflag",
+    "rfm_summary_grouped",
+    "customers_ranked_by_spend",
+    "sales_cube",
+    "order_percentiles",
+    "customer_spend_quartiles",
+    "latest_order_asof_event",
+    "conversion_funnel",
+    "cohort_retention",
+    "merge_upsert_orders",
+    "clv_rfm_input",
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "streaming_enriched_counts",
+    "streaming_dedup",
+    "streaming_click_to_purchase",
+    "streaming_sessionize_flushed",
+    "session_window_batch",
+    "text_normalize",
+    "doc_chunks",
+    "repetition_ratio",
+    "train_val_test_split",
+    "stratified_sample",
+    "shard_assignments",
+    "corpus_clean",
+    "dedup_incremental",
+    "pseudonymize_users",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "decontaminate",
+    "embedding_near_pairs",
+    "lsh_buckets",
+    "embedding_near_pairs_lsh",
+    "embedding_normalized",
+    "multimodal_features",
+    "frame_samples",
+    "shipping_priority",
+    "local_supplier_volume",
+    "rolling_revenue_7d",
+    "customer_order_gaps",
+    "integrity_orphans",
+    "hot_keys_events",
+    "order_price_histogram",
+    # -- 45-48: r04-green but changed in round 5 (changed-source rule) ---
     "tfidf_top_terms",
-    "token_counts",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "minhash_signatures",
-    "simhash_fingerprints",
     "simhash_near_pairs",
-    "cosine_topk",
-    # -- 37-50: r03-green but changed in round 4 (changed-source rule) ---
-    "clv_distributed",          # new golden-fixture value-check emission
-    "clv_segment_rollup",       # decimal-sum + fixture-backed oracle
-    "order_percentiles_approx", # new bounded-error boolean emission
-    "ivf_topk_kmeans",          # new recall-contract emission, nprobe=8
-    "ann_topk_lsh",             # multi-table rework
-    "ivf_topk",                 # nprobe rework
-    # Deferred to r5 (window is full at 50; each is value-pinned by pytest
-    # oracle parity at sf0.001+sf0.01 this round, and the r5 staleness rule
-    # will force them to lead the next window):
-    #   near_dup_clusters   — probe-only change, + randomized union-find
-    #                         differential test
-    #   hot_keys_events     — plan-only change (sort+limit), values equal
-    #   integrity_orphans   — plan-only change (broadcast flag)
-    #   embedding_normalized— assertion added, values unchanged
-    #   decontaminate       — docstring-only ADVICE reword
-    # -- new in round 4 (first driver check) -----------------------------
-    "sequence_packing",
-    "blocklist_scrub",
-    "embedding_quantize_int8",
-    "image_decode_stats",
-    "vocab_coverage",
-    "chunk_dedup",
-    "pii_redact",
+    "ivf_topk",
     "semantic_dedup",
+    # -- 49-50: new in round 5 (first driver check) ----------------------
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

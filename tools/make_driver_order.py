@@ -77,6 +77,15 @@ def main() -> None:
     print(f"changed since manifest: {len(changed)}")
     print(f"  {changed}")
 
+    # Validate BEFORE writing: a write with a not-yet-rebuilt DRIVER_ORDER
+    # would refresh out-of-window hashes and silently swallow the changed
+    # list on the next run.
+    problems = sorted(set(stale + changed) - window)
+    if problems:
+        print(f"!! queries requiring a window slot but outside it: {problems}")
+        print("!! manifest NOT written — rebuild DRIVER_ORDER first")
+        sys.exit(1)
+
     manifest = {}
     for n in names:
         if n in window or n not in prev:
@@ -85,11 +94,6 @@ def main() -> None:
             manifest[n] = prev[n]
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST}")
-
-    problems = [n for n in stale + changed if n not in window]
-    if problems:
-        print(f"!! queries requiring a window slot but outside it: {problems}")
-        sys.exit(1)
 
 
 if __name__ == "__main__":
