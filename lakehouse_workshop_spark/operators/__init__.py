@@ -138,6 +138,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_similarity,
         llm_multimodal,
         olap_extras,
+        olap_tpch,
         profiling,
     )
 

@@ -1,0 +1,562 @@
+"""TPC-H-shaped OLAP operators, round 5 (engine extensions).
+
+Adds the remaining canonical warehouse query shapes the reference's users
+graduate to, adapted to the testdata schema (no partsupp / commitdate /
+shipmode columns, so Q2/Q4/Q21-family predicates are re-expressed over
+lineitem+orders): EXISTS / NOT EXISTS semi- and anti-joins, scalar
+subqueries against a global aggregate, argmin join-back, conditional
+(CASE) aggregation shares, disjunctive OR-of-ANDs predicates, and
+HAVING-filtered IN subqueries.
+
+Scale posture mirrors ``olap_extras``: dimensions broadcast, facts
+shuffle on their natural keys, date/brand filters sit in the scan, money
+sums accumulate in DECIMAL (``functions/exprs.py:dec_sum``) so partial
+aggregation order can never change a double, and every share/ratio is
+rounded to 6 dp in both dialects before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.functions.exprs import dec_sum
+from lakehouse_workshop_spark.operators import query
+
+Q14_LO, Q14_HI = "1996-01-01", "1997-01-01"
+Q4_LATE_DAYS = 90
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+Q8_NATION, Q8_REGION = "NATION_3", "REGION_0"
+Q10_LO, Q10_HI = "1996-01-01", "1996-07-01"
+Q11_FRACTION = 0.042
+Q18_QTY = 250
+Q22_CUTOFF = "2000-01-01"
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "promo_revenue_monthly",
+    tier=2,
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS month,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST({_REV} AS DECIMAL(38,4))
+                         ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST({_REV} AS DECIMAL(38,4))) AS DOUBLE),
+                 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= '{Q14_LO}' AND l_shipdate < '{Q14_HI}'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) by month: percent of revenue from
+    PROMO-type parts.
+
+    Plan shape: part projects to (partkey, type) and broadcasts into the
+    date-pruned lineitem scan; the conditional share is two DECIMAL sums
+    in ONE aggregation pass (no self-join, no second scan). 12 output
+    rows — the final exchange is trivial.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_LO) & (F.col("l_shipdate") < Q14_HI)
+    )
+    rev = F.expr(_REV)
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev.cast("decimal(38,4)"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(rev.cast("decimal(38,4)")).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "late_shipment_priority",
+    tier=2,
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= '{Q14_LO}' AND o_orderdate < '{Q14_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no commitdate column): orders per priority class
+    with at least one line item shipped ≥{Q4_LATE_DAYS} days after the
+    order date — the canonical EXISTS → left-semi-join shape.
+
+    Plan shape: the correlated EXISTS plans as a LeftSemi shuffle join on
+    orderkey (each side scan-pruned first); the semi-join emits each
+    order at most once, so no DISTINCT pass is needed. 5 output rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q14_LO) & (F.col("o_orderdate") < Q14_HI)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "volume_shipping",
+    tier=2,
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST({_REV} AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+        OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+      AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between a nation pair, both directions,
+    by year — the double-sided dimension join.
+
+    Plan shape: supplier and customer each broadcast-join their nation
+    row FIRST (filtering to the two nations cuts both early), then
+    broadcast into the fact joins; only orders⨝lineitem shuffles. The
+    nation-pair disjunction is applied once on the joined names, after
+    each side was already pruned to the 2-nation subset.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(F.expr(_REV), scale=4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "market_share",
+    tier=2,
+    oracle=f"""
+    SELECT l_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                         THEN rev ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS l_year,
+               sn.n_name AS supp_nation,
+               CAST({_REV} AS DECIMAL(38,4)) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = '{Q8_REGION}'
+    )
+    GROUP BY l_year ORDER BY l_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of revenue sold into a
+    customer region, by order year.
+
+    Plan shape: region⨝nation collapses to a broadcast nationkey filter
+    on customer; the supplier side broadcast-joins its nation name; the
+    share is a single conditional-aggregation pass (no second scan of the
+    joined facts). Output is one row per year.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    cn = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.expr(_REV).cast("decimal(38,4)")
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "top_returned_customers",
+    tier=2,
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST({_REV} AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= '{Q10_LO}' AND o_orderdate < '{Q10_HI}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter
+    (two-quarter window here for row volume).
+
+    Plan shape: both date and returnflag predicates push into the scans;
+    customer⨝nation broadcasts; orders⨝lineitem shuffles on orderkey;
+    the top-20 is TakeOrderedAndProject over the aggregated set.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_LO) & (F.col("o_orderdate") < Q10_HI)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_sum(F.expr(_REV), scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "nation_revenue_share",
+    tier=2,
+    oracle=f"""
+    WITH nat_rev AS (
+        SELECT n_name,
+               SUM(CAST({_REV} AS DECIMAL(38,4))) AS rev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+    FROM nat_rev
+    WHERE CAST(rev AS DOUBLE) >
+          (SELECT CAST(SUM(rev) AS DOUBLE) * {Q11_FRACTION} FROM nat_rev)
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): supplier nations contributing
+    more than {Q11_FRACTION:.1%} of global lineitem revenue — the
+    HAVING-against-a-scalar-subquery shape.
+
+    Plan shape: ONE aggregation produces the 25-row per-nation set; the
+    global total derives from that tiny set (re-aggregated, not a second
+    fact scan) and joins back as a 1-row broadcast cross join.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_rev = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_REV).cast("decimal(38,4)")).alias("rev"))
+        .localCheckpoint(eager=True)  # read by both the filter and the total
+    )
+    total = nat_rev.agg(
+        (F.sum("rev").cast("double") * Q11_FRACTION).alias("cut")
+    )
+    return (
+        nat_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev").cast("double") > F.col("cut"))
+        .select("n_name", F.col("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "min_cost_supplier",
+    tier=2,
+    oracle="""
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_price
+    FROM (
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               ROUND(l_extendedprice / l_quantity, 6) AS unit_price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY ROUND(l_extendedprice / l_quantity, 6), s_suppkey
+               ) AS rn
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size <= 10
+    )
+    WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp: observed unit price from lineitem
+    stands in for ps_supplycost): for each small part, the supplier that
+    shipped it cheapest per unit — the argmin join-back shape.
+
+    Plan shape: the argmin is ``min_by`` over (price, suppkey) structs —
+    map-side partial aggregation, one shuffle of one best-row struct per
+    part, no window sort of the full join (the oracle keeps the window
+    form; the ordering struct reproduces its tie-break exactly).
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    best = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min_by(
+                F.struct("s_suppkey", "s_name", "unit_price"),
+                F.struct("unit_price", "s_suppkey"),
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("best.s_suppkey").alias("s_suppkey"),
+        F.col("best.s_name").alias("s_name"),
+        F.col("best.unit_price").alias("unit_price"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "big_quantity_orders",
+    tier=2,
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY})
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds {Q18_QTY} units,
+    with their customer — the IN-over-grouped-HAVING shape.
+
+    Plan shape: the HAVING subquery aggregates lineitem once (partial
+    map-side sum first) to a small key set that left-semi-joins back into
+    the fact; customer broadcasts. l_quantity is integral-valued double,
+    so the plain SUM is exact and order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+        .select("l_orderkey", "total_qty")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "dormant_rich_customers",
+    tier=2,
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '{Q22_CUTOFF}')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (every synthetic customer has orders, so "never
+    ordered" becomes "no order since {Q22_CUTOFF}"): above-average-balance
+    customers gone dormant, counted per nation — scalar subquery plus
+    NOT EXISTS anti-join.
+
+    Plan shape: the balance average is a 1-row broadcast cross join; the
+    NOT EXISTS is a left-anti shuffle join against the date-pruned orders
+    scan; nation broadcasts. 25 output rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_CUTOFF
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dec_sum(F.col("c_acctbal"), scale=4).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    tier=2,
+    oracle=f"""
+    SELECT CAST(SUM(CAST({_REV} AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate spanning both join
+    sides — the disjunctive-pushdown shape.
+
+    Plan shape: Catalyst distributes the disjunction: the p_brand IN
+    (...) and l_quantity range envelopes push into their respective
+    scans as PushedFilters, the exact OR-of-ANDs applies after the
+    broadcast join. One aggregate row out.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dec_sum(F.expr(_REV), scale=4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
