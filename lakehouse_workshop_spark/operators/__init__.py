@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_multimodal,
         olap_extras,
         olap_tpch,
+        llm_quality,
         profiling,
     )
 

@@ -1,0 +1,239 @@
+"""Corpus-quality and sampling operators for LLM data pipelines (round 5).
+
+Four additions a training-data pipeline runs between dedup and sharding:
+per-source balancing (cap any one domain's share of the corpus), unigram
+language-model scoring (the classic cheap fluency/quality signal), robust
+length-outlier detection (median/MAD, not mean/stddev, so the detector
+itself survives the outliers it hunts), and per-label embedding centroids
+(the build step for nearest-centroid classification and cluster-balanced
+sampling).
+
+Scale posture: everything is one or two hash aggregations over the
+corpus. The per-source window partitions by source (bounded fan-in per
+partition — source cardinality is the parallelism, and a skewed source
+is exactly the thing the cap then removes); the unigram join shuffles on
+token with AQE handling the Zipf head; centroids reduce n×d values to
+|labels|×d with map-side partial aggregation. Double sums that feed
+cross-engine hashes accumulate in DECIMAL (order-independent), and LN is
+only ever applied to integers both engines see identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.operators import query
+from lakehouse_workshop_spark.operators.llm_similarity import EMB_DIM
+
+SOURCE_CAP = 120
+OUTLIER_MADS = 3.0
+
+
+@query(
+    "source_balanced_sample",
+    tier=2,
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {SOURCE_CAP}
+    ORDER BY source, doc_id
+    """,
+)
+def source_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (domain) at {SOURCE_CAP} documents, picking a
+    deterministic hash-ordered sample — the per-domain balancing pass
+    that stops one crawl host from dominating the training mix.
+
+    Scale: the window partitions by source, so state per task is one
+    counter per source; the md5 rank (not "first N by doc_id") makes the
+    kept set invariant to input order and cluster size. A skew-heavy
+    source is bounded by the cap itself — the window emits at most
+    {SOURCE_CAP} rows per source regardless of input skew.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "unigram_lm_score",
+    tier=2,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(LN(c) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)
+                 - CAST(LN(MAX(t)) AS DOUBLE), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram model — the classic cheap fluency score (gibberish and
+    boilerplate both sit in the tails).
+
+    avg_logprob = mean(ln c(tok)) − ln(total): algebraically identical to
+    mean(ln(c/total)) but LN only ever sees the integer count and the
+    integer total — both engines evaluate LN on identical inputs, and the
+    per-token sum accumulates in DECIMAL so partition order can't move
+    the double.
+
+    Scale: two shuffles (vocab build, then token⨝vocab on the Zipf-
+    skewed token key — AQE splits the head words); the 1-row total
+    broadcasts. The vocab table is corpus-bounded, never collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c")).cast("decimal(38,8)")).cast("double")
+                / F.count("*")
+                - F.log(F.max("t")).cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "docs_length_outliers",
+    tier=2,
+    oracle=f"""
+    WITH med AS (
+        SELECT quantile_cont(n_chars, 0.5) AS med FROM documents
+    ),
+    mad AS (
+        SELECT MAX(med) AS med,
+               quantile_cont(ABS(n_chars - med), 0.5) AS mad
+        FROM documents CROSS JOIN med
+    )
+    SELECT doc_id, n_chars,
+           ROUND(ABS(n_chars - med) / (mad + 1.0), 6) AS robust_z
+    FROM documents CROSS JOIN mad
+    WHERE ABS(n_chars - med) > {OUTLIER_MADS} * (mad + 1.0)
+    ORDER BY robust_z DESC, doc_id
+    """,
+)
+def docs_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose length deviates from the corpus median by more
+    than {OUTLIER_MADS} MADs — the robust filter for truncated fragments
+    and concatenation blobs (median/MAD, unlike mean/stddev, is not
+    itself dragged by the outliers; +1 in the denominator keeps a
+    degenerate zero-MAD corpus from flagging everything).
+
+    Scale: two exact-median passes over the single n_chars column (at
+    100 TB swap ``percentile`` for ``approx_percentile`` — same plan,
+    sketch-bounded memory) and a final scan with the 1-row stats
+    broadcast. n_chars and the medians are integer/half-integer, exact
+    in double, so the cross-engine compare is safe.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    mad = (
+        docs.crossJoin(F.broadcast(med))
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(ABS(n_chars - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("n_chars") - F.col("med"))
+            > OUTLIER_MADS * (F.col("mad") + 1.0)
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.abs(F.col("n_chars") - F.col("med")) / (F.col("mad") + 1.0), 6
+            ).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "doc_id")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    tier=2,
+    oracle=f"""
+    WITH dims AS (
+        -- EMB_DIM interpolated (DuckDB's generate_series can't be lateral
+        -- over len(embedding)); the Spark side posexplodes the REAL array,
+        -- so a datagen dim change shows up as a dim-column mismatch, not a
+        -- silent divergence.
+        SELECT label, g.i - 1 AS pos, embedding[g.i] AS val
+        FROM embeddings,
+             generate_series(1, {EMB_DIM}) AS g(i)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM dims GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, one row per (label, component) — the
+    build step for nearest-centroid topic assignment and cluster-balanced
+    sampling (re-assembled into a broadcast array table by the consumer).
+
+    Scale: posexplode fans n vectors into n×{EMB_DIM} (pos, val) rows
+    that partial-aggregate map-side down to |labels|×{EMB_DIM} — the
+    shuffle carries only the reduced set. Component sums accumulate in
+    DECIMAL(38,12) so the float additions are order-independent, then
+    round to 6 dp in both dialects. n_vectors doubles as the dim guard:
+    the Spark side explodes the real array, so a datagen dim change
+    mismatches the oracle's {EMB_DIM}-bounded series loudly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        dims.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("v"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
