@@ -80,7 +80,11 @@ DRIVER_ORDER: list[str] = [
     "simhash_near_pairs",
     "ivf_topk",
     "semantic_dedup",
-    # -- 49-50: new in round 5 (first driver check) ----------------------
+    # -- 49-50: new in round 5 (first driver check; the two with the
+    # trickiest cross-engine numerics — the rest of the r5 additions are
+    # pytest-parity-pinned and rotate in next round) ---------------------
+    "unigram_lm_score",
+    "embedding_label_centroids",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

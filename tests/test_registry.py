@@ -32,21 +32,36 @@ def test_driver_order_is_duplicate_free_and_registered():
 
 
 def test_window_union_covers_every_registered_query():
-    """Every registered query has a driver row already (any recorded round)
-    or sits in the upcoming window — nothing ships without a check."""
+    """Every registered query has a driver row already (any recorded round),
+    sits in the upcoming window, or is brand-new this round (recorded as
+    pending in the manifest — the staleness test hardens that grace to
+    exactly one round). Nothing ships unverified for more than a round."""
     files = _correctness_files()
     if not files:
         return
     seen: set[str] = set()
+    max_round = 0
     for path in files:
         seen |= set(json.load(open(path)))
+        max_round = max(
+            max_round, int(os.path.basename(path).split("_r")[1].split(".")[0])
+        )
     names = list(ops.all_queries())
     window = set(names[:DRIVER_WINDOW])
-    uncovered = [n for n in names if n not in seen and n not in window]
+    manifest_path = "/root/repo/tools/driver_manifest.json"
+    manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
+    uncovered = [
+        n
+        for n in names
+        if n not in seen
+        and n not in window
+        and manifest.get(n, {}).get("first_seen_round", 0) <= max_round
+    ]
     assert not uncovered, (
-        "registered queries with no driver row in ANY recorded round AND "
-        f"outside the current {DRIVER_WINDOW}-entry window: {uncovered} — "
-        "move them into DRIVER_ORDER's window or they ship unverified"
+        "registered queries with no driver row in ANY recorded round, outside "
+        f"the current {DRIVER_WINDOW}-entry window, and older than this round: "
+        f"{uncovered} — move them into DRIVER_ORDER's window or they ship "
+        "unverified"
     )
 
 
@@ -68,11 +83,27 @@ def test_stale_queries_lead_the_window():
         return
     names = list(ops.all_queries())
     window = set(names[:DRIVER_WINDOW])
+    manifest_path = "/root/repo/tools/driver_manifest.json"
+    manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
+    # Verified-before queries go overdue when their row is >= 2 rounds old;
+    # never-verified queries go overdue after waiting one full round (a
+    # registry larger than the window makes rotation inevitable, so
+    # brand-new queries may wait exactly one round, no more).
     overdue = [
-        n for n in names if latest.get(n, 0) < max_round and n not in window
+        n
+        for n in names
+        if n not in window
+        and (
+            0 < latest.get(n, 0) < max_round
+            or (
+                latest.get(n, 0) == 0
+                and manifest.get(n, {}).get("first_seen_round", max_round + 1)
+                <= max_round
+            )
+        )
     ]
     assert not overdue, (
-        f"queries whose latest driver row predates r{max_round:02d} but are "
+        f"queries whose driver coverage violates the staleness rule and are "
         f"outside the {DRIVER_WINDOW}-entry window: {overdue} — rebuild "
         "DRIVER_ORDER with tools/make_driver_order.py"
     )

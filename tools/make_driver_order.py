@@ -64,7 +64,22 @@ def main() -> None:
     latest, max_round = latest_rows()
 
     prev = json.load(open(MANIFEST)) if MANIFEST.exists() else {}
-    stale = [n for n in names if latest.get(n, 0) < max_round]
+    # Three slot-demanding classes (a registry larger than the window makes
+    # rotation inevitable; these are the rows that may NOT wait):
+    #   stale   — verified before, but the row is >= 2 rounds old
+    #   pending — registered a full round ago and never yet verified
+    #   changed — source differs from the hash its last row vouched for
+    # Brand-new queries (first registered this round) may wait one round;
+    # they enter the manifest as pending and harden next round.
+    stale = [
+        n for n in names if 0 < latest.get(n, 0) < max_round
+    ]
+    pending = [
+        n
+        for n in names
+        if latest.get(n, 0) == 0
+        and prev.get(n, {}).get("first_seen_round", max_round + 1) <= max_round
+    ]
     changed = [
         n
         for n in names
@@ -74,13 +89,14 @@ def main() -> None:
           f"latest driver round: r{max_round:02d}")
     print(f"stale (latest row < r{max_round:02d}): {len(stale)}")
     print(f"  {stale}")
+    print(f"pending (never verified, registered <= r{max_round:02d}): {pending}")
     print(f"changed since manifest: {len(changed)}")
     print(f"  {changed}")
 
     # Validate BEFORE writing: a write with a not-yet-rebuilt DRIVER_ORDER
     # would refresh out-of-window hashes and silently swallow the changed
     # list on the next run.
-    problems = sorted(set(stale + changed) - window)
+    problems = sorted(set(stale + pending + changed) - window)
     if problems:
         print(f"!! queries requiring a window slot but outside it: {problems}")
         print("!! manifest NOT written — rebuild DRIVER_ORDER first")
@@ -88,10 +104,23 @@ def main() -> None:
 
     manifest = {}
     for n in names:
-        if n in window or n not in prev:
-            manifest[n] = {"hash": source_hash(queries[n]), "window_round": max_round + 1}
+        first_seen = prev.get(n, {}).get("first_seen_round", max_round + 1)
+        if n in window:
+            manifest[n] = {
+                "hash": source_hash(queries[n]),
+                "window_round": max_round + 1,
+                "first_seen_round": first_seen,
+            }
+        elif n not in prev:
+            # New this round, outside the window: record as pending — the
+            # next run hard-requires a slot for it.
+            manifest[n] = {
+                "hash": source_hash(queries[n]),
+                "window_round": None,
+                "first_seen_round": max_round + 1,
+            }
         else:
-            manifest[n] = prev[n]
+            manifest[n] = {**prev[n], "first_seen_round": first_seen}
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST}")
 
