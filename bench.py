@@ -70,6 +70,21 @@ HEADLINE = [
     "chunk_dedup",
     "pii_redact",
     "semantic_dedup",
+    # round 5: TPC-H-shape module + corpus-quality module
+    "promo_revenue_monthly",
+    "late_shipment_priority",
+    "volume_shipping",
+    "market_share",
+    "top_returned_customers",
+    "nation_revenue_share",
+    "min_cost_supplier",
+    "big_quantity_orders",
+    "dormant_rich_customers",
+    "disjunctive_part_revenue",
+    "source_balanced_sample",
+    "unigram_lm_score",
+    "docs_length_outliers",
+    "embedding_label_centroids",
 ]
 
 
@@ -135,6 +150,8 @@ PROBE_QUERIES = [
     "chunk_dedup",
     "pii_redact",
     "semantic_dedup",
+    "unigram_lm_score",
+    "embedding_label_centroids",
 ]
 PROBE_REPLICAS = 10
 
