@@ -200,6 +200,133 @@ def write_partitioned(
     df.write.format("parquet").mode(mode).partitionBy(*cols).saveAsTable(name)
 
 
+# --- Z-order clustering (multi-column data skipping) -----------------------
+ZORDER_BITS = 16
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Morton (Z-order) key column over ``cols``: each column is
+    rank-normalized to a ``bits``-bit integer via its global min/max, and
+    the bit planes are interleaved so files sorted by the key are
+    clustered in EVERY listed dimension at once.
+
+    This is the standard lakehouse data-skipping lever (Delta OPTIMIZE
+    ZORDER BY, Iceberg sort orders): a single-column sort gives perfect
+    min/max pruning on one column and none on the others; the Z-key
+    trades a little per-column locality for usable pruning on all of
+    them. Linear scaling per column keeps the key rank-correlated with
+    each source column, which is all parquet min/max skipping needs.
+
+    Scale: min/max come from one tiny aggregate (at 100 TB: file-footer
+    metadata); the key itself is a narrow per-row expression — no
+    shuffle beyond the final range partition of the write.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    # Interleave: output bit (b * n_cols + i) carries column i's bit b.
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast(
+                "long"
+            ),
+        )
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` to ``path`` clustered by the Z-order key of ``cols``:
+    range-partition on the key (files own disjoint key ranges) and sort
+    within each file, so every listed column's parquet min/max stats are
+    tight enough to skip most files on a selective filter."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_zkey", zorder_key(df, cols, bits))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+# --- compaction (small-file maintenance) -----------------------------------
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    preserve_order_by: str | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files and
+    return (files_before, files_after).
+
+    The lakehouse maintenance pass every streaming/incremental sink needs:
+    micro-batch writes accumulate kB-sized files whose per-file open/
+    footer cost eventually dominates scans. Sizing from the directory's
+    actual byte size (not file count) keeps the rewrite correct whether
+    the small files are many-and-tiny or few-and-large. The rewrite is
+    one narrow coalesce job — no shuffle — unless ``preserve_order_by``
+    asks for a range-partitioned re-sort (then it's one exchange, and the
+    compacted files also get tight min/max stats on that column).
+    """
+    import math
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if preserve_order_by:
+        out = df.repartitionByRange(n_out, preserve_order_by).sortWithinPartitions(
+            preserve_order_by
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    # Atomic-ish swap: parquet readers resolve the directory at scan time.
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = len(
+        [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+    )
+    return len(files), after
+
+
 # --- testdata loading -----------------------------------------------------
 def decode_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a session-tz TIMESTAMP regardless of how

@@ -9,8 +9,11 @@ views (DS:67,122-128) → DDL/describe (DE:23-24, DS:72) → pandas round-trip
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     FloatType,
     IntegerType,
@@ -189,3 +192,92 @@ def test_forced_delta_format_reaches_source_resolution(spark, csv_path, monkeypa
     with pytest.raises(Exception, match="(?i)delta"):
         cat.write_table(df, "default.delta_probe_tbl")
     cat.drop_table(spark, "default.delta_probe_tbl")
+
+
+# --- Z-order clustering + compaction (lakehouse maintenance) ---------------
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    """A Z-ordered rewrite must give usable per-file min/max pruning on
+    BOTH clustering columns; a single-column sort only prunes its own
+    column. Assert with the parquet footers: for each dimension, a
+    mid-range point predicate must overlap strictly fewer z-ordered files
+    than the worst dimension of the single-sort layout."""
+    import pyarrow.parquet as pq
+
+    orders = cat.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    cat.write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sdir)
+    )
+
+    def overlaps(d, col, point):
+        hits = 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st = md.row_group(0).column(sch[col]).statistics
+            mn, mx = st.min, st.max
+            for rg in range(1, md.num_row_groups):
+                s2 = md.row_group(rg).column(sch[col]).statistics
+                mn, mx = min(mn, s2.min), max(mx, s2.max)
+            if mn <= point <= mx:
+                hits += 1
+        return hits
+
+    mid_cust = orders.agg(F.expr("percentile(o_custkey, 0.5)")).collect()[0][0]
+    mid_price = orders.agg(F.expr("percentile(o_totalprice, 0.5)")).collect()[0][0]
+    z_worst = max(
+        overlaps(zdir, "o_custkey", mid_cust),
+        overlaps(zdir, "o_totalprice", mid_price),
+    )
+    s_worst = max(
+        overlaps(sdir, "o_custkey", mid_cust),
+        overlaps(sdir, "o_totalprice", mid_price),
+    )
+    # single-sort: the unsorted dim overlaps every file (8); z-order must
+    # beat that on its worst dim.
+    assert s_worst == 8
+    assert z_worst < s_worst
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "frag")
+    orders = cat.load_table(spark, sf_dir, "orders")
+    orders.repartition(20).write.parquet(path)
+    n = orders.count()
+    before, after = cat.compact_files(spark, path, target_file_bytes=1 << 30)
+    assert before == 20 and after == 1
+    assert spark.read.parquet(path).count() == n
+
+
+def test_compact_files_preserve_order_keeps_stats_tight(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "frag2")
+    orders = cat.load_table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(path)
+    cat.compact_files(
+        spark, path, target_file_bytes=1, preserve_order_by="o_orderdate"
+    )
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) > 1
+    # range-partitioned files own disjoint o_orderdate ranges
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(sch["o_orderdate"]).statistics
+        spans.append((st.min, st.max))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
