@@ -85,6 +85,7 @@ HEADLINE = [
     "unigram_lm_score",
     "docs_length_outliers",
     "embedding_label_centroids",
+    "topic_assign",
 ]
 
 

@@ -237,3 +237,88 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+def _topic_assign_spark_sql() -> str:
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, label AS true_label, pos, CAST(val AS DOUBLE) AS val
+        FROM (SELECT vec_id, label, posexplode(embedding) AS (pos, val)
+              FROM embeddings)
+    ),
+    {_TOPIC_ASSIGN_BODY}
+    """
+
+
+def _topic_assign_duck_sql() -> str:
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, label AS true_label, g.i - 1 AS pos,
+               CAST(embedding[g.i] AS DOUBLE) AS val
+        FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+    ),
+    {_TOPIC_ASSIGN_BODY}
+    """
+
+
+# Dialect-shared body: centroid build -> component join -> cosine ->
+# per-vector argmax via the rank window (ROW_NUMBER is portable; the
+# Spark optimizer turns the 10-row-per-vec rank into a cheap window over
+# the already-reduced score set).
+_TOPIC_ASSIGN_BODY = """
+    cent AS (
+        SELECT true_label AS label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS v
+        FROM dims GROUP BY true_label, pos
+    ),
+    cnorm AS (
+        SELECT label, SQRT(SUM(v * v)) AS nrm FROM cent GROUP BY label
+    ),
+    vnorm AS (
+        SELECT vec_id, SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,12)))
+                                 AS DOUBLE)) AS nrm
+        FROM dims GROUP BY vec_id
+    ),
+    scores AS (
+        SELECT d.vec_id, MAX(d.true_label) AS true_label, c.label,
+               ROUND(CAST(SUM(CAST(d.val * c.v AS DECIMAL(38,12))) AS DOUBLE)
+                     / (MAX(vn.nrm) * MAX(cn.nrm)), 6) AS cosine
+        FROM dims d
+        JOIN cent c ON d.pos = c.pos
+        JOIN vnorm vn ON d.vec_id = vn.vec_id
+        JOIN cnorm cn ON c.label = cn.label
+        GROUP BY d.vec_id, c.label
+    ),
+    ranked AS (
+        SELECT vec_id, true_label, label AS assigned_label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, label) AS rn
+        FROM scores
+    )
+    SELECT vec_id, true_label, assigned_label, cosine,
+           (assigned_label = true_label) AS matches_label
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("topic_assign", tier=2, oracle=_topic_assign_duck_sql())
+def topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid topic assignment: build per-label centroids from
+    the labeled vectors, then assign every vector to its most-similar
+    centroid (cosine) — the cluster-then-route pass a pipeline uses to
+    stratify or rebalance a corpus by topic, with ``matches_label`` as
+    the built-in self-consistency signal.
+
+    Scale: the component join fans n×dim rows against |labels|×dim
+    centroid components — an equi-join on pos (dim-bounded), partial-
+    aggregated map-side down to n×|labels| scored rows before the
+    shuffle. All sums accumulate in DECIMAL; the cosine rounds to 6 dp
+    in both dialects before the argmax rank, so the assignment itself is
+    cross-engine deterministic.
+    """
+    # Spread the single-row-group scan so the component join parallelizes
+    # (same rationale as llm_similarity._emb_view).
+    load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("embeddings")
+    return spark.sql(_topic_assign_spark_sql())
