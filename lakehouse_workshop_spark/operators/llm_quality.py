@@ -239,13 +239,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topic_assign_spark_sql() -> str:
+def _topic_assign_spark_sql(dims_rel: str = "topic_dims") -> str:
+    """Spark splice: ``dims`` is a pre-materialized relation (the body
+    reads it from three aggregation branches; as an inline CTE each would
+    re-explode the corpus — same multi-read pattern as semantic_dedup)."""
     return f"""
-    WITH dims AS (
-        SELECT vec_id, label AS true_label, pos, CAST(val AS DOUBLE) AS val
-        FROM (SELECT vec_id, label, posexplode(embedding) AS (pos, val)
-              FROM embeddings)
-    ),
+    WITH dims AS (SELECT * FROM {dims_rel}),
     {_TOPIC_ASSIGN_BODY}
     """
 
@@ -321,4 +320,15 @@ def topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView("embeddings")
+    # Materialize the exploded component set once: cent, vnorm and the
+    # score join all read it (eager — a lazy checkpoint lets the three
+    # branches race partition materialization and re-explode the corpus).
+    dims = spark.sql(
+        """
+        SELECT vec_id, label AS true_label, pos, CAST(val AS DOUBLE) AS val
+        FROM (SELECT vec_id, label, posexplode(embedding) AS (pos, val)
+              FROM embeddings)
+        """
+    ).localCheckpoint(eager=True)
+    dims.createOrReplaceTempView("topic_dims")
     return spark.sql(_topic_assign_spark_sql())
