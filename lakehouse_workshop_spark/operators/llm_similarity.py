@@ -867,6 +867,30 @@ def _semantic_dedup_sql(prep: str, cos: str, centroid_filter: str) -> str:
     """
 
 
+def _sem_verdict_batch(pdf):
+    """Per-cluster verdict as one BLAS matmul (runs inside applyInPandas).
+
+    Reproduces the SQL pair join's semantics exactly: sort by centrality
+    rank, normalized Gram matrix, round to 6 dp, drop row i iff any j
+    with crn_j < crn_i has cosine >= threshold (strict lower triangle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("crn")
+    m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+    sims = np.round(m @ m.T, 6)
+    dropped = np.tril(sims >= SEM_DEDUP_THRESHOLD, k=-1).any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cid": pdf["cid"].to_numpy(),
+            "crn": pdf["crn"].to_numpy(),
+            "kept": ~dropped,
+        }
+    )
+
+
 @query(
     "semantic_dedup",
     tier=2,
@@ -881,15 +905,38 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: centroids are a broadcast-size table (sqrt(n) rows); the only
     quadratic work is inside clusters — O(n^2/nlist) = O(n^1.5) total
-    with the sqrt(n) nlist — and the pair join is an equi-join on cid, so
-    AQE can split a skewed cluster. Swapping seeded centroids for KMeans
-    (as ``ivf_topk_kmeans`` does) keeps the identical plan.
+    with the sqrt(n) nlist. The verdict stage is the one place in the
+    engine where the built-in operators genuinely can't express the
+    efficient form: as a SQL self-join each of the Σc² within-cluster
+    pairs pays an interpreted 64-element fold (measured 25s of a 32s
+    10×-probe run, dominated by one skewed 1389-member cluster); as a
+    per-cluster Arrow batch it is ONE BLAS Gram matmul
+    (``applyInPandas`` over the cid shuffle — measured ~20× faster, and
+    the shape a GPU cluster would use). The DuckDB oracle keeps the
+    pair-join form, pinning the matmul's 6-dp-rounded semantics
+    cross-engine. Memory per task is one cluster's matrix (√n×d —
+    cap nlist growth or sub-cluster if a single cluster outgrows an
+    executor). Swapping seeded centroids for KMeans (as
+    ``ivf_topk_kmeans`` does) keeps the identical plan.
     """
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     _emb_view(spark, sf_dir)
     assigned = spark.sql(
         _semantic_assign_spark_sql(_SPARK_PREP, _SPARK_COS, _IVF_CENTROIDS)
-    ).localCheckpoint(eager=True)
-    assigned.createOrReplaceTempView("sem_assigned")
-    return spark.sql(
-        "WITH " + _semantic_verdict_body("sem_assigned", _SPARK_COS)
     )
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", LongType()),
+            StructField("crn", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    return assigned.groupBy("cid").applyInPandas(_sem_verdict_batch, out_schema)
