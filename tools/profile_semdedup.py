@@ -13,6 +13,13 @@ sys.path.insert(0, "/root/repo")
 from lakehouse_workshop_spark import get_spark  # noqa: E402
 
 
+def force(df):
+    """Force FULL evaluation. Never time with .count(): Catalyst can
+    eliminate provably-cardinality-neutral joins under COUNT (it did —
+    and hid the 25s pair-join stage this file exists to measure)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def t(label, fn):
     t0 = time.time()
     out = fn()
@@ -29,23 +36,23 @@ def main():
     probe = bench._probe_dir(spark, sf_dir)
     from lakehouse_workshop_spark.operators import llm_similarity as sim
 
-    t("full semantic_dedup (cold)", lambda: sim.semantic_dedup(spark, probe).count())
-    t("full semantic_dedup (warm)", lambda: sim.semantic_dedup(spark, probe).count())
+    t("full semantic_dedup (cold)", lambda: force(sim.semantic_dedup(spark, probe)))
+    t("full semantic_dedup (warm)", lambda: force(sim.semantic_dedup(spark, probe)))
 
     # Stage 1: assignment alone
     sim._emb_view(spark, probe)
     assigned = spark.sql(
         sim._semantic_assign_sql(sim._SPARK_PREP, sim._SPARK_COS, sim._IVF_CENTROIDS)
     )
-    t("assignment only", lambda: assigned.count())
+    t("assignment only", lambda: force(assigned))
     chk = assigned.localCheckpoint(eager=False)
-    t("assignment localCheckpoint materialize", lambda: chk.count())
+    t("assignment localCheckpoint materialize", lambda: force(chk))
     chk.createOrReplaceTempView("sem_assigned_prof")
 
     verdict = spark.sql(
         "WITH " + sim._semantic_verdict_body("sem_assigned_prof", sim._SPARK_COS)
     )
-    t("verdict over checkpointed assigned", lambda: verdict.count())
+    t("verdict over checkpointed assigned", lambda: force(verdict))
 
     # cluster size distribution
     spark.sql(
