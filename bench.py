@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_length_outliers",
     "embedding_label_centroids",
     "topic_assign",
+    "corpus_quality_funnel",
 ]
 
 

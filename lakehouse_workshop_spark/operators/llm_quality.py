@@ -332,3 +332,61 @@ def topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     dims.createOrReplaceTempView("topic_dims")
     return spark.sql(_topic_assign_spark_sql())
+
+
+# Funnel gates, in pipeline order. Each stage is a WHERE clause over the
+# stage before it; the query reports survivors per stage so a mix change
+# (new crawl, new filter threshold) shows up as a step-curve diff, not a
+# mystery row-count delta at the end of the pipeline.
+FUNNEL_LANG = "en"
+FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS = 80, 520
+FUNNEL_MIN_TTR = 0.55
+
+
+def _funnel_sql(split_fn: str, distinct_fn: str, len_fn: str) -> str:
+    return f"""
+    WITH raw AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    dedup AS (
+        SELECT * FROM raw
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM raw GROUP BY md5(text))
+    ),
+    lang_gate AS (SELECT * FROM dedup WHERE lang = '{FUNNEL_LANG}'),
+    len_gate AS (
+        SELECT * FROM lang_gate
+        WHERE n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}
+    ),
+    ttr_gate AS (
+        SELECT * FROM len_gate
+        WHERE CAST({len_fn}({distinct_fn}({split_fn}(text, ' '))) AS DOUBLE)
+              / {len_fn}({split_fn}(text, ' ')) >= {FUNNEL_MIN_TTR}
+    )
+    SELECT 1 AS stage_no, 'raw' AS stage, COUNT(*) AS docs FROM raw
+    UNION ALL SELECT 2, 'dedup_exact', COUNT(*) FROM dedup
+    UNION ALL SELECT 3, 'lang_{FUNNEL_LANG}', COUNT(*) FROM lang_gate
+    UNION ALL SELECT 4, 'length_band', COUNT(*) FROM len_gate
+    UNION ALL SELECT 5, 'ttr_floor', COUNT(*) FROM ttr_gate
+    ORDER BY stage_no
+    """
+
+
+@query(
+    "corpus_quality_funnel",
+    tier=2,
+    oracle=_funnel_sql("string_split", "list_distinct", "len"),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel as one query: exact dedup → language
+    gate → length band → type-token-ratio floor, reporting survivors at
+    every stage. The per-stage counts are the observability contract a
+    data pipeline alerts on (a collapsing stage = a filter or upstream
+    mix regression).
+
+    Scale: each gate is a narrow filter; the dedup stage is the only
+    shuffle (md5 group → min doc_id semi-join, the dedup_keep_canonical
+    shape). The five counts partial-aggregate independently; Spark runs
+    the chain as one job with the shared scan reused. 5 output rows.
+    """
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    return spark.sql(_funnel_sql("split", "array_distinct", "size"))
