@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "topic_assign",
     "corpus_quality_funnel",
+    "click_attribution",
 ]
 
 

@@ -477,3 +477,77 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         cohort.alias("cohort"), months_since.alias("months_since")
     ).agg(F.count_distinct("o_custkey").alias("n_active"))
+
+
+ATTR_WINDOW_SECONDS = 3600
+
+
+@query(
+    "click_attribution",
+    tier=2,
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           COUNT(c.ts) AS n_clicks, MAX(c.ts) AS last_click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_SECONDS} SECOND
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the clicks by the same
+    user in the preceding {ATTR_WINDOW_SECONDS}s — the canonical
+    event-time RANGE join.
+
+    Scale shape: the naive inequality join plans as a per-user nested
+    loop (quadratic in events-per-user, and a BroadcastNestedLoopJoin
+    the moment the condition has no equi-part). This form buckets both
+    sides into window-sized time bins and explodes each purchase into
+    its own and the preceding bin — candidates come from a plain
+    (user_id, bin) shuffle EQUI-join with a bounded fan-out of 2, then
+    the exact range predicate filters. Skewed users shard across bins,
+    and AQE can split a hot (user, bin). The DuckDB oracle runs the
+    naive inequality join, pinning the bucketed rewrite's semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = ATTR_WINDOW_SECONDS
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.floor(F.unix_timestamp("ts") / win).alias("p_bin"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.floor(F.unix_timestamp("ts") / win).alias("c_bin"),
+    )
+    cand = purchases.withColumn(
+        "bin", F.explode(F.array(F.col("p_bin"), F.col("p_bin") - 1))
+    ).join(
+        clicks,
+        (F.col("c_user") == F.col("user_id")) & (F.col("c_bin") == F.col("bin")),
+        "left",
+    )
+    # The range predicate lives in the AGGREGATION, not a post-join filter:
+    # a filter would drop a purchase entirely when all its bin-candidates
+    # miss the window, where the oracle's left join keeps it with 0 clicks.
+    # Each click belongs to exactly one bin, so counting across the two
+    # exploded purchase copies can't double-count.
+    in_range = (
+        F.col("click_ts").isNotNull()
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {win} SECOND"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return (
+        cand.groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.count(F.when(in_range, F.col("click_ts"))).alias("n_clicks"),
+            F.max(F.when(in_range, F.col("click_ts"))).alias("last_click_ts"),
+        )
+        .orderBy("purchase_id")
+    )
