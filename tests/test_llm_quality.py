@@ -1,0 +1,85 @@
+"""Semantic invariants for the round-5 corpus-quality / OLAP-shape
+operators — properties the DuckDB parity hash can't express (monotonicity,
+caps, ordering relations), pinned at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_workshop_spark.operators import llm_quality as Q
+from lakehouse_workshop_spark.operators import completions as C
+from lakehouse_workshop_spark.operators.olap_tpch import min_cost_supplier
+
+
+def test_funnel_is_monotone_nonincreasing(spark, sf_dir):
+    rows = (
+        Q.corpus_quality_funnel(spark, sf_dir)
+        .orderBy("stage_no")
+        .select("docs")
+        .collect()
+    )
+    counts = [r.docs for r in rows]
+    assert len(counts) == 5
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
+
+
+def test_source_cap_is_hard_and_deterministic(spark, sf_dir):
+    out = Q.source_balanced_sample(spark, sf_dir)
+    per_source = out.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= Q.SOURCE_CAP for r in per_source)
+    # deterministic: two independent builds pick the identical doc set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in Q.source_balanced_sample(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_unigram_lm_score_is_nonpositive_and_total(spark, sf_dir):
+    out = Q.unigram_lm_score(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs  # every doc scored (no token joins lost)
+    # ln(c/total) <= 0 always; strict < 0 unless a doc's every token is
+    # the entire corpus
+    assert all(r.avg_logprob <= 0 for r in rows)
+
+
+def test_topic_assign_covers_every_vector_once(spark, sf_dir):
+    out = Q.topic_assign(spark, sf_dir)
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    # the argmax cosine is a valid cosine
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_click_attribution_window_semantics(spark, sf_dir):
+    out = C.click_attribution(spark, sf_dir).collect()
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(out) == n_purchases  # zero-click purchases retained
+    for r in out:
+        assert r.n_clicks >= 0
+        if r.last_click_ts is not None:
+            assert r.last_click_ts < r.purchase_ts
+            delta = (r.purchase_ts - r.last_click_ts).total_seconds()
+            assert delta <= C.ATTR_WINDOW_SECONDS
+
+
+def test_min_cost_supplier_is_true_argmin(spark, sf_dir):
+    out = min_cost_supplier(spark, sf_dir)
+    # joining back: no (part, supplier) pair may undercut the chosen one
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("up"),
+    )
+    floor = li.groupBy("l_partkey").agg(F.min("up").alias("min_up"))
+    joined = out.join(floor, out.p_partkey == floor.l_partkey).collect()
+    assert joined
+    for r in joined:
+        assert abs(r.unit_price - r.min_up) < 1e-9
