@@ -344,28 +344,41 @@ FUNNEL_MIN_TTR = 0.55
 
 
 def _funnel_sql(split_fn: str, distinct_fn: str, len_fn: str) -> str:
+    """One-pass form: per-doc gate flags (each stage = previous AND its
+    predicate), five conditional sums in ONE aggregation, then a 1-row
+    unpivot. The naive CTE-chain form re-derives every stage (Spark
+    inlines CTEs: 5 corpus scans, 18 exchanges measured); this is one
+    scan + the dedup semi-join + one agg."""
     return f"""
-    WITH raw AS (SELECT doc_id, text, lang, n_chars FROM documents),
-    dedup AS (
-        SELECT * FROM raw
-        WHERE doc_id IN (SELECT MIN(doc_id) FROM raw GROUP BY md5(text))
+    WITH flags AS (
+        SELECT
+            CASE WHEN doc_id IN (SELECT MIN(doc_id) FROM documents
+                                 GROUP BY md5(text))
+                 THEN 1 ELSE 0 END AS s2,
+            CASE WHEN lang = '{FUNNEL_LANG}' THEN 1 ELSE 0 END AS g3,
+            CASE WHEN n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}
+                 THEN 1 ELSE 0 END AS g4,
+            CASE WHEN CAST({len_fn}({distinct_fn}({split_fn}(text, ' ')))
+                      AS DOUBLE) / {len_fn}({split_fn}(text, ' '))
+                      >= {FUNNEL_MIN_TTR}
+                 THEN 1 ELSE 0 END AS g5
+        FROM documents
     ),
-    lang_gate AS (SELECT * FROM dedup WHERE lang = '{FUNNEL_LANG}'),
-    len_gate AS (
-        SELECT * FROM lang_gate
-        WHERE n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}
-    ),
-    ttr_gate AS (
-        SELECT * FROM len_gate
-        WHERE CAST({len_fn}({distinct_fn}({split_fn}(text, ' '))) AS DOUBLE)
-              / {len_fn}({split_fn}(text, ' ')) >= {FUNNEL_MIN_TTR}
+    agg AS (
+        SELECT COUNT(*) AS c1,
+               SUM(s2) AS c2,
+               SUM(s2 * g3) AS c3,
+               SUM(s2 * g3 * g4) AS c4,
+               SUM(s2 * g3 * g4 * g5) AS c5
+        FROM flags
     )
-    SELECT 1 AS stage_no, 'raw' AS stage, COUNT(*) AS docs FROM raw
-    UNION ALL SELECT 2, 'dedup_exact', COUNT(*) FROM dedup
-    UNION ALL SELECT 3, 'lang_{FUNNEL_LANG}', COUNT(*) FROM lang_gate
-    UNION ALL SELECT 4, 'length_band', COUNT(*) FROM len_gate
-    UNION ALL SELECT 5, 'ttr_floor', COUNT(*) FROM ttr_gate
-    ORDER BY stage_no
+    SELECT v.stage_no, v.stage,
+           CAST(CASE v.stage_no WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                                WHEN 4 THEN c4 ELSE c5 END AS BIGINT) AS docs
+    FROM agg, (VALUES (1, 'raw'), (2, 'dedup_exact'), (3, 'lang_{FUNNEL_LANG}'),
+                      (4, 'length_band'), (5, 'ttr_floor'))
+               AS v(stage_no, stage)
+    ORDER BY v.stage_no
     """
 
 
@@ -381,10 +394,12 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pipeline alerts on (a collapsing stage = a filter or upstream
     mix regression).
 
-    Scale: each gate is a narrow filter; the dedup stage is the only
-    shuffle (md5 group → min doc_id semi-join, the dedup_keep_canonical
-    shape). The five counts partial-aggregate independently; Spark runs
-    the chain as one job with the shared scan reused. 5 output rows.
+    Scale: single-pass conditional aggregation — per-doc gate flags (a
+    doc survives stage k iff it survives k-1 AND passes gate k), five
+    sums in one map-side-combinable aggregation, a 1-row unpivot. The
+    only shuffle beyond the count reduction is the exact-dedup semi-join
+    (md5 group → min doc_id, the dedup_keep_canonical shape). 5 output
+    rows.
     """
     from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
 
