@@ -77,6 +77,74 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     ).createOrReplaceTempView("embeddings")
 
 
+def _matmul_assign(spark: SparkSession) -> DataFrame:
+    """Cluster assignment as one broadcast matmul per Arrow batch.
+
+    The SQL form (vectors × centroids cross join, per-pair 64-element
+    fold, then argmax) pays an interpreted lambda per dot product —
+    n·√n folds dominate both IVF index build and semantic dedup once the
+    pair stages are matmul-vectorized. Here the ≤√n centroid rows (the
+    ``vec_id < nlist`` prefix, cid-ascending) collect once and broadcast
+    (√n·d doubles: 16 MB at a billion 64-dim vectors — the same thing
+    ``ivf_topk_kmeans`` already ships as literal cluster centers), and
+    each Arrow batch scores against them with BLAS.
+
+    Semantics pin to the SQL argmax exactly: cosines round to 6 dp
+    BEFORE the argmax, and ``np.argmax`` returns the FIRST maximum over
+    the cid-ascending centroid axis — the oracle's ``ORDER BY ccos DESC,
+    cid``. Returns (vec_id, emb, nrm, cid, ccos).
+    """
+    import numpy as np
+
+    prepped = spark.sql(_SPARK_PREP)
+    n = prepped.count()
+    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    cent_rows = (
+        prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    )
+    cent_mat = np.array([r["emb"] for r in cent_rows], dtype=np.float64)
+    cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cent_mat, cids))
+
+    def assign(batches):
+        import pandas as pd
+
+        c_mat, c_ids = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+            sims = np.round(m @ c_mat.T, 6)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"],
+                    "nrm": pdf["nrm"].to_numpy(),
+                    "cid": c_ids[best],
+                    "ccos": sims[np.arange(len(best)), best],
+                }
+            )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("emb", ArrayType(DoubleType())),
+            StructField("nrm", DoubleType()),
+            StructField("cid", LongType()),
+            StructField("ccos", DoubleType()),
+        ]
+    )
+    return prepped.mapInPandas(assign, schema)
+
+
 def _topk_sql(cos: str, prep: str) -> str:
     return f"""
     WITH e AS ({prep}),
@@ -384,29 +452,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans-trained ones changes recall, not the plan.
     """
     _emb_view(spark, sf_dir)
-    # Materialize the assigned (vector, cluster) set once — the probe
-    # ranking and both sides of the cluster equi-join read it back
-    # instead of re-running the argmax assignment (Spark re-inlines CTEs
-    # per reference).
-    spark.sql(
-        f"""
-        WITH e AS ({_SPARK_PREP}),
-        cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {_IVF_CENTROIDS}),
-        -- argmax as a map-side-combinable max_by over (ccos, -cid): only n
-        -- best-so-far rows reach the shuffle, vs the window form's full
-        -- n*nlist sort. Ordering struct == the oracle window's ORDER BY
-        -- ccos DESC, cid — value parity preserved.
-        assign AS (
-            SELECT vec_id,
-                   max_by(cid, named_struct('c', ccos, 'nc', -cid)) AS cid
-            FROM (SELECT a.vec_id, b.cid, ROUND({_SPARK_COS}, 6) AS ccos
-                  FROM e a JOIN cent b ON 1 = 1)
-            GROUP BY vec_id
-        )
-        SELECT e.vec_id, e.emb, e.nrm, assign.cid
-        FROM e JOIN assign ON e.vec_id = assign.vec_id
-        """
-    ).localCheckpoint(eager=True).createOrReplaceTempView("ivf_clustered")
+    # Assignment = one broadcast matmul per Arrow batch (_matmul_assign;
+    # same 6-dp-rounded argmax semantics as the oracle's window). The
+    # checkpoint materializes the Python stage once — the probe ranking
+    # and both sides of the cluster equi-join read it back.
+    _matmul_assign(spark).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("ivf_clustered")
     return spark.sql(
         f"""
         WITH cent AS (SELECT vec_id AS cid, emb, nrm FROM ivf_clustered
@@ -927,9 +979,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from pyspark.sql import Window
+
     _emb_view(spark, sf_dir)
-    assigned = spark.sql(
-        _semantic_assign_spark_sql(_SPARK_PREP, _SPARK_COS, _IVF_CENTROIDS)
+    # Assignment: broadcast-centroid matmul (see _matmul_assign), then the
+    # within-cluster centrality rank as a window over the assigned rows —
+    # the window's cid hash-partitioning doubles as the verdict groupBy's
+    # distribution, so rank + verdict share ONE shuffle.
+    assigned = _matmul_assign(spark).withColumn(
+        "crn",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy(F.desc("ccos"), "vec_id")
+        ),
     )
     out_schema = StructType(
         [
