@@ -835,37 +835,6 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_DEDUP_THRESHOLD = 0.4
 
 
-def _semantic_assign_spark_sql(prep: str, cos: str, centroid_filter: str) -> str:
-    """Spark-side assignment: same values as :func:`_semantic_assign_sql`
-    but the per-vector argmax is a ``max_by`` aggregation instead of a
-    ROW_NUMBER window. The window form shuffles and sorts all n·nlist
-    scored rows to rank them per vector; the aggregate form partial-
-    aggregates map-side, so only n best-so-far structs cross the wire —
-    the difference between an O(n^1.5) shuffle and an O(n) one. The
-    ordering struct (ccos, -cid) reproduces the window's ``ORDER BY ccos
-    DESC, cid`` tie-break exactly, so cross-engine parity with the
-    window-form oracle is value-identical."""
-    return f"""
-    WITH e AS ({prep}),
-    cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {centroid_filter}),
-    scored AS (
-        SELECT a.vec_id, b.cid, ROUND({cos}, 6) AS ccos
-        FROM e a JOIN cent b ON 1 = 1
-    ),
-    assign AS (
-        SELECT vec_id,
-               max_by(named_struct('cid', cid, 'ccos', ccos),
-                      named_struct('c', ccos, 'nc', -cid)) AS best
-        FROM scored
-        GROUP BY vec_id
-    )
-    SELECT e.vec_id, e.emb, e.nrm, a.best.cid AS cid,
-           ROW_NUMBER() OVER (PARTITION BY a.best.cid
-                              ORDER BY a.best.ccos DESC, e.vec_id) AS crn
-    FROM e JOIN assign a ON e.vec_id = a.vec_id
-    """
-
-
 def _semantic_assign_sql(prep: str, cos: str, centroid_filter: str) -> str:
     """Assignment stage (window form, kept as the DuckDB-oracle dialect):
     broadcast-size centroid set -> per-vector argmax cluster assignment ->
