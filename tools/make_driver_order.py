@@ -80,10 +80,15 @@ def main() -> None:
         if latest.get(n, 0) == 0
         and prev.get(n, {}).get("first_seen_round", max_round + 1) <= max_round
     ]
+    # Hash drift only matters for entries a driver row vouches for
+    # (window_round set); a pending never-verified query has nothing to
+    # invalidate — its hash just refreshes on write.
     changed = [
         n
         for n in names
-        if n in prev and prev[n]["hash"] != source_hash(queries[n])
+        if n in prev
+        and prev[n].get("window_round") is not None
+        and prev[n]["hash"] != source_hash(queries[n])
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
