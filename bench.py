@@ -88,6 +88,7 @@ HEADLINE = [
     "topic_assign",
     "corpus_quality_funnel",
     "click_attribution",
+    "table_expectations",
 ]
 
 

@@ -167,3 +167,102 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice").alias("total_value"),
         )
     )
+
+
+EXPECT_STATUSES = ("'O'", "'F'", "'P'")
+
+
+@query(
+    "table_expectations",
+    tier=2,
+    oracle=f"""
+    WITH scan AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_null_cust,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS f_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ({", ".join(EXPECT_STATUSES)})
+                        THEN 1 ELSE 0 END) AS f_status,
+               SUM(CASE WHEN o_orderdate < '1990-01-01'
+                          OR o_orderdate >= '2010-01-01'
+                        THEN 1 ELSE 0 END) AS f_date
+        FROM orders
+    ),
+    uniq AS (
+        SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS f_dup FROM orders
+    )
+    SELECT v.check_name,
+           CAST(CASE v.ord WHEN 1 THEN f_null_cust WHEN 2 THEN f_price
+                           WHEN 3 THEN f_status   WHEN 4 THEN f_date
+                           ELSE f_dup END AS BIGINT) AS failed_rows,
+           (CASE v.ord WHEN 1 THEN f_null_cust WHEN 2 THEN f_price
+                       WHEN 3 THEN f_status   WHEN 4 THEN f_date
+                       ELSE f_dup END = 0) AS passed
+    FROM scan, uniq,
+         (VALUES (1, 'not_null_o_custkey'), (2, 'positive_o_totalprice'),
+                 (3, 'accepted_values_o_orderstatus'), (4, 'o_orderdate_in_range'),
+                 (5, 'unique_o_orderkey'))
+         AS v(ord, check_name)
+    ORDER BY v.ord
+    """,
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level expectation report over ``orders`` — the dbt-tests /
+    Great-Expectations contract a pipeline gates a table promotion on:
+    not-null, value range, accepted values, date sanity, key uniqueness,
+    each with its failed-row count and a pass verdict.
+
+    Scale: four of the five checks are conditional sums in ONE
+    aggregation pass; uniqueness adds the one unavoidable distinct
+    (exchange on the key — swap for approx_count_distinct if an exact
+    dup count isn't required at 100 TB). The two 1-row aggregates
+    cross-join with a VALUES table for the unpivot — no re-scan per
+    check (the funnel's measured CTE-inlining lesson).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    scan = orders.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "f_null_cust"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("f_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("f_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < "1990-01-01")
+                | (F.col("o_orderdate") >= "2010-01-01"),
+                1,
+            ).otherwise(0)
+        ).alias("f_date"),
+    )
+    uniq = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("f_dup")
+    )
+    checks = spark.createDataFrame(
+        [
+            (1, "not_null_o_custkey"),
+            (2, "positive_o_totalprice"),
+            (3, "accepted_values_o_orderstatus"),
+            (4, "o_orderdate_in_range"),
+            (5, "unique_o_orderkey"),
+        ],
+        ["ord", "check_name"],
+    )
+    failed = (
+        F.when(F.col("ord") == 1, F.col("f_null_cust"))
+        .when(F.col("ord") == 2, F.col("f_price"))
+        .when(F.col("ord") == 3, F.col("f_status"))
+        .when(F.col("ord") == 4, F.col("f_date"))
+        .otherwise(F.col("f_dup"))
+    )
+    return (
+        scan.crossJoin(uniq)
+        .crossJoin(F.broadcast(checks))
+        .select(
+            "check_name",
+            failed.cast("bigint").alias("failed_rows"),
+            (failed == 0).alias("passed"),
+        )
+        .orderBy("ord")
+    )
