@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_quality_funnel",
     "click_attribution",
     "table_expectations",
+    "weighted_sample_topk",
 ]
 
 

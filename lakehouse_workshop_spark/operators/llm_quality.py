@@ -405,3 +405,59 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _docs_view(spark, sf_dir)
     return spark.sql(_funnel_sql("split", "array_distinct", "size"))
+
+
+WSAMPLE_K = 150
+
+
+@query(
+    "weighted_sample_topk",
+    tier=2,
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               -- Efraimidis-Spirakis key ln(u)/w with u a dyadic rational
+               -- from the doc's md5 (exact in double, so both engines feed
+               -- LN the identical value); larger key = more likely kept,
+               -- weight = n_chars.
+               ROUND(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1.0) / 4294967297.0)
+                     / n_chars, 6) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= {WSAMPLE_K}
+    ORDER BY es_key DESC, doc_id
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of {WSAMPLE_K} documents with
+    inclusion probability proportional to length (stand-in for any
+    quality weight): the Efraimidis-Spirakis one-pass scheme with the
+    per-doc uniform drawn from its md5 — reproducible across reruns,
+    input orders, and cluster sizes, no RNG state.
+
+    Scale: one narrow scoring pass, then a top-k — Spark plans the rank
+    as TakeOrderedAndProject (per-partition partial top-{WSAMPLE_K},
+    then one {WSAMPLE_K}-row merge), so no global sort and no single
+    partition ever holds more than k rows. The md5-fraction u is a
+    dyadic rational (exact in double): LN sees bit-identical inputs in
+    both engines, and the key rounds to 6 dp before ranking with a
+    doc_id tie-break, so the kept set is cross-engine deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    scored = docs.withColumn(
+        "es_key", F.round(F.log(u) / F.col("n_chars"), 6)
+    )
+    return (
+        scored.orderBy(F.desc("es_key"), "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", "es_key")
+    )
