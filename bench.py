@@ -160,11 +160,15 @@ PROBE_QUERIES = [
 ]
 PROBE_REPLICAS = 10
 
-# 100× probe: timing-only extrapolation anchor for the two cheapest
-# scale-critical ops (hash dedup, banded minhash join) — 500k docs at
-# sf0.1. One rep (the point is the order of growth, not ±5%).
-PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs"]
+# 100× probe: timing-only extrapolation anchor — hash dedup and banded
+# minhash (500k docs) plus the ANN-family flagship (200k vectors, whose
+# perturbed-replica skew drives 22% of vectors into one cluster — exactly
+# the stress the blockwise verdict exists for). One rep (the point is the
+# order of growth, not ±5%). Tag carries "full" because this corpus now
+# includes embeddings (a cached docs-only corpus must not be reused).
+PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs", "semantic_dedup"]
 PROBE100X_REPLICAS = 100
+PROBE100X_TAG = "probe100x_full"
 
 # Replica perturbation: rep 0 keeps the original text; each other replica
 # drops ~5% of tokens (deterministic in (doc_id, rep, position)) and
@@ -287,7 +291,7 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
         probe100 = _probe_dir(
-            spark, sf_dir, PROBE100X_REPLICAS, tag="probe100x", embeddings=False
+            spark, sf_dir, PROBE100X_REPLICAS, tag=PROBE100X_TAG, embeddings=True
         )
         for name in PROBE100X_QUERIES:
             timings[f"probe100x_{name}"] = _timed_median(

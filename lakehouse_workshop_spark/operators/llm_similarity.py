@@ -888,20 +888,39 @@ def _semantic_dedup_sql(prep: str, cos: str, centroid_filter: str) -> str:
     """
 
 
+SEM_VERDICT_BLOCK = 2048
+
+
 def _sem_verdict_batch(pdf):
-    """Per-cluster verdict as one BLAS matmul (runs inside applyInPandas).
+    """Per-cluster verdict as blockwise BLAS matmuls (applyInPandas).
 
     Reproduces the SQL pair join's semantics exactly: sort by centrality
-    rank, normalized Gram matrix, round to 6 dp, drop row i iff any j
-    with crn_j < crn_i has cosine >= threshold (strict lower triangle).
+    rank, normalized dot products rounded to 6 dp, drop row i iff any j
+    with crn_j < crn_i has cosine >= threshold. Dropped rows still count
+    as comparison targets for later rows (the SQL joins against ALL
+    more-central members), so blocks are independent — no sequential
+    dependency.
+
+    Blockwise because cluster sizes are data-skew-bound, not √n-bound:
+    the 100× probe corpus drives 22% of vectors into one cluster, whose
+    full Gram matrix would be 45k² doubles (16 GB) in a single task.
+    Peak memory here is BLOCK×c doubles (~0.7 GB at c=45k) regardless of
+    cluster size.
     """
     import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values("crn")
     m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
-    sims = np.round(m @ m.T, 6)
-    dropped = np.tril(sims >= SEM_DEDUP_THRESHOLD, k=-1).any(axis=1)
+    c = len(m)
+    dropped = np.zeros(c, dtype=bool)
+    for s in range(0, c, SEM_VERDICT_BLOCK):
+        e = min(s + SEM_VERDICT_BLOCK, c)
+        sims = np.round(m[s:e] @ m[:e].T, 6) >= SEM_DEDUP_THRESHOLD
+        # row i (global s+i) may only see j < s+i: strict lower triangle
+        # offset to the block's global position
+        allowed = np.tril(np.ones((e - s, e), dtype=bool), k=s - 1)
+        dropped[s:e] = (sims & allowed).any(axis=1)
     return pd.DataFrame(
         {
             "vec_id": pdf["vec_id"].to_numpy(),
