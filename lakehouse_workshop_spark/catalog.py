@@ -363,3 +363,68 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (mirrors the oracle's views)."""
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- snapshot versioning (time travel without the Delta jar) ---------------
+# The reference stores tables as Delta, whose tx-log gives versioned reads
+# (`spark.read.format('delta').option('versionAsOf', n)`). The Delta jar
+# cannot be installed in this environment (no network route — COVERAGE.md),
+# so the catalog provides the same read contract over plain parquet: each
+# write lands in an immutable `v=N` directory and a reader resolves either
+# the latest or an explicit version. Swapping in Delta keeps the API and
+# removes the directory convention.
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed snapshot versions at ``path`` (ascending)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("v=") and os.path.exists(
+            os.path.join(path, d, "_SUCCESS")
+        ):
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def snapshot_write(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the next snapshot version of ``path``; returns the
+    version number. Writes are immutable — readers of older versions are
+    never disturbed (the property Delta's log provides; here the `v=N`
+    directory plus Spark's `_SUCCESS` marker is the commit point)."""
+    versions = snapshot_versions(path)
+    v = (versions[-1] + 1) if versions else 0
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={v}"))
+    return v
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table: latest committed version, or ``version`` —
+    the `versionAsOf` time-travel contract."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def evolve_append(df: DataFrame, path: str) -> None:
+    """Append a batch whose schema may add columns (schema evolution).
+
+    Parquet is self-describing per file, so additive evolution needs no
+    rewrite: old files simply lack the new column. Readers must ask for
+    the union schema — ``evolved_read`` — and get NULLs for pre-evolution
+    rows, the same additive contract as Delta's ``mergeSchema``.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def evolved_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read with the union-of-file-schemas (``mergeSchema``) so batches
+    written before a column existed surface it as NULL."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

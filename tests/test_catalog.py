@@ -281,3 +281,38 @@ def test_compact_files_preserve_order_keeps_stats_tight(spark, sf_dir, tmp_path)
     spans.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo
+
+
+# --- snapshot versioning + schema evolution --------------------------------
+
+
+def test_snapshot_time_travel(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "snap")
+    orders = cat.load_table(spark, sf_dir, "orders")
+    v0 = cat.snapshot_write(orders.filter(F.col("o_orderstatus") == "F"), path)
+    v1 = cat.snapshot_write(orders, path)
+    assert (v0, v1) == (0, 1)
+    assert cat.snapshot_versions(path) == [0, 1]
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    # latest resolves to v1; versionAsOf-style read sees the old snapshot
+    assert cat.snapshot_read(spark, path).count() == orders.count()
+    assert cat.snapshot_read(spark, path, version=0).count() == n_f
+    with pytest.raises(ValueError):
+        cat.snapshot_read(spark, path, version=7)
+
+
+def test_schema_evolution_additive_column(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "evolve")
+    orders = cat.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.evolve_append(orders.limit(10), path)
+    evolved = orders.limit(5).withColumn(
+        "priority_score", F.col("o_totalprice") / 1000.0
+    )
+    cat.evolve_append(evolved, path)
+    out = cat.evolved_read(spark, path)
+    assert "priority_score" in out.columns
+    assert out.count() == 15
+    # pre-evolution rows surface the new column as NULL
+    assert out.filter(F.col("priority_score").isNull()).count() == 10
