@@ -90,6 +90,9 @@ HEADLINE = [
     "click_attribution",
     "table_expectations",
     "weighted_sample_topk",
+    "bigram_lm_score",
+    "event_transitions",
+    "basket_part_pairs",
 ]
 
 

@@ -551,3 +551,44 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "event_transitions",
+    tier=2,
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream — the path-analysis primitive behind funnel discovery and
+    next-action models (the conversion funnel fixes the path; this
+    measures ALL observed paths).
+
+    Scale: one window pass partitioned by user (per-user state only),
+    then a groupBy over at most |event_types|² keys — the aggregate is
+    map-side-combined to a constant-size result. Tie-break on event_id
+    inside the window order makes simultaneous events deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+    )

@@ -461,3 +461,77 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "n_chars", "es_key")
     )
+
+
+@query(
+    "bigram_lm_score",
+    tier=2,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok, pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bg_counts AS (SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2),
+    uni_counts AS (SELECT w1, SUM(c) AS cu FROM bg_counts GROUP BY w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           -- fixed-point integers, not DECIMAL casts: DuckDB truncates
+           -- double->DECIMAL where Spark rounds (measured 1 ulp/term
+           -- systematic drift), but ROUND(x*1e8) -> BIGINT agrees in
+           -- both engines on every non-half value (ln of an integer > 1
+           -- is never a half), and BIGINT sums are exact
+           CAST(SUM(CAST(ROUND(LN(c) * 100000000) AS BIGINT)
+                    - CAST(ROUND(LN(cu) * 100000000) AS BIGINT)) AS DOUBLE)
+               / 100000000 AS sum_logprob
+    FROM bigrams JOIN bg_counts USING (w1, w2) JOIN uni_counts USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean conditional bigram log-probability
+    ln P(w2|w1) = ln c(w1,w2) − ln c(w1·) under the corpus's own bigram
+    model — the next step up from ``unigram_lm_score`` (captures local
+    word order, so shuffled or templated text scores visibly worse).
+
+    Same determinism contract as the unigram score: LN only ever sees
+    integer counts, per-token terms accumulate in DECIMAL. Scale: the
+    adjacent-pair build is a posexplode + self-equi-join on (doc, pos+1)
+    (at 100 TB prefer a window ``lead`` over (doc, pos) — same result,
+    one shuffle); bigram counts shuffle on the Zipf-skewed (w1, w2) key
+    with AQE splitting the head.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = bg.groupBy("w1").agg(F.sum("c").alias("cu"))
+    return (
+        bigrams.join(bg, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.round(F.log("c") * 100000000).cast("bigint")
+                    - F.round(F.log("cu") * 100000000).cast("bigint")
+                ).cast("double")
+                / 100000000
+            ).alias("sum_logprob"),
+        )
+    )

@@ -560,3 +560,57 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+BASKET_TOP = 50
+
+
+@query(
+    "basket_part_pairs",
+    tier=2,
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the {BASKET_TOP} part pairs most
+    often bought in the same order — the support-counting core of
+    association-rule mining.
+
+    Scale: the pair join is a self-equi-join on orderkey, so the fan-out
+    per order is C(items, 2) with items bounded by order size (~single
+    digits for TPC-H-shaped data) — linear in orders, NOT all-pairs over
+    parts. A pathological mega-order is the one skew risk; AQE's skew
+    split handles it (or cap items per order upstream). The top-{BASKET_TOP}
+    is TakeOrderedAndProject over the pair aggregate.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
