@@ -160,6 +160,7 @@ PROBE_QUERIES = [
     "semantic_dedup",
     "unigram_lm_score",
     "embedding_label_centroids",
+    "bigram_lm_score",
 ]
 PROBE_REPLICAS = 10
 
