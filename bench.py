@@ -93,6 +93,7 @@ HEADLINE = [
     "bigram_lm_score",
     "event_transitions",
     "basket_part_pairs",
+    "embedding_component_variance",
 ]
 
 

@@ -535,3 +535,50 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_logprob"),
         )
     )
+
+
+@query(
+    "embedding_component_variance",
+    tier=2,
+    oracle=f"""
+    WITH dims AS (
+        SELECT g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+        FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS mean,
+           ROUND(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                 - POW(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*), 2), 6) AS variance
+    FROM dims GROUP BY pos ORDER BY pos
+    """,
+)
+def embedding_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component mean and variance across the embedding corpus — the
+    calibration input for quantization ranges (``embedding_quantize_int8``)
+    and the whitening/PCA preprocessing decision (a near-zero-variance
+    component is a candidate to drop before indexing).
+
+    Scale: posexplode → ONE aggregation over {EMB_DIM} groups, map-side-
+    combined to a constant-size result; both moments accumulate in
+    DECIMAL so partition order can't move the doubles, and the variance
+    derives from the same two exact sums in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        "pos", F.col("val").cast("double").alias("val")
+    )
+    s1 = F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+    s2 = F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)")).cast("double")
+    mean = s1 / F.count("*")
+    return (
+        dims.groupBy(F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(s2 / F.count("*") - F.pow(mean, 2), 6).alias("variance"),
+        )
+        .orderBy("pos")
+    )
