@@ -94,6 +94,9 @@ HEADLINE = [
     "event_transitions",
     "basket_part_pairs",
     "embedding_component_variance",
+    "lang_id_confusion",
+    "customer_ltv_deciles",
+    "supplier_concentration",
 ]
 
 

@@ -507,3 +507,51 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum_count") / F.col("_total"), 6).alias("coverage"),
         )
     )
+
+
+@query(
+    "lang_id_confusion",
+    tier=2,
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id,
+               CASE GREATEST(en_score, de_score, es_score, fr_score)
+                    WHEN en_score THEN 'en'
+                    WHEN de_score THEN 'de'
+                    WHEN es_score THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                   CAST({_marker_count_sql(_LANG_MARKERS['en'], 'list_filter')} AS BIGINT) AS en_score,
+                   CAST({_marker_count_sql(_LANG_MARKERS['de'], 'list_filter')} AS BIGINT) AS de_score,
+                   CAST({_marker_count_sql(_LANG_MARKERS['es'], 'list_filter')} AS BIGINT) AS es_score,
+                   CAST({_marker_count_sql(_LANG_MARKERS['fr'], 'list_filter')} AS BIGINT) AS fr_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+    )
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against the
+    corpus's labeled ``lang`` column — the evaluation harness a pipeline
+    runs before trusting a heuristic gate (``corpus_quality_funnel``'s
+    language stage) on unlabeled data.
+
+    Scale: the prediction is the same narrow pass as ``lang_id``; the
+    matrix is a groupBy over at most |langs|² keys, map-side-combined to
+    a constant-size result.
+    """
+    preds = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        docs.join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -614,3 +614,117 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+LTV_DECILES = 10
+
+
+@query(
+    "customer_ltv_deciles",
+    tier=2,
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+        SELECT o_custkey, spend,
+               NTILE({LTV_DECILES}) OVER (ORDER BY spend DESC, o_custkey)
+                   AS decile
+        FROM spend
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(spend AS DECIMAL(38,2))) AS DOUBLE) AS total_spend
+    FROM banded GROUP BY decile ORDER BY decile
+    """,
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value deciles: rank customers by lifetime spend, cut into
+    {LTV_DECILES} equal-count bands, report each band's headcount and
+    total — the standard value-segmentation report (top decile share is
+    the classic 80/20 readout).
+
+    Scale: spend aggregates first (one row per customer), so the NTILE
+    window ranks the reduced set; the deterministic (spend, custkey)
+    order makes band boundaries reproducible. NTILE over a global order
+    is single-partition — at 100 TB swap for a percent_rank over the
+    two-pass distributed rank (functions/exprs.global_row_number), same
+    bands; at customer cardinality the single sort is the cheaper plan.
+    """
+    from pyspark.sql import Window
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dec_sum("o_totalprice", scale=2).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(LTV_DECILES).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dec_sum("spend", scale=2).alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "supplier_concentration",
+    tier=2,
+    oracle=f"""
+    WITH rev AS (
+        SELECT n_name, l_suppkey,
+               SUM(CAST({_REV} AS DECIMAL(38,4))) AS srev
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, l_suppkey
+    ),
+    tot AS (SELECT n_name, SUM(srev) AS trev FROM rev GROUP BY n_name)
+    SELECT r.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POW(CAST(r.srev AS DOUBLE) / CAST(t.trev AS DOUBLE), 2)),
+                 6) AS hhi
+    FROM rev r JOIN tot t ON r.n_name = t.n_name
+    GROUP BY r.n_name
+    ORDER BY hhi DESC, r.n_name
+    """,
+)
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    nation — the market-structure metric (1/n = perfectly even, 1.0 =
+    monopoly) a sourcing or risk dashboard tracks.
+
+    Scale: revenue aggregates to (nation, supplier) grain first; the
+    national totals re-aggregate that small set (no second fact scan)
+    and join back on the 25-key nation column. Shares divide two
+    DECIMAL-exact revenues cast to double identically in both engines;
+    the squared-share sum rounds to 6 dp.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(F.expr(_REV).cast("decimal(38,4)")).alias("srev"))
+    )
+    tot = rev.groupBy(F.col("n_name").alias("t_name")).agg(
+        F.sum("srev").alias("trev")
+    )
+    share = F.col("srev").cast("double") / F.col("trev").cast("double")
+    return (
+        rev.join(F.broadcast(tot), rev.n_name == tot.t_name)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "n_name")
+    )
