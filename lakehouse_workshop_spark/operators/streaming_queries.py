@@ -201,3 +201,38 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "streaming_event_transitions",
+    tier=2,
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type
+    """,
+)
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming twin of the batch ``event_transitions``: per-user
+    state is one event (the last seen), so transition pairs bridge
+    micro-batch boundaries with O(users) memory; aggregating the emitted
+    pairs reproduces the batch window pass exactly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.streaming.jobs import (
+        run_streaming_event_transitions,
+    )
+
+    pairs = run_streaming_event_transitions(spark, sf_dir)
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+    )

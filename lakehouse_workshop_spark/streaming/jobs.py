@@ -543,3 +543,86 @@ def sessionize_stateful_to_files(
         )
         q.awaitTermination()
     return spark.read.schema(_SESSION_OUT_SCHEMA).parquet(out_dir)
+
+
+_TRANSITION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("from_type", StringType(), True),
+        StructField("to_type", StringType(), True),
+    ]
+)
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType(), True),
+        StructField("last_eid", LongType(), True),
+        StructField("last_type", StringType(), True),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition emitter: state carries the last-seen event so
+    consecutive pairs bridge micro-batch boundaries. Within a batch,
+    events order by (ts, event_id) — the same deterministic order as the
+    batch operator. Cross-batch equality with the batch answer assumes
+    time-ordered arrival (the file-source harness's property; out-of-order
+    production streams want the watermark + sort variant)."""
+    (user_id,) = key
+    evs: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+        evs.extend(zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()))
+    evs.sort()
+    prev = state.get if state.exists else None
+    out: list[tuple[str, str]] = []
+    for ts_us, eid, etype in evs:
+        if prev is not None:
+            out.append((prev[2], etype))
+        prev = (ts_us, eid, etype)
+    if prev is not None:
+        state.update(prev)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "from_type": [o[0] for o in out],
+                "to_type": [o[1] for o in out],
+            }
+        )
+
+
+def run_streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-order transition extraction via
+    ``applyInPandasWithState``: per-user state is ONE event (the last
+    seen), so memory is O(users) however long the stream runs — the
+    streaming twin of the batch ``event_transitions`` window pass.
+
+    Returns the emitted transition pairs; the registered query aggregates
+    them to the (from, to, n) matrix, which equals the batch answer
+    because state bridges pairs across micro-batch boundaries.
+    """
+    events = _event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = events.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANSITION_OUT_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_transitions"
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

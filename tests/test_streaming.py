@@ -206,3 +206,75 @@ def test_sessionizer_state_carries_across_micro_batches(spark, sf_dir, tmp_path)
     assert multibatch.count() == singlebatch.count() > 0
     assert multibatch.exceptAll(singlebatch).count() == 0
     assert singlebatch.exceptAll(multibatch).count() == 0
+
+
+def test_streaming_transitions_bridge_microbatches(spark, sf_dir, tmp_path):
+    """Transition pairs must bridge micro-batch boundaries through state:
+    splitting the stream into 3 time-ordered files and feeding them one
+    per trigger must yield the identical transition matrix as the batch
+    window pass (boundary-crossing pairs exist only if state carries the
+    last event across batches)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lakehouse_workshop_spark.catalog import decode_events_ts
+    from lakehouse_workshop_spark.operators.completions import event_transitions
+    from lakehouse_workshop_spark.streaming.jobs import (
+        _TRANSITION_OUT_SCHEMA,
+        _TRANSITION_STATE_SCHEMA,
+        _events_raw_schema,
+        _stream_shuffle,
+        _transition_fn,
+    )
+    import tempfile
+
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "split_events_tr"
+    src.mkdir()
+    n = raw.count()
+    pdf = raw.toPandas().sort_values("ts")
+    for i, chunk in enumerate(
+        (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    ):
+        spark.createDataFrame(chunk, schema=raw_schema).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+
+    stream = decode_events_ts(
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/slice=*")
+    ).select("user_id", "ts", "event_id", "event_type")
+    pairs = stream.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANSITION_OUT_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_transitions_multibatch")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.table("stream_transitions_multibatch")
+        .groupBy("from_type", "to_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the batches genuinely split the stream: total pairs = events - users
+    assert sum(got.values()) == n - raw.select("user_id").distinct().count()
