@@ -1,12 +1,13 @@
 """Corpus-quality and sampling operators for LLM data pipelines (round 5).
 
-Four additions a training-data pipeline runs between dedup and sharding:
+The passes a training-data pipeline runs between dedup and sharding:
 per-source balancing (cap any one domain's share of the corpus), unigram
-language-model scoring (the classic cheap fluency/quality signal), robust
-length-outlier detection (median/MAD, not mean/stddev, so the detector
-itself survives the outliers it hunts), and per-label embedding centroids
-(the build step for nearest-centroid classification and cluster-balanced
-sampling).
+and bigram language-model scoring (the classic cheap fluency signals),
+robust length-outlier detection (median/MAD, not mean/stddev, so the
+detector itself survives the outliers it hunts), per-label embedding
+centroids plus nearest-centroid topic assignment and per-component
+moments, the curation-funnel observability report, and RNG-free weighted
+sampling (Efraimidis-Spirakis with md5-derived uniforms).
 
 Scale posture: everything is one or two hash aggregations over the
 corpus. The per-source window partitions by source (bounded fan-in per
