@@ -17,74 +17,75 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 5. The driver's correctness pass
+# Explicit driver-pass order for round 6. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Every query whose latest driver row is >= 2 rounds old leads the
-#      window (positions 1-44 here: the 44 queries last verified in r03).
+#   1. Every query never yet driver-verified whose one-round grace is up
+#      leads the window (positions 1-25 here: the entire round-5 batch —
+#      their only prior evidence is sf0.001 pytest parity).
 #   2. Then every query whose registered source changed since its last
-#      driver row (positions 45-48: the r5 eager-checkpoint + argmax
-#      rewrites; the other three changed queries are already in the
-#      stale block).
-#   3. Remaining slots (2) go to new round-5 queries, appended below as
-#      they land. Names absent from this list keep registration order.
+#      driver row (positions 26-32: the round-6 plan rewrites —
+#      vocab_coverage top-k, tfidf n_docs fold-in, semantic_dedup
+#      sub-cluster split, ann_topk_lsh plane scaling, the selective
+#      eager-checkpoint pass).
+#   3. Remaining slots go to the oldest driver rows (latest = r04) so
+#      they cannot cross the 2-round staleness bound at r07. Names
+#      absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-44: latest driver row is r03 (max-staleness rule) -------------
-    "monthly_sales",
-    "profit_by_returnflag",
-    "rfm_summary_grouped",
-    "customers_ranked_by_spend",
-    "sales_cube",
-    "order_percentiles",
-    "customer_spend_quartiles",
-    "latest_order_asof_event",
-    "conversion_funnel",
-    "cohort_retention",
-    "merge_upsert_orders",
-    "clv_rfm_input",
-    "streaming_windowed_counts",
-    "streaming_windowed_counts_watermarked",
-    "streaming_enriched_counts",
-    "streaming_dedup",
-    "streaming_click_to_purchase",
-    "streaming_sessionize_flushed",
-    "session_window_batch",
-    "text_normalize",
-    "doc_chunks",
-    "repetition_ratio",
-    "train_val_test_split",
-    "stratified_sample",
-    "shard_assignments",
-    "corpus_clean",
-    "dedup_incremental",
-    "pseudonymize_users",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
-    "decontaminate",
-    "embedding_near_pairs",
-    "lsh_buckets",
-    "embedding_near_pairs_lsh",
-    "embedding_normalized",
-    "multimodal_features",
-    "frame_samples",
-    "shipping_priority",
-    "local_supplier_volume",
-    "rolling_revenue_7d",
-    "customer_order_gaps",
-    "integrity_orphans",
-    "hot_keys_events",
-    "order_price_histogram",
-    # -- 45-48: r04-green but changed in round 5 (changed-source rule) ---
+    # -- 1-25: never driver-verified, registered in round 5 (pending) ----
+    "click_attribution",
+    "event_transitions",
+    "streaming_event_transitions",
+    "lang_id_confusion",
+    "promo_revenue_monthly",
+    "late_shipment_priority",
+    "volume_shipping",
+    "market_share",
+    "top_returned_customers",
+    "nation_revenue_share",
+    "min_cost_supplier",
+    "big_quantity_orders",
+    "dormant_rich_customers",
+    "disjunctive_part_revenue",
+    "basket_part_pairs",
+    "customer_ltv_deciles",
+    "supplier_concentration",
+    "source_balanced_sample",
+    "docs_length_outliers",
+    "topic_assign",
+    "corpus_quality_funnel",
+    "weighted_sample_topk",
+    "bigram_lm_score",
+    "embedding_component_variance",
+    "table_expectations",
+    # -- 26-32: driver-green before, source changed in round 6 -----------
+    "vocab_coverage",
     "tfidf_top_terms",
-    "simhash_near_pairs",
-    "ivf_topk",
     "semantic_dedup",
-    # -- 49-50: new in round 5 (first driver check; the two with the
-    # trickiest cross-engine numerics — the rest of the r5 additions are
-    # pytest-parity-pinned and rotate in next round) ---------------------
-    "unigram_lm_score",
-    "embedding_label_centroids",
+    "ann_topk_lsh",
+    "chunk_dedup",
+    "dedup_incremental",
+    "decontaminate",
+    # -- 33-50: latest driver row is r04; re-verify before they go stale -
+    "monthly_sales_1997",
+    "count_distinct_customers",
+    "count_distinct_customers_approx",
+    "customers_by_status",
+    "rfm_summary",
+    "distinct_parts",
+    "corr_frequency_monetary",
+    "orders_in_1995",
+    "customer_recast",
+    "order_value_buckets",
+    "top10_orders",
+    "frequency_bands",
+    "customer_value_bands",
+    "order_percentiles_approx",
+    "revenue_by_nation",
+    "top_customer_per_nation",
+    "active_or_rich_customers",
+    "sales_rollup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

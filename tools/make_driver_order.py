@@ -5,8 +5,11 @@ per round, so coverage rotates through ``operators.DRIVER_ORDER``. Two
 rules decide who must be in the upcoming window (both enforced by
 ``tests/test_registry.py``):
 
-1. **Max staleness <= 1 round**: any query whose latest driver row is two
-   or more rounds old leads the window.
+1. **Max staleness <= 2 recorded rounds**: any query whose latest driver
+   row is two or more rounds behind the newest recorded round leads the
+   window (every query re-verifies at least every third round; relaxed
+   from <=1 in round 6 when the 121-query registry made the old rule
+   demand 71 of 50 slots).
 2. **Changed source re-verifies**: any query whose registered source
    (``inspect.getsource`` of the decorated function, which includes the
    ``@query(...)`` block and therefore the oracle SQL) changed since the
@@ -66,13 +69,14 @@ def main() -> None:
     prev = json.load(open(MANIFEST)) if MANIFEST.exists() else {}
     # Three slot-demanding classes (a registry larger than the window makes
     # rotation inevitable; these are the rows that may NOT wait):
-    #   stale   — verified before, but the row is >= 2 rounds old
+    #   stale   — verified before, but the row is >= 2 rounds behind the
+    #             newest recorded round
     #   pending — registered a full round ago and never yet verified
     #   changed — source differs from the hash its last row vouched for
     # Brand-new queries (first registered this round) may wait one round;
     # they enter the manifest as pending and harden next round.
     stale = [
-        n for n in names if 0 < latest.get(n, 0) < max_round
+        n for n in names if 0 < latest.get(n, 0) < max_round - 1
     ]
     pending = [
         n
@@ -92,7 +96,7 @@ def main() -> None:
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
-    print(f"stale (latest row < r{max_round:02d}): {len(stale)}")
+    print(f"stale (latest row < r{max_round - 1:02d}): {len(stale)}")
     print(f"  {stale}")
     print(f"pending (never verified, registered <= r{max_round:02d}): {pending}")
     print(f"changed since manifest: {len(changed)}")
