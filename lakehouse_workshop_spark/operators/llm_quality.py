@@ -240,16 +240,6 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topic_assign_spark_sql(dims_rel: str = "topic_dims") -> str:
-    """Spark splice: ``dims`` is a pre-materialized relation (the body
-    reads it from three aggregation branches; as an inline CTE each would
-    re-explode the corpus — same multi-read pattern as semantic_dedup)."""
-    return f"""
-    WITH dims AS (SELECT * FROM {dims_rel}),
-    {_TOPIC_ASSIGN_BODY}
-    """
-
-
 def _topic_assign_duck_sql() -> str:
     return f"""
     WITH dims AS (
@@ -261,10 +251,11 @@ def _topic_assign_duck_sql() -> str:
     """
 
 
-# Dialect-shared body: centroid build -> component join -> cosine ->
-# per-vector argmax via the rank window (ROW_NUMBER is portable; the
-# Spark optimizer turns the 10-row-per-vec rank into a cheap window over
-# the already-reduced score set).
+# Oracle body: centroid build -> component join -> cosine -> per-vector
+# argmax via the rank window. The Spark side no longer runs this shape —
+# it broadcasts the centroid matrix and scores each Arrow batch with one
+# BLAS matmul (see topic_assign) — but the oracle keeps the explicit
+# relational form as independent ground truth.
 _TOPIC_ASSIGN_BODY = """
     cent AS (
         SELECT true_label AS label, pos,
@@ -309,30 +300,92 @@ def topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratify or rebalance a corpus by topic, with ``matches_label`` as
     the built-in self-consistency signal.
 
-    Scale: the component join fans n×dim rows against |labels|×dim
-    centroid components — an equi-join on pos (dim-bounded), partial-
-    aggregated map-side down to n×|labels| scored rows before the
-    shuffle. All sums accumulate in DECIMAL; the cosine rounds to 6 dp
-    in both dialects before the argmax rank, so the assignment itself is
-    cross-engine deterministic.
+    Scale (round-6 rewrite): the centroid build partial-aggregates the
+    n×dim exploded components map-side down to |labels|×dim rows (one
+    shuffle carrying only the reduced set, DECIMAL-accumulated so the
+    collected centroid values are bit-identical to the oracle's). That
+    tiny matrix broadcasts, and every vector scores against ALL label
+    centroids in one BLAS matmul per Arrow batch — the same
+    broadcast-centroid plan as ``llm_similarity._matmul_assign``,
+    replacing the r5 n×dim ⨝ labels×dim component equi-join (6
+    exchanges) with a single scan + mapInPandas. The argmax pins to the
+    oracle's ``ORDER BY cosine DESC, label``: cosines round to 6 dp
+    first, and ``np.argmax`` takes the first maximum over the
+    label-ascending centroid axis. (np.round is half-to-even vs SQL's
+    half-away-from-zero — a divergence only on an exact .5 tie at the
+    6th decimal, measure-zero for real cosines.)
     """
-    # Spread the single-row-group scan so the component join parallelizes
-    # (same rationale as llm_similarity._emb_view).
+    import numpy as np
+
     load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView("embeddings")
-    # Materialize the exploded component set once: cent, vnorm and the
-    # score join all read it (eager — a lazy checkpoint lets the three
-    # branches race partition materialization and re-explode the corpus).
-    dims = spark.sql(
+    # |labels|×dim centroid components, DECIMAL-accumulated -> bit-equal
+    # to the oracle's cent CTE. 10 labels × 64 dims: trivially collectable
+    # and broadcastable at any corpus size (labels, not rows, bound it).
+    cent_rows = spark.sql(
         """
-        SELECT vec_id, label AS true_label, pos, CAST(val AS DOUBLE) AS val
-        FROM (SELECT vec_id, label, posexplode(embedding) AS (pos, val)
-              FROM embeddings)
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM (SELECT label, posexplode(embedding) AS (pos, val)
+              FROM (SELECT label,
+                           transform(embedding, x -> CAST(x AS DOUBLE))
+                               AS embedding
+                    FROM embeddings))
+        GROUP BY label, pos
+        ORDER BY label, pos
         """
-    ).localCheckpoint(eager=True)
-    dims.createOrReplaceTempView("topic_dims")
-    return spark.sql(_topic_assign_spark_sql())
+    ).collect()
+    labels = sorted({r["label"] for r in cent_rows})
+    dim = len(cent_rows) // len(labels)
+    c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64).reshape(
+        len(labels), dim
+    )
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast(
+        (c_mat, c_nrm, np.array(labels, dtype=np.int64))
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        cm, cn, lab = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((m * m).sum(axis=1))
+            sims = np.round((m @ cm.T) / (vn[:, None] * cn[None, :]), 6)
+            best = sims.argmax(axis=1)
+            true = pdf["label"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "true_label": true.astype(np.int32),
+                    "assigned_label": lab[best].astype(np.int32),
+                    "cosine": sims[np.arange(len(best)), best],
+                    "matches_label": lab[best] == true,
+                }
+            )
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("true_label", IntegerType()),
+            StructField("assigned_label", IntegerType()),
+            StructField("cosine", DoubleType()),
+            StructField("matches_label", BooleanType()),
+        ]
+    )
+    return spark.table("embeddings").mapInPandas(assign, schema)
 
 
 # Funnel gates, in pipeline order. Each stage is a WHERE clause over the

@@ -212,8 +212,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: term frequencies and document frequencies are both partial-
     aggregated groupBys; the DF side is vocabulary-sized, so its join back
-    onto TF broadcasts. Ranking runs on the 6-dp-rounded score (ties
-    broken by term) so the cutoff is deterministic across engines.
+    onto TF broadcasts. The corpus size folds into the plan as a 1-row
+    broadcast cross join (column-pruned count over doc_id — NOT a
+    separate driver-side ``.count()`` job, which would schedule an extra
+    full corpus scan before the query even starts). Ranking runs on the
+    6-dp-rounded score (ties broken by term) so the cutoff is
+    deterministic across engines.
     """
     from pyspark.sql import Window
 
@@ -227,13 +231,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus or shuffling raw tokens a second time.
     tf = tf.localCheckpoint(eager=True)
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .agg(F.count("*").cast("double").alias("_n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("cnt") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
@@ -471,17 +483,18 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a vocab. ``coverage`` at rank k answers "what fraction of the token
     stream do the k most frequent types cover".
 
-    Scale: explode → map-side-combined (token) count shrinks the corpus to
-    the type vocabulary; the global rank and running sum over that vocab
-    run as the two-pass range-partitioned ``global_row_number`` /
-    ``global_cumsum`` — web-scale corpora have billions of distinct types,
-    so a bare ``Window.orderBy`` single-partition rank is exactly the
-    cliff this avoids. The grand total joins back as a broadcast scalar.
+    Scale (round-6 rewrite): explode → map-side-combined (token) count
+    shrinks the corpus to the type vocabulary; only the top-{VOCAB_TOP}
+    rows survive, so the top-k runs FIRST as a sort+limit
+    (TakeOrderedAndProject: per-partition partial top-{VOCAB_TOP}, merged
+    on the driver — no global window ever sees the billions of distinct
+    types a web corpus has), and the rank + running-sum window runs over
+    exactly {VOCAB_TOP} rows after the limit (``hot_keys_events``
+    pattern, replacing the r5 two-pass range-partitioned global
+    rank/cumsum over the full vocabulary). The grand total joins back as
+    a broadcast scalar.
     """
-    from lakehouse_workshop_spark.functions.exprs import (
-        global_cumsum,
-        global_row_number,
-    )
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -491,19 +504,22 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = global_row_number(
-        tf, F.col("cnt").desc(), F.col("tok").asc(), name="rank"
-    )
-    cum = global_cumsum(ranked, "cnt", F.col("rank"), name="cum_count")
+    tf = tf.localCheckpoint(eager=True)  # shared by top-k and the total
     total = tf.agg(F.sum("cnt").cast("double").alias("_total"))
+    top = tf.orderBy(F.desc("cnt"), "tok").limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("cnt"), "tok")  # bounded: VOCAB_TOP rows
     return (
-        cum.filter(F.col("rank") <= VOCAB_TOP)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_count",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "tok",
             F.col("cnt").cast("long").alias("cnt"),
             "rank",
-            "cum_count",
+            F.col("cum_count").cast("long").alias("cum_count"),
             F.round(F.col("cum_count") / F.col("_total"), 6).alias("coverage"),
         )
     )
