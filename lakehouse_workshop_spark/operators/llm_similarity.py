@@ -89,10 +89,13 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
     ``ivf_topk_kmeans`` already ships as literal cluster centers), and
     each Arrow batch scores against them with BLAS.
 
-    Semantics pin to the SQL argmax exactly: cosines round to 6 dp
-    BEFORE the argmax, and ``np.argmax`` returns the FIRST maximum over
-    the cid-ascending centroid axis — the oracle's ``ORDER BY ccos DESC,
-    cid``. Returns (vec_id, emb, nrm, cid, ccos).
+    Semantics pin to the SQL argmax: cosines round to 6 dp BEFORE the
+    argmax, and ``np.argmax`` returns the FIRST maximum over the
+    cid-ascending centroid axis — the oracle's ``ORDER BY ccos DESC,
+    cid``. (One caveat: np.round is half-to-even while SQL ROUND is
+    half-away-from-zero, so an exact .5 tie at the 6th decimal could
+    diverge — measure-zero for real cosines; parity has stayed
+    bit-green.) Returns (vec_id, emb, nrm, cid, ccos).
     """
     import numpy as np
 
@@ -889,30 +892,54 @@ def _semantic_dedup_sql(prep: str, cos: str, centroid_filter: str) -> str:
 
 
 SEM_VERDICT_BLOCK = 2048
+# Clusters above this size split into sub-clusters before the pairwise
+# verdict (SemDeDup's standard mitigation for adversarial skew: the 100×
+# probe corpus drives 22% of all vectors into ONE 45k-member cluster,
+# whose exact verdict is ~2e9 pair evaluations). The bound sits far above
+# any cluster the driver-verified SFs produce, so the SQL oracle's exact
+# within-cluster semantics stay pinned wherever the oracle runs; above
+# the bound the verdict is per-SUB-cluster (cross-sub pairs inside one
+# parent cluster are not compared — the accepted SemDeDup approximation).
+SEM_SPLIT_BOUND = 4096
+SEM_SPLIT_TARGET = 2048  # aim sub-clusters at roughly this size
+SEM_SPLIT_DEPTH = 3  # identical-vector floods can defeat the split
 
 
-def _sem_verdict_batch(pdf):
-    """Per-cluster verdict as blockwise BLAS matmuls (applyInPandas).
+def _sem_dropped_mask(m, depth=SEM_SPLIT_DEPTH):
+    """Dropped-mask over centrality-sorted normalized rows ``m``.
 
-    Reproduces the SQL pair join's semantics exactly: sort by centrality
-    rank, normalized dot products rounded to 6 dp, drop row i iff any j
-    with crn_j < crn_i has cosine >= threshold. Dropped rows still count
-    as comparison targets for later rows (the SQL joins against ALL
-    more-central members), so blocks are independent — no sequential
-    dependency.
+    Exact path (c <= SEM_SPLIT_BOUND or recursion exhausted): blockwise
+    Gram matmuls — drop row i iff any j < i has 6-dp-rounded cosine >=
+    threshold. Dropped rows still count as comparison targets for later
+    rows (the SQL joins against ALL more-central members), so blocks are
+    independent; peak memory is BLOCK×c doubles (~0.7 GB at c=45k)
+    regardless of cluster size.
 
-    Blockwise because cluster sizes are data-skew-bound, not √n-bound:
-    the 100× probe corpus drives 22% of vectors into one cluster, whose
-    full Gram matrix would be 45k² doubles (16 GB) in a single task.
-    Peak memory here is BLOCK×c doubles (~0.7 GB at c=45k) regardless of
-    cluster size.
+    Split path: the ceil(c/SEM_SPLIT_TARGET) most-central rows become
+    sub-centroids; every row assigns to its nearest sub-centroid by one
+    BLAS matmul (UNROUNDED argmax — a 6-dp round would collapse the
+    near-tie scores of a perturbed-replica flood into exact ties and
+    funnel everything into the first sub-centroid), then each sub-group
+    recurses. Deterministic: centrality order is fixed upstream, argmax
+    takes the first maximum over the centrality-ascending centroid axis.
+    If the split fails to shrink the largest group (identical vectors
+    score 1.0 against every sub-centroid), fall through to the exact
+    blockwise path rather than recurse forever.
     """
     import numpy as np
-    import pandas as pd
 
-    pdf = pdf.sort_values("crn")
-    m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
     c = len(m)
+    if c > SEM_SPLIT_BOUND and depth > 0:
+        n_sub = -(-c // SEM_SPLIT_TARGET)
+        sub = m[:n_sub]  # most-central rows, centrality-ascending
+        assign = (m @ sub.T).argmax(axis=1)
+        if np.bincount(assign, minlength=n_sub).max() < c:
+            dropped = np.zeros(c, dtype=bool)
+            for g in range(n_sub):
+                idx = np.flatnonzero(assign == g)  # ascending == crn order
+                if len(idx):
+                    dropped[idx] = _sem_dropped_mask(m[idx], depth - 1)
+            return dropped
     dropped = np.zeros(c, dtype=bool)
     for s in range(0, c, SEM_VERDICT_BLOCK):
         e = min(s + SEM_VERDICT_BLOCK, c)
@@ -921,6 +948,23 @@ def _sem_verdict_batch(pdf):
         # offset to the block's global position
         allowed = np.tril(np.ones((e - s, e), dtype=bool), k=s - 1)
         dropped[s:e] = (sims & allowed).any(axis=1)
+    return dropped
+
+
+def _sem_verdict_batch(pdf):
+    """Per-cluster verdict (applyInPandas): sort by centrality rank,
+    normalize, and delegate to :func:`_sem_dropped_mask` — exact blockwise
+    matmul at driver-verified sizes, sub-cluster split above
+    ``SEM_SPLIT_BOUND``. (np.round is half-to-even vs SQL ROUND's
+    half-away-from-zero: a divergence only on an exact .5 tie at the 6th
+    decimal, measure-zero for real cosines.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("crn")
+    m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+    dropped = _sem_dropped_mask(m)
     return pd.DataFrame(
         {
             "vec_id": pdf["vec_id"].to_numpy(),
@@ -954,10 +998,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``applyInPandas`` over the cid shuffle — measured ~20× faster, and
     the shape a GPU cluster would use). The DuckDB oracle keeps the
     pair-join form, pinning the matmul's 6-dp-rounded semantics
-    cross-engine. Memory per task is one cluster's matrix (√n×d —
-    cap nlist growth or sub-cluster if a single cluster outgrows an
-    executor). Swapping seeded centroids for KMeans (as
-    ``ivf_topk_kmeans`` does) keeps the identical plan.
+    cross-engine. Memory per task is one cluster's matrix; clusters
+    above ``SEM_SPLIT_BOUND`` (adversarial skew — the 100× probe puts
+    22% of all vectors in one 45k cluster) split into most-central-seeded
+    sub-clusters inside the task before the pairwise verdict (see
+    ``_sem_dropped_mask``), keeping per-cluster work ~O(c·√c) instead of
+    O(c²). Swapping seeded centroids for KMeans (as ``ivf_topk_kmeans``
+    does) keeps the identical plan.
     """
     from pyspark.sql.types import (
         BooleanType,

@@ -428,3 +428,59 @@ def test_semantic_dedup_keep_rule(spark, sf_dir):
                 if cos(emb[r.vec_id], emb[b.vec_id]) >= S.SEM_DEDUP_THRESHOLD
             ]
             assert r.kept == (not better), (r.vec_id, r.cid)
+
+
+def test_sem_split_verdict_matches_exact_on_separable_flood(monkeypatch):
+    """Above SEM_SPLIT_BOUND the verdict splits the cluster into
+    most-central-seeded sub-clusters. On a corpus of well-separated
+    duplicate families (the shape the split is safe for: near-identical
+    rows assign to the same sub-centroid) the split verdict must equal
+    be deterministic and conservative: it compares a SUBSET of the exact
+    pairs, so its dropped set must be contained in the exact dropped set,
+    and each sub-centroid can account for at most one extra keep (a
+    duplicate family that contributes two sub-centroids keeps both)."""
+    import numpy as np
+
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+
+    monkeypatch.setattr(S, "SEM_SPLIT_BOUND", 40)
+    monkeypatch.setattr(S, "SEM_SPLIT_TARGET", 20)
+    rng = np.random.default_rng(7)
+    # 8 orthogonal-ish base directions, 25 perturbed replicas each = 200
+    # rows >> bound; replicas stay within the dedup threshold of their
+    # base, families stay far apart.
+    base = rng.normal(size=(8, 64))
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    rows = np.concatenate(
+        [b + 0.001 * rng.normal(size=(25, 64)) for b in base]
+    )
+    order = rng.permutation(len(rows))  # centrality order is arbitrary
+    m = rows[order]
+    m /= np.linalg.norm(m, axis=1)[:, None]
+
+    split = S._sem_dropped_mask(m)
+    again = S._sem_dropped_mask(m)
+    exact = S._sem_dropped_mask(m, depth=0)
+    assert (split == again).all()
+    # conservative: a removed comparison can only turn a drop into a keep
+    assert not (split & ~exact).any()
+    n_sub = -(-len(m) // S.SEM_SPLIT_TARGET)
+    assert split.sum() >= exact.sum() - n_sub
+    assert not split[0]  # most-central row is always kept
+    assert split.sum() > 0
+
+
+def test_sem_split_identical_flood_falls_back(monkeypatch):
+    """All-identical vectors score 1.0 against every sub-centroid, so the
+    split cannot shrink the group: the verdict must fall back to the
+    exact path (no infinite recursion) and keep exactly one row."""
+    import numpy as np
+
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+
+    monkeypatch.setattr(S, "SEM_SPLIT_BOUND", 40)
+    monkeypatch.setattr(S, "SEM_SPLIT_TARGET", 20)
+    v = np.full((100, 64), 1.0)
+    m = v / np.linalg.norm(v, axis=1)[:, None]
+    dropped = S._sem_dropped_mask(m)
+    assert not dropped[0] and dropped[1:].all()
