@@ -114,6 +114,28 @@ def _force(df) -> None:
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+def _reclaim() -> None:
+    """Drop leftover persisted blocks between timed reps.
+
+    Every ``localCheckpoint`` pins MEMORY_AND_DISK blocks that are only
+    freed when Python GC happens to collect the py4j proxy — over a
+    73-query × 3-rep session hundreds of checkpointed RDDs accumulate
+    and the late rows (the probe suite) get billed for the storage
+    pressure the early rows left behind. Unpersisting is safe here
+    because each rep rebuilds its plan from scratch (no live DataFrame
+    needs the truncated lineage) and runs OUTSIDE the timed window, so
+    reps measure the operator, not harness residue.
+    """
+    import gc
+
+    from lakehouse_workshop_spark import get_spark
+
+    gc.collect()
+    sc = get_spark().sparkContext
+    for rdd in list(sc._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+
+
 def _timed_median(fn, reps: int = BENCH_REPS) -> float:
     # Each rep must pay the query's full cost: the CLV memo would
     # otherwise hand reps 2..N a checkpointed result and the median
@@ -123,6 +145,7 @@ def _timed_median(fn, reps: int = BENCH_REPS) -> float:
     samples = []
     for _ in range(reps):
         _clv._SCORED_CACHE.clear()
+        _reclaim()
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)

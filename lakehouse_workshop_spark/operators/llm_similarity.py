@@ -339,6 +339,28 @@ _SPARK_NEAR_PLANES = _spark_planes_n(_N_NEAR_PLANES)
 
 _DUCK_NEAR_PLANES = _duck_planes_n(_N_NEAR_PLANES)
 
+
+# Runtime-count plane builders (the plane count is a scalar subquery over
+# the corpus, not a compile-time literal — see ANN_LSH_PPT_SQL).
+def _spark_planes_expr(n_expr: str) -> str:
+    return f"""
+        SELECT j, transform(sequence(0, {EMB_DIM - 1}),
+                   d -> CASE WHEN instr('13579bdf',
+                                  substring(md5(concat(j, '_', d)), 1, 1)) > 0
+                             THEN 1.0D ELSE -1.0D END) AS plane
+        FROM (SELECT explode(sequence(0, {n_expr} - 1)) AS j)
+"""
+
+
+def _duck_planes_expr(n_expr: str) -> str:
+    return f"""
+        SELECT j, list_transform(generate_series(0, {EMB_DIM - 1}),
+                   d -> CASE WHEN strpos('13579bdf',
+                                  substr(md5(concat(j, '_', d)), 1, 1)) > 0
+                             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+        FROM (SELECT unnest(generate_series(0, {n_expr} - 1)) AS j)
+"""
+
 _SPARK_PLANE_DOT = """aggregate(zip_with(e.emb, p.plane,
                    (x, w) -> x * w), 0.0D, (acc, v) -> acc + v)"""
 _DUCK_PLANE_DOT = "list_dot_product(e.emb, p.plane)"
@@ -503,9 +525,22 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-table collision ~0.11 for a true top-10 neighbor → 4 tables = 0.37
 # recall@10, 8 tables ≈ 0.60 (1-(1-p)^T).
 ANN_LSH_TABLES = 8
+# planes-per-table floor; the actual value derives from the corpus size
+# IN-QUERY as max(4, floor(log2(n)) - 7), so expected bucket population
+# n/2^ppt stays pinned at ~128 as the corpus grows (with ppt fixed, the
+# bucket equi-join's per-bucket pair count — and the candidate set — grow
+# linearly with n; this was the r4-documented residual knob). At the
+# driver-verified SFs (n <= 5000) the expression floors at 4, so recall
+# and parity behavior there are byte-identical to the fixed-ppt form.
+ANN_LSH_PPT_MIN = 4
+ANN_LSH_PPT_SQL = (
+    f"GREATEST({ANN_LSH_PPT_MIN}, CAST(FLOOR(LOG2(COUNT(*))) AS INT) - 7)"
+)
 
 
-def _ann_topk_lsh_sql(prep: str, planes: str, plane_dot: str, cos: str, intdiv: str) -> str:
+def _ann_topk_lsh_sql(
+    planes_n_fn, prep: str, plane_dot: str, cos: str, intdiv: str
+) -> str:
     """Multi-table bucketed approximate top-k (the ANN twin of
     ``_near_pairs_lsh_sql``): candidates = any same-bucket vector in ANY
     of the {ANN_LSH_TABLES} tables, deduped, then exact cosine rank.
@@ -513,22 +548,27 @@ def _ann_topk_lsh_sql(prep: str, planes: str, plane_dot: str, cos: str, intdiv: 
     A single table of {LSH_PLANES} planes gives ~n/2^{LSH_PLANES}-sized
     buckets — so few candidates that measured recall@10 was ~0 on the
     synthetic corpus. Multi-table is the standard fix (same math as the
-    pair search: recall 1-(1-p^4)^T per true neighbor); the recall floor
-    is pinned by tests/test_recall.py.
+    pair search: recall 1-(1-p^ppt)^T per true neighbor); the recall
+    floor is pinned by tests/test_recall.py. Planes-per-table scales
+    with corpus size via the 1-row ``params`` relation (cross-joined —
+    the engine broadcasts it), computed once from the prepped vectors.
+    ``planes_n_fn(count_expr)`` builds the dialect's plane table with a
+    runtime plane count.
     """
-    ppt = NEAR_LSH_PLANES_PER_TABLE
+    t = ANN_LSH_TABLES
     return f"""
     WITH e AS ({prep}),
-    planes AS ({planes}),
+    params AS (SELECT {ANN_LSH_PPT_SQL} AS ppt FROM e),
+    planes AS ({planes_n_fn(f"(SELECT {t} * ppt FROM params)")}),
     dots AS (
         SELECT e.vec_id, p.j,
                CASE WHEN {plane_dot} >= 0 THEN 1 ELSE 0 END AS bit
         FROM e CROSS JOIN planes p
     ),
     buckets AS (
-        SELECT vec_id, (j {intdiv} {ppt}) AS tbl,
-               CAST(SUM(bit * CAST(POW(2, j % {ppt}) AS BIGINT)) AS BIGINT) AS bucket
-        FROM dots GROUP BY vec_id, (j {intdiv} {ppt})
+        SELECT vec_id, (j {intdiv} ppt) AS tbl,
+               CAST(SUM(bit * CAST(POW(2, j % ppt) AS BIGINT)) AS BIGINT) AS bucket
+        FROM dots CROSS JOIN params GROUP BY vec_id, (j {intdiv} ppt)
     ),
     cand AS (
         SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vec_id
@@ -555,8 +595,8 @@ def _ann_topk_lsh_sql(prep: str, planes: str, plane_dot: str, cos: str, intdiv: 
 @query(
     "ann_topk_lsh",
     oracle=_ann_topk_lsh_sql(
+        _duck_planes_expr,
         _DUCK_PREP,
-        _duck_planes_n(ANN_LSH_TABLES * NEAR_LSH_PLANES_PER_TABLE),
         _DUCK_PLANE_DOT,
         _DUCK_COS,
         "//",
@@ -571,15 +611,18 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole pipeline has a DuckDB oracle; the recall floor vs the
     exact twin is pinned by tests/test_recall.py.
 
-    Scale: bucketing is one narrow pass per vector (32 constant planes,
-    broadcast); candidates come from {ANN_LSH_TABLES} bucket equi-joins
-    — no all-pairs stage; DISTINCT dedup keys on (query, candidate).
+    Scale: bucketing is one narrow pass per vector (plane count derives
+    from the corpus size in-query, max(4, log2(n)-7) planes per table,
+    so expected bucket population stays ~constant as n grows — see
+    ``ANN_LSH_PPT_SQL``); candidates come from {ANN_LSH_TABLES} bucket
+    equi-joins — no all-pairs stage; DISTINCT dedup keys on
+    (query, candidate).
     """
     _emb_view(spark, sf_dir)
     return spark.sql(
         _ann_topk_lsh_sql(
+            _spark_planes_expr,
             _SPARK_PREP,
-            _spark_planes_n(ANN_LSH_TABLES * NEAR_LSH_PLANES_PER_TABLE),
             _SPARK_PLANE_DOT,
             _SPARK_COS,
             "div",
