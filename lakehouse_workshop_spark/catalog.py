@@ -220,9 +220,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
     Scale: min/max come from one tiny aggregate (at 100 TB: file-footer
     metadata); the key itself is a narrow per-row expression — no
     shuffle beyond the final range partition of the write.
+
+    ``bits`` auto-shrinks so the interleaved key never reaches bit 63:
+    the long sign bit would sort high-key rows negative-first (breaking
+    the clustering), and a shift >= 64 wraps mod 64 in the JVM,
+    silently corrupting the key (latent with the default 16 bits at 4+
+    columns before the guard).
     """
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
@@ -295,13 +302,23 @@ def compact_files(
     compacted files also get tight min/max stats on that column).
     """
     import math
+    import shutil
 
-    files = [
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("_")
-    ]
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    def _parquet_files(root: str) -> list[str]:
+        # Recursive: a Hive-partitioned layout keeps its data files in
+        # key=value subdirectories — a top-level listdir would size the
+        # table at 0 and always coalesce to 1 file.
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            out += [
+                os.path.join(dirpath, f)
+                for f in filenames
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+        return out
+
+    files = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
@@ -312,18 +329,17 @@ def compact_files(
     else:
         out = df.coalesce(n_out)
     out.write.mode("overwrite").parquet(tmp)
-    # Atomic-ish swap: parquet readers resolve the directory at scan time.
-    import shutil
-
-    shutil.rmtree(path)
+    # Swap via rename-aside: the live directory is never deleted before
+    # its replacement is in place, so a crash at any single point leaves
+    # either the old table (possibly with a stale tmp/old dir to sweep)
+    # or the new one — never no table. Renames are same-filesystem moves.
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from an earlier crashed run
+    os.rename(path, old)
     os.rename(tmp, path)
-    after = len(
-        [
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
-    )
+    shutil.rmtree(old)
+    after = len(_parquet_files(path))
     return len(files), after
 
 

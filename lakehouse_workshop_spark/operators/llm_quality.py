@@ -548,13 +548,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean conditional bigram log-probability
-    ln P(w2|w1) = ln c(w1,w2) − ln c(w1·) under the corpus's own bigram
-    model — the next step up from ``unigram_lm_score`` (captures local
-    word order, so shuffled or templated text scores visibly worse).
+    """Per-document SUM of conditional bigram log-probabilities
+    (``sum_logprob`` = Σ ln P(w2|w1), ln P(w2|w1) = ln c(w1,w2) −
+    ln c(w1·), under the corpus's own bigram model; ``n_bigrams`` rides
+    along so a consumer can take the mean) — the next step up from
+    ``unigram_lm_score`` (captures local word order, so shuffled or
+    templated text scores visibly worse).
 
     Same determinism contract as the unigram score: LN only ever sees
-    integer counts, per-token terms accumulate in DECIMAL. Scale: the
+    integer counts, and per-term values accumulate order-independently
+    as fixed-point BIGINT (each ln scaled by 1e8 and rounded; the sum
+    divides back to double at the end). Scale: the
     adjacent-pair build is a posexplode + self-equi-join on (doc, pos+1)
     (at 100 TB prefer a window ``lead`` over (doc, pos) — same result,
     one shuffle); bigram counts shuffle on the Zipf-skewed (w1, w2) key

@@ -316,3 +316,35 @@ def test_schema_evolution_additive_column(spark, sf_dir, tmp_path):
     assert out.count() == 15
     # pre-evolution rows surface the new column as NULL
     assert out.filter(F.col("priority_score").isNull()).count() == 10
+
+
+def test_compact_files_sizes_hive_partitioned_layout(spark, sf_dir, tmp_path):
+    """Partitioned layouts keep data files in key=value subdirs; the size
+    walk must find them (a top-level listing sized the table at 0 and
+    always coalesced to 1 file) and the swap must preserve every row."""
+    path = str(tmp_path / "part")
+    orders = cat.load_table(spark, sf_dir, "orders")
+    orders.withColumn("stat", orders.o_orderstatus).repartition(4).write.partitionBy(
+        "stat"
+    ).parquet(path)
+    n = orders.count()
+    # tiny target: file count must be driven by actual recursive bytes
+    before, after = cat.compact_files(spark, path, target_file_bytes=4 * 1024)
+    assert before > 0
+    assert after > 1  # a zero-size estimate would have coalesced to 1
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+
+
+def test_zorder_bits_autoshrink_keeps_key_nonnegative(spark, sf_dir):
+    """bits*len(cols) is capped at 63: with 5 columns the default 16 bits
+    would wrap shiftleft mod 64; the guard shrinks bits so the key stays
+    a nonnegative long for every row."""
+    from pyspark.sql import functions as F
+
+    li = cat.load_table(spark, sf_dir, "lineitem").limit(1000)
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+    key = cat.zorder_key(li, cols)
+    mn = li.select(F.min(key).alias("mn")).collect()[0]["mn"]
+    assert mn >= 0
