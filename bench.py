@@ -97,6 +97,9 @@ HEADLINE = [
     "lang_id_confusion",
     "customer_ltv_deciles",
     "supplier_concentration",
+    # round 6: classifier gate + drift monitor
+    "quality_classifier_score",
+    "token_dist_shift",
 ]
 
 
@@ -188,6 +191,7 @@ PROBE_QUERIES = [
     "unigram_lm_score",
     "embedding_label_centroids",
     "bigram_lm_score",
+    "quality_classifier_score",
 ]
 PROBE_REPLICAS = 10
 

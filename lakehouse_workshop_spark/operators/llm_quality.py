@@ -640,3 +640,158 @@ def embedding_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# --- hashed linear quality classifier (round 6) ----------------------------
+# fastText-style scoring shape: tokens hash into a bounded feature space
+# (the hashing trick), each bucket carries a linear weight, a document's
+# logit is the mean bucket weight. The weights here are a deterministic
+# md5-derived stand-in for a trained model (the container has no trained
+# artifact to ship); in production the D-float weight vector broadcasts
+# and the per-token lookup is element_at(weights, bucket) — the identical
+# plan, since the scoring pass is pure per-row expressions either way.
+QC_BUCKETS = 4096
+QC_WEIGHT_SCALE = 32768  # weights are k/32768 with k in [-32768, 32767]
+
+
+@query(
+    "quality_classifier_score",
+    tier=2,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT % {QC_BUCKETS}
+                    AS VARCHAR)), 1, 4))::BIGINT - {QC_WEIGHT_SCALE} AS w
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(w) AS DOUBLE)
+                 / (COUNT(*) * {QC_WEIGHT_SCALE}.0), 6) AS logit,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(SUM(w) AS DOUBLE)
+                 / (COUNT(*) * {QC_WEIGHT_SCALE}.0)))), 6) AS prob,
+           (SUM(w) >= 0) AS keep
+    FROM feats GROUP BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring over hashed token features — the
+    CCNet/fastText-style gate a pretraining pipeline runs to rank pages
+    by "looks like good text" before sampling. Every token hashes into
+    {QC_BUCKETS} buckets; the document logit is the mean bucket weight
+    and ``keep`` is the sign gate.
+
+    Determinism contract: bucket ids and weights derive from md5 (both
+    engines see identical integers), the logit numerator accumulates as
+    an exact BIGINT sum (order-independent), and the single division
+    happens once at the end. The sigmoid's EXP sees the identical double
+    in both engines; its 6-dp round is the established ulp-tolerant
+    boundary.
+
+    Scale: ONE shuffle (the doc_id groupBy, map-side-combined); the
+    scoring itself is pure codegen'd per-row expressions — no join, no
+    UDF, no weight table lookup at all in this md5 stand-in (a real
+    model broadcasts its D-float weight array — same plan).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % QC_BUCKETS
+    w = (
+        F.conv(F.substring(F.md5(bucket.cast("string")), 1, 4), 16, 10).cast("bigint")
+        - QC_WEIGHT_SCALE
+    )
+    logit = F.sum("w").cast("double") / (F.count("*") * float(QC_WEIGHT_SCALE))
+    return toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        F.round(1.0 / (1.0 + F.exp(-logit)), 6).alias("prob"),
+        (F.sum("w") >= 0).alias("keep"),
+    )
+
+
+# --- per-source distribution drift (round 6) -------------------------------
+
+
+@query(
+    "token_dist_shift",
+    tier=2,
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+    ct AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY 1),
+    ts AS (SELECT source, SUM(c_st) AS t_s FROM st GROUP BY 1),
+    tt AS (SELECT SUM(c_st) AS t FROM st)
+    SELECT st.source,
+           CAST(MAX(ts.t_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(CAST(st.c_st * (
+                      CAST(ROUND(LN(st.c_st) * 100000000) AS BIGINT)
+                    - CAST(ROUND(LN(ts.t_s) * 100000000) AS BIGINT)
+                    - CAST(ROUND(LN(ct.c_t) * 100000000) AS BIGINT)
+                    + CAST(ROUND(LN(tt.t) * 100000000) AS BIGINT)
+                 ) AS DECIMAL(38,0))) AS DOUBLE)
+                 / (MAX(ts.t_s) * 100000000.0), 6) AS kl_divergence
+    FROM st JOIN ct USING (tok) JOIN ts USING (source) CROSS JOIN tt
+    GROUP BY st.source
+    ORDER BY st.source
+    """,
+)
+def token_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift: KL(source ‖ corpus) over
+    token frequencies — the mixture monitor that flags a crawl host whose
+    language suddenly shifts (spam injection, template change, encoding
+    rot) before it pollutes the training mix.
+
+    KL = Σ_tok (c_st/t_s)·[ln c_st − ln t_s − ln c_t + ln T]: LN only
+    ever sees integer counts (identical doubles in both engines), each
+    ln is 1e8-fixed-pointed to BIGINT (the ``bigram_lm_score`` idiom),
+    the per-token term multiplies by the integer c_st and accumulates in
+    DECIMAL(38,0) — exact and order-independent — and the single
+    division by t_s·1e8 happens once per source.
+
+    Scale: one explode → (source, tok) map-side-combined count; the tok
+    marginal and source totals re-aggregate from that reduced table (no
+    second corpus pass); the vocab-sized marginal joins back on the
+    Zipf-skewed tok key (AQE splits the head), source totals broadcast,
+    the grand total is a 1-row cross join. Output is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    st = st.localCheckpoint(eager=True)  # read by ct, ts, tt and the join
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ts = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    tt = st.agg(F.sum("c_st").alias("t"))
+
+    def fp(col):
+        return F.round(F.log(col) * 100000000).cast("bigint")
+
+    term = (
+        F.col("c_st") * (fp("c_st") - fp("t_s") - fp("c_t") + fp("t"))
+    ).cast("decimal(38,0)")
+    return (
+        st.join(ct, "tok")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("source")
+        .agg(
+            F.max("t_s").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.round(
+                F.sum(term).cast("double")
+                / (F.max("t_s") * 100000000.0),
+                6,
+            ).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

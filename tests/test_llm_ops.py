@@ -484,3 +484,38 @@ def test_sem_split_identical_flood_falls_back(monkeypatch):
     m = v / np.linalg.norm(v, axis=1)[:, None]
     dropped = S._sem_dropped_mask(m)
     assert not dropped[0] and dropped[1:].all()
+
+
+def test_quality_classifier_score_invariants(spark, sf_dir):
+    """keep is exactly the logit sign gate, prob is the sigmoid of the
+    logit (monotone agreement), and logits stay inside the weight range
+    [-1, 1] (mean of k/32768 weights)."""
+    import math
+
+    import lakehouse_workshop_spark.operators.llm_quality as Q
+
+    out = Q.quality_classifier_score(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["logit"].abs() <= 1.0).all()
+    assert ((out["logit"] >= 0) == out["keep"]).all()
+    for r in out.itertuples():
+        assert abs(r.prob - 1.0 / (1.0 + math.exp(-r.logit))) < 2e-6
+
+
+def test_token_dist_shift_invariants(spark, sf_dir):
+    """One row per source; KL(source || corpus) is nonnegative (Gibbs)
+    up to the 1e-8-per-term fixed-point rounding; token totals add up to
+    the corpus total."""
+    import lakehouse_workshop_spark.operators.llm_quality as Q
+    from pyspark.sql import functions as F
+
+    out = Q.token_dist_shift(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    total_toks = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert len(out) == n_sources
+    assert (out["kl_divergence"] >= -1e-6).all()
+    assert out["kl_divergence"].max() > 0  # sources are not identical
+    assert out["n_tokens"].sum() == total_toks
