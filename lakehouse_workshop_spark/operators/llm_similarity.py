@@ -71,8 +71,13 @@ _DUCK_COS = "list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)"
 
 def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     # Single-row-group parquet → single-task scan; spread vectors so the
-    # fold-heavy scoring parallelizes (see llm_dedup._docs_view).
-    load_table(spark, sf_dir, "embeddings").repartition(
+    # fold-heavy scoring parallelizes (see llm_dedup._docs_view). The raw
+    # (unrepartitioned) scan is registered alongside for scalar-only
+    # derivations (corpus count): counting through the repartitioned view
+    # would execute its exchange as a full extra shuffle job.
+    raw = load_table(spark, sf_dir, "embeddings")
+    raw.createOrReplaceTempView("embeddings_raw")
+    raw.repartition(
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView("embeddings")
 
@@ -100,7 +105,12 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
     import numpy as np
 
     prepped = spark.sql(_SPARK_PREP)
-    n = prepped.count()
+    # Corpus size from the RAW embeddings relation, not from ``prepped``:
+    # counting the prepped form would execute its repartition exchange
+    # (a full shuffle of every vector) as a separate job before the query
+    # even starts. The raw count is a zero-column scan; only nlist — a
+    # scalar — depends on it.
+    n = spark.table("embeddings_raw").select("vec_id").count()
     nlist = max(IVF_NLIST_MIN, int(n**0.5))
     cent_rows = (
         prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
