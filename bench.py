@@ -97,9 +97,10 @@ HEADLINE = [
     "lang_id_confusion",
     "customer_ltv_deciles",
     "supplier_concentration",
-    # round 6: classifier gate + drift monitor
+    # round 6: classifier gate + drift monitor + tokenizer primitive
     "quality_classifier_score",
     "token_dist_shift",
+    "bpe_merge_candidates",
 ]
 
 

@@ -571,3 +571,59 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+BPE_TOP = 20
+
+
+@query(
+    "bpe_merge_candidates",
+    tier=2,
+    oracle=f"""
+    WITH pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                     i -> substr(tok, i, 2))) AS pair
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) >= 2
+    ),
+    pc AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+    FROM pc
+    QUALIFY rank <= {BPE_TOP}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOP} most frequent adjacent character pairs across the
+    corpus, occurrence-weighted — the first merge round of BPE tokenizer
+    training (each round merges the top pair and recounts; this op is
+    the distributed primitive that round iterates).
+
+    Scale: token explode → in-token pair explode is narrow row expansion
+    (length-bounded); the pair count map-side-combines to the tiny pair
+    alphabet; only the top-{BPE_TOP} survive, so the rank runs AFTER a
+    sort+limit (TakeOrderedAndProject) over per-partition partial top-ks
+    — the ``hot_keys_events`` pattern, no global window over the full
+    pair set.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, length(tok) - 1)")).alias("i"), "tok"
+        )
+        .select(F.expr("substring(tok, i, 2)").alias("pair"))
+    )
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = pc.orderBy(F.desc("cnt"), "pair").limit(BPE_TOP)
+    w = Window.orderBy(F.desc("cnt"), "pair")  # bounded: BPE_TOP rows
+    return top.select(
+        "pair",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
