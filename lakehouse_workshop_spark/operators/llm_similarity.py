@@ -549,7 +549,12 @@ ANN_LSH_PPT_SQL = (
 
 
 def _ann_topk_lsh_sql(
-    planes_n_fn, prep: str, plane_dot: str, cos: str, intdiv: str
+    planes_n_fn,
+    prep: str,
+    plane_dot: str,
+    cos: str,
+    intdiv: str,
+    count_rel: str = "e",
 ) -> str:
     """Multi-table bucketed approximate top-k (the ANN twin of
     ``_near_pairs_lsh_sql``): candidates = any same-bucket vector in ANY
@@ -561,14 +566,17 @@ def _ann_topk_lsh_sql(
     pair search: recall 1-(1-p^ppt)^T per true neighbor); the recall
     floor is pinned by tests/test_recall.py. Planes-per-table scales
     with corpus size via the 1-row ``params`` relation (cross-joined —
-    the engine broadcasts it), computed once from the prepped vectors.
-    ``planes_n_fn(count_expr)`` builds the dialect's plane table with a
-    runtime plane count.
+    the engine broadcasts it). ``count_rel`` is the relation params
+    counts: DuckDB counts the prep CTE (materialized once), while Spark
+    passes the raw-scan view — Spark inlines CTE references, so counting
+    ``e`` there would re-execute the repartition exchange (a full id
+    shuffle) once per params reference. ``planes_n_fn(count_expr)``
+    builds the dialect's plane table with a runtime plane count.
     """
     t = ANN_LSH_TABLES
     return f"""
     WITH e AS ({prep}),
-    params AS (SELECT {ANN_LSH_PPT_SQL} AS ppt FROM e),
+    params AS (SELECT {ANN_LSH_PPT_SQL} AS ppt FROM {count_rel}),
     planes AS ({planes_n_fn(f"(SELECT {t} * ppt FROM params)")}),
     dots AS (
         SELECT e.vec_id, p.j,
@@ -636,6 +644,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SPARK_PLANE_DOT,
             _SPARK_COS,
             "div",
+            count_rel="(SELECT vec_id FROM embeddings_raw)",
         )
     )
 
