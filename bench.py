@@ -101,6 +101,8 @@ HEADLINE = [
     "quality_classifier_score",
     "token_dist_shift",
     "bpe_merge_candidates",
+    "minhash_band_stats",
+    "embedding_norm_outliers",
 ]
 
 
@@ -193,6 +195,7 @@ PROBE_QUERIES = [
     "embedding_label_centroids",
     "bigram_lm_score",
     "quality_classifier_score",
+    "minhash_band_stats",
 ]
 PROBE_REPLICAS = 10
 

@@ -386,6 +386,86 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_stats_sql(sig_sql: str) -> str:
+    """Dialect-shared band-population observability (oracle form; the
+    band UNION ALL over ``sigs`` is cheap — populations, not pairs)."""
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    bands AS ({band_selects}),
+    pops AS (
+        SELECT band_id, band_hash, COUNT(*) AS pop
+        FROM bands GROUP BY band_id, band_hash
+    )
+    SELECT CAST(band_id AS INT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(pop) AS BIGINT) AS max_pop,
+           CAST(SUM(CASE WHEN pop > 1 THEN pop ELSE 0 END) AS BIGINT)
+               AS docs_in_shared_buckets,
+           CAST(SUM((pop * (pop - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM pops GROUP BY band_id ORDER BY band_id
+    """
+
+
+@query(
+    "minhash_band_stats",
+    tier=2,
+    oracle=_band_stats_sql(_minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES)),
+)
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-population report for the banded MinHash join: per band,
+    how many buckets exist, the hottest bucket, how many docs share a
+    bucket, and the implied candidate-pair count Σ C(pop, 2) — the
+    observability pass that sizes LSH bands BEFORE running the pair join
+    (a band whose candidate_pairs explodes is the skew the banded join
+    will pay for; re-band or cap bucket size first).
+
+    Scale: signature build is the minhash shuffle; band populations
+    map-side-combine on (band_id, band_hash); the final rollup is
+    {LSH_BANDS} rows. pop·(pop−1) is always even, so the /2 is exact in
+    BIGINT in both engines — no pair is ever materialized.
+    """
+    _docs_view(spark, sf_dir)
+    sigs = spark.sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES))
+    rows = MINHASH_K // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig{b * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    pops = (
+        sigs.select("doc_id", F.explode(band_structs).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("pop"))
+    )
+    return (
+        pops.groupBy(F.col("band_id").cast("int").alias("band_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("pop").cast("bigint").alias("max_pop"),
+            F.sum(F.when(F.col("pop") > 1, F.col("pop")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_shared_buckets"),
+            F.sum(F.expr("(pop * (pop - 1)) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -795,3 +795,78 @@ def token_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+NORM_OUT_TOP = 20
+
+
+@query(
+    "embedding_norm_outliers",
+    tier=2,
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               ROUND(SQRT(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])), 6) AS nrm
+        FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(nrm, 0.5) AS med FROM norms),
+    mad AS (
+        SELECT MAX(med) AS med, quantile_cont(ABS(nrm - med), 0.5) AS mad
+        FROM norms CROSS JOIN med
+    )
+    SELECT vec_id, nrm,
+           ROUND(ABS(nrm - med) / (mad + 1e-9), 6) AS robust_z
+    FROM norms CROSS JOIN mad
+    ORDER BY robust_z DESC, vec_id
+    LIMIT {NORM_OUT_TOP}
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {NORM_OUT_TOP} vectors whose L2 norm deviates most from the
+    corpus median (robust z-score, median/MAD) — the broken-embedding
+    detector a pipeline runs after an encoder batch job (truncated
+    writes, zero vectors, fp16 overflows all surface as norm outliers
+    before they poison the similarity index).
+
+    Determinism: the norm is the same left-fold square sum both dialects
+    compute bit-identically (the ``_SPARK_PREP`` contract), rounded to
+    6 dp BEFORE the medians, so the interpolated quantile sees identical
+    doubles; median/MAD/z then use only IEEE-exact +,−,×,÷. Scale: two
+    single-column percentile passes (swap in approx_percentile at
+    100 TB — same plan, sketch-bounded), a 1-row broadcast of the stats,
+    and a TakeOrderedAndProject top-{NORM_OUT_TOP}.
+    """
+    from lakehouse_workshop_spark.operators.llm_similarity import _emb_view
+
+    _emb_view(spark, sf_dir)
+    norms = spark.sql(
+        """
+        SELECT vec_id,
+               ROUND(SQRT(aggregate(transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          0.0D, (acc, v) -> acc + v)), 6) AS nrm
+        FROM embeddings
+        """
+    )
+    norms = norms.localCheckpoint(eager=True)  # read by med, mad and the scan
+    med = norms.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    mad = (
+        norms.crossJoin(F.broadcast(med))
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(ABS(nrm - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        norms.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            "nrm",
+            F.round(
+                F.abs(F.col("nrm") - F.col("med")) / (F.col("mad") + 1e-9), 6
+            ).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "vec_id")
+        .limit(NORM_OUT_TOP)
+    )

@@ -519,3 +519,29 @@ def test_token_dist_shift_invariants(spark, sf_dir):
     assert (out["kl_divergence"] >= -1e-6).all()
     assert out["kl_divergence"].max() > 0  # sources are not identical
     assert out["n_tokens"].sum() == total_toks
+
+
+def test_minhash_band_stats_bounds_pair_join(spark, sf_dir):
+    """The per-band candidate-pair counts upper-bound the deduped pair
+    join output (every LSH pair collides in at least one band), and
+    bucket populations account for every document in every band."""
+    import lakehouse_workshop_spark.operators.llm_dedup as D2
+
+    stats = D2.minhash_band_stats(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert list(stats["band_id"]) == sorted(stats["band_id"])
+    assert len(stats) == D2.LSH_BANDS
+    assert (stats["n_buckets"] <= n_docs).all()
+    assert (stats["docs_in_shared_buckets"] <= n_docs).all()
+    n_pairs = D2.minhash_lsh_pairs(spark, sf_dir).count()
+    assert stats["candidate_pairs"].sum() >= n_pairs
+
+
+def test_embedding_norm_outliers_ranked(spark, sf_dir):
+    import lakehouse_workshop_spark.operators.llm_quality as Q2
+
+    out = Q2.embedding_norm_outliers(spark, sf_dir).toPandas()
+    assert len(out) == Q2.NORM_OUT_TOP
+    assert (out["robust_z"] >= 0).all()
+    assert list(out["robust_z"]) == sorted(out["robust_z"], reverse=True)
+    assert (out["nrm"] > 0).all()
