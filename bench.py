@@ -103,6 +103,11 @@ HEADLINE = [
     "bpe_merge_candidates",
     "minhash_band_stats",
     "embedding_norm_outliers",
+    # round 6: remaining canonical TPC-H shapes
+    "forecast_revenue_discount",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "small_quantity_avg_yearly",
 ]
 
 

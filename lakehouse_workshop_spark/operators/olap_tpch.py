@@ -728,3 +728,220 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hhi"), "n_name")
     )
+
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+Q17_BRAND, Q17_TYPE = "Brand#3", "ECONOMY"
+
+
+@query(
+    "forecast_revenue_discount",
+    tier=2,
+    oracle=f"""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(38,4))) AS DOUBLE), 6) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= '{Q6_LO}' AND l_shipdate < '{Q6_HI}'
+      AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY}
+    """,
+)
+def forecast_revenue_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the revenue that would have
+    been kept by eliminating mid-band discounts on small-quantity line
+    items in one year — the canonical scan-only conditional sum.
+
+    Plan shape: zero joins, zero wide shuffles — every predicate (date
+    range, discount band, quantity cap) pushes into the parquet scan, so
+    at 100 TB this is a pruned columnar read of 4 columns feeding one
+    partial+final DECIMAL aggregation to a single row. The discount
+    bounds compare against the same double literals in both dialects.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= Q6_LO)
+        & (F.col("l_shipdate") < Q6_HI)
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY)
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(38,4)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue_delta")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    tier=2,
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+        GROUP BY c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_custs DESC, n_orders DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N qualifying orders, including the zero-order customers the
+    inner join would lose — the left-outer-join + double-aggregation
+    shape.
+
+    Plan shape: orders pre-aggregate to (custkey, count) BEFORE the
+    outer join, so the join carries one row per ordering customer
+    instead of one per order; customers who match nothing coalesce to
+    0. Both sides shuffle on custkey (at 100 TB customer is a fact too —
+    no broadcast); the second aggregation keys on the tiny count domain.
+    The filtered-out priority class must sit in the JOIN condition, not
+    a WHERE, to keep zero-order customers in the result.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").cast("bigint").alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    tier=2,
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST({_REV} AS DECIMAL(38,4))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= '{Q15_LO}' AND l_shipdate < '{Q15_HI}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM srev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue in
+    one quarter — the aggregate-view + scalar-MAX join-back shape.
+
+    Plan shape: the quarter-pruned fact aggregates once to |suppliers|
+    rows, checkpointed because both the MAX and the filter read it; the
+    MAX is a 1-row broadcast cross join (no second fact scan, no global
+    sort). Revenue stays DECIMAL through the equality test so a
+    double-rounding tie can never disagree between engines; ties on the
+    max keep every tied supplier, exactly as the spec's view form does.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_LO) & (F.col("l_shipdate") < Q15_HI)
+    )
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.expr(_REV).cast("decimal(38,4)")).alias("rev"))
+        .localCheckpoint(eager=True)  # read by both the MAX and the filter
+    )
+    best = srev.agg(F.max("rev").alias("best_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_quantity_avg_yearly",
+    tier=2,
+    oracle=f"""
+    WITH brand_li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '{Q17_BRAND}' AND p_type = '{Q17_TYPE}'
+    ),
+    thresholds AS (
+        SELECT l_partkey AS t_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                      / COUNT(*)) AS qty_cut
+        FROM brand_li GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM brand_li JOIN thresholds ON l_partkey = t_partkey
+    WHERE l_quantity < qty_cut
+    """,
+)
+def small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly-averaged revenue
+    lost by dropping line items below 20% of their part's average order
+    quantity — the correlated-scalar-subquery-per-group shape,
+    decorrelated into an aggregate + join-back.
+
+    Plan shape: the brand/type part filter broadcasts into the fact scan
+    ONCE and the surviving slice (1/|brands| of lineitem) is eagerly
+    checkpointed — both the per-part thresholds and the final filter
+    read it, so the fact is scanned a single time. Thresholds are one
+    row per filtered part (broadcast back). The average is an exact
+    DECIMAL sum divided by an exact count, so the 0.2x cut is the same
+    double in both engines; integral quantities make the comparison
+    tie-free.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_type") == Q17_TYPE))
+        .select("p_partkey")
+    )
+    brand_li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .localCheckpoint(eager=True)  # read by thresholds and the final filter
+    )
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_cut")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
