@@ -108,6 +108,10 @@ HEADLINE = [
     "customer_order_distribution",
     "top_revenue_supplier",
     "small_quantity_avg_yearly",
+    # round 6: selection/novelty/incremental-ingest corpus ops
+    "dsir_importance_weights",
+    "ngram_novelty",
+    "minhash_lsh_incremental",
 ]
 
 
@@ -201,6 +205,8 @@ PROBE_QUERIES = [
     "bigram_lm_score",
     "quality_classifier_score",
     "minhash_band_stats",
+    "dsir_importance_weights",
+    "minhash_lsh_incremental",
 ]
 PROBE_REPLICAS = 10
 

@@ -933,3 +933,148 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " struct(s, ct) END)), x -> x.ct), '')",
     )
     return spark.sql(spark_sql)
+
+
+# --- n-gram novelty score (round 6) ----------------------------------------
+
+
+def _novelty_sql(shingles: str) -> str:
+    return f"""
+    WITH sh AS ({shingles}),
+    df AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN df.n_docs = 1 THEN 1 END) AS BIGINT)
+               AS n_unique,
+           ROUND(CAST(COUNT(CASE WHEN df.n_docs = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """
+
+
+@query("ngram_novelty", tier=2, oracle=_novelty_sql(_DUCK_SHINGLES))
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct
+    {SHINGLE_WIDTH}-gram shingles that occur in NO other document —
+    the inverse of the boilerplate signal. Dedup families ask "which
+    docs repeat each other"; this asks, per doc, "how much of this doc
+    is original", the score a curation mix uses to up-weight fresh
+    content and down-rank template farms whose every shingle is shared.
+
+    Determinism: counts are exact integers; the one ratio divides two
+    integers and rounds to 6 dp — no floats anywhere else.
+
+    Scale: shingles are per-doc distinct (the shared fragment), so the
+    document-frequency aggregation keys on the Zipf-skewed shingle
+    column (map-side combine first; AQE splits the head keys) and the
+    join back carries one row per (doc, shingle). Docs shorter than
+    {SHINGLE_WIDTH} tokens have no shingles and are absent — identically
+    in both dialects. Same two-exchange shape as `decontaminate`.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_novelty_sql(_SPARK_SHINGLES))
+
+
+# --- incremental near-dedup: batch vs corpus (round 6) ---------------------
+# The per-ingest production shape of minhash_lsh_pairs: an incoming batch
+# (the llm_pipeline NEW_BATCH_PRED slice) is checked against the EXISTING
+# corpus only — no corpus-side self-join ever runs. The batch band table
+# is ingest-sized, so it broadcasts; the corpus pays one signature scan.
+INCR_BATCH_PRED = "doc_id % 10 = 9"  # = llm_pipeline.NEW_BATCH_PRED
+
+
+def _lsh_incremental_sql(sig_sql: str) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    sig_eq = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS corpus_doc, y.doc_id AS batch_doc
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        WHERE NOT (x.doc_id % 10 = 9) AND (y.doc_id % 10 = 9)
+    )
+    SELECT cand.corpus_doc, cand.batch_doc,
+           CAST(({sig_eq}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM cand
+    JOIN sigs a ON a.doc_id = cand.corpus_doc
+    JOIN sigs b ON b.doc_id = cand.batch_doc
+    """
+
+
+@query(
+    "minhash_lsh_incremental",
+    tier=2,
+    oracle=_lsh_incremental_sql(_minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES)),
+)
+def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: LSH candidate pairs between an incoming
+    batch ({INCR_BATCH_PRED}) and the existing corpus, with estimated
+    Jaccard — the near-dup twin of `dedup_incremental` and the shape
+    production ingest actually schedules (nothing compares corpus docs
+    to each other; that work happened when THEY were ingested).
+
+    Scale: the corpus-side cost is one signature scan (at 100 TB the
+    signatures live as their own compact table, ~100 B/doc, written at
+    ingest — not recomputed); the batch band table is ingest-sized and
+    BROADCASTS into it, so there is no shuffle keyed on band_hash at
+    all and a hot boilerplate bucket cannot skew a partition. Estimated
+    Jaccard compares exact integer signature components.
+    """
+    _docs_view(spark, sf_dir)
+    sigs = spark.sql(
+        _minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)
+    ).localCheckpoint(eager=True)
+    rows = MINHASH_K // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig{b * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(MINHASH_K)])
+    bands = sigs.select(
+        "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    is_batch = F.expr(INCR_BATCH_PRED)
+    corpus_bands = bands.filter(~is_batch).alias("x")
+    batch_bands = bands.filter(is_batch).alias("y")
+    cand = (
+        corpus_bands.join(
+            F.broadcast(batch_bands),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.col("x.doc_id").alias("corpus_doc"),
+            F.col("y.doc_id").alias("batch_doc"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "corpus_doc",
+        "batch_doc",
+        (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+    )

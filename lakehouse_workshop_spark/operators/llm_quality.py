@@ -870,3 +870,110 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("robust_z"), "vec_id")
         .limit(NORM_OUT_TOP)
     )
+
+
+# --- DSIR-style importance weights (round 6) --------------------------------
+# Data Selection via Importance Resampling (Xie et al., 2023,
+# arXiv:2302.03169): score every raw document by how much more likely its
+# hashed-unigram bag is under a target-domain LM than under the raw-corpus
+# LM; resampling by exp(weight) shifts the training mix toward the target
+# domain without a learned classifier. Here the target slice is one
+# source (a stand-in for "looks like the target corpus"); features are
+# md5-hashed unigram buckets exactly as quality_classifier_score hashes
+# them, with add-one smoothing so unseen buckets stay finite.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 1024
+
+
+@query(
+    "dsir_importance_weights",
+    tier=2,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT
+                   % {DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    tb AS (
+        SELECT b, COUNT(*) AS tc FROM toks
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    rb AS (SELECT b, COUNT(*) AS rc FROM toks GROUP BY b),
+    tt AS (SELECT SUM(tc) + {DSIR_BUCKETS} AS t_tot FROM tb),
+    rt AS (SELECT SUM(rc) + {DSIR_BUCKETS} AS r_tot FROM rb)
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(
+                  CAST(ROUND(LN(COALESCE(tb.tc, 0) + 1) * 100000000) AS BIGINT)
+                - CAST(ROUND(LN(tt.t_tot) * 100000000) AS BIGINT)
+                - CAST(ROUND(LN(rb.rc + 1) * 100000000) AS BIGINT)
+                + CAST(ROUND(LN(rt.r_tot) * 100000000) AS BIGINT)
+             ) AS DOUBLE) / 100000000.0, 6) AS log_weight
+    FROM toks
+    LEFT JOIN tb USING (b)
+    JOIN rb USING (b)
+    CROSS JOIN tt CROSS JOIN rt
+    GROUP BY toks.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: Σ_tok [ln p̂_target(b(tok)) −
+    ln p̂_raw(b(tok))] over {DSIR_BUCKETS} hashed unigram buckets with
+    add-one smoothing — the importance-resampling score that tilts a raw
+    crawl toward a target domain (arXiv:2302.03169), the third selection
+    gate next to the classifier (`quality_classifier_score`) and the
+    drift monitor (`token_dist_shift`).
+
+    Determinism contract: bucket ids come from md5 (identical integers
+    in both engines); LN only ever sees integers (smoothed counts,
+    totals), each ln is 1e8-fixed-pointed to BIGINT (the
+    ``token_dist_shift`` idiom), per-token terms sum as exact BIGINTs,
+    and the single division + 6-dp round happen once per doc.
+
+    Scale: the bucket LMs are {DSIR_BUCKETS}-row tables — aggregated
+    map-side, broadcast back into the token stream (no vocab-sized
+    join); the only real shuffle is the doc_id groupBy. Raw-count
+    smoothing uses rc+1 (every observed bucket has rc ≥ 1; unseen
+    target buckets coalesce to tc=0 before their +1).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "source", bucket.alias("b"))
+    tb = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    rb = toks.groupBy("b").agg(F.count("*").alias("rc"))
+    tt = tb.agg((F.sum("tc") + DSIR_BUCKETS).alias("t_tot"))
+    rt = rb.agg((F.sum("rc") + DSIR_BUCKETS).alias("r_tot"))
+
+    def fp(col):
+        return F.round(F.log(col) * 100000000).cast("bigint")
+
+    term = (
+        fp(F.coalesce(F.col("tc"), F.lit(0)) + 1)
+        - fp("t_tot")
+        - fp(F.col("rc") + 1)
+        + fp("r_tot")
+    )
+    return (
+        toks.join(F.broadcast(tb), "b", "left")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(term).cast("double") / 100000000.0, 6).alias(
+                "log_weight"
+            ),
+        )
+    )

@@ -545,3 +545,64 @@ def test_embedding_norm_outliers_ranked(spark, sf_dir):
     assert (out["robust_z"] >= 0).all()
     assert list(out["robust_z"]) == sorted(out["robust_z"], reverse=True)
     assert (out["nrm"] > 0).all()
+
+
+def test_dsir_importance_weights_invariants(spark, sf_dir):
+    """Target-source docs should score higher on average than the rest
+    (their tokens ARE the target distribution), and every doc's token
+    count matches a direct tokenization."""
+    import lakehouse_workshop_spark.operators.llm_quality as Q
+    from pyspark.sql import functions as F
+
+    out = Q.dsir_importance_weights(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n")
+    ).toPandas()
+    merged = out.merge(docs, on="doc_id")
+    assert len(merged) == len(docs)
+    assert (merged["n_tokens"] == merged["n"]).all()
+    tgt = merged[merged["source"] == Q.DSIR_TARGET_SOURCE]
+    rest = merged[merged["source"] != Q.DSIR_TARGET_SOURCE]
+    per_tok_tgt = (tgt["log_weight"] / tgt["n_tokens"]).mean()
+    per_tok_rest = (rest["log_weight"] / rest["n_tokens"]).mean()
+    assert per_tok_tgt > per_tok_rest
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """Novelty is a ratio in [0,1]; exact duplicate docs must score 0
+    novelty (every shingle is shared with the twin)."""
+    import lakehouse_workshop_spark.operators.llm_dedup as D
+    from pyspark.sql import functions as F
+
+    out = D.ngram_novelty(spark, sf_dir).toPandas()
+    assert (out["n_unique"] <= out["n_shingles"]).all()
+    assert out["novelty"].between(0.0, 1.0).all()
+    dupes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .toPandas()
+    )
+    dup_ids = {i for ids in dupes["ids"] for i in ids}
+    if dup_ids:
+        assert (out[out["doc_id"].isin(dup_ids)]["novelty"] == 0.0).all()
+
+
+def test_minhash_lsh_incremental_subset_of_full(spark, sf_dir):
+    """Every incremental (corpus, batch) pair appears in the full pair
+    join with the same estimated Jaccard, and no pair has both sides in
+    the batch or both in the corpus."""
+    import lakehouse_workshop_spark.operators.llm_dedup as D
+
+    inc = D.minhash_lsh_incremental(spark, sf_dir).toPandas()
+    assert (inc["corpus_doc"] % 10 != 9).all()
+    assert (inc["batch_doc"] % 10 == 9).all()
+    full = D.minhash_lsh_pairs(spark, sf_dir).toPandas()
+    fullset = {
+        (min(a, b), max(a, b)): j
+        for a, b, j in zip(full["doc_a"], full["doc_b"], full["est_jaccard"])
+    }
+    for a, b, j in zip(inc["corpus_doc"], inc["batch_doc"], inc["est_jaccard"]):
+        key = (min(a, b), max(a, b))
+        assert key in fullset and abs(fullset[key] - j) < 1e-12
