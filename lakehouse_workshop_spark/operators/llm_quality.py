@@ -931,11 +931,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``token_dist_shift`` idiom), per-token terms sum as exact BIGINTs,
     and the single division + 6-dp round happen once per doc.
 
-    Scale: the bucket LMs are {DSIR_BUCKETS}-row tables — aggregated
-    map-side, broadcast back into the token stream (no vocab-sized
-    join); the only real shuffle is the doc_id groupBy. Raw-count
-    smoothing uses rc+1 (every observed bucket has rc ≥ 1; unseen
-    target buckets coalesce to tc=0 before their +1).
+    Scale: the corpus explodes ONCE — tokens reduce map-side to
+    (doc_id, source, bucket) counts (≤ {DSIR_BUCKETS} rows per doc),
+    that reduction is checkpointed, and BOTH bucket LMs ({DSIR_BUCKETS}
+    rows each, broadcast back) plus the per-doc score derive from it; no
+    second corpus pass anywhere. Per-token terms become count×term
+    (exact BIGINT), so the reduced grain changes nothing numerically.
+    Raw-count smoothing uses rc+1 (every observed bucket has rc ≥ 1;
+    unseen target buckets coalesce to tc=0 before their +1).
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -943,15 +946,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
     )
-    toks = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", "source", bucket.alias("b"))
-    tb = (
-        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+    # One corpus pass: reduce tokens to (doc, source, bucket) counts.
+    # Everything downstream (both LMs, both totals, the per-doc score)
+    # reads this checkpointed reduction instead of re-exploding text.
+    db = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", "source", bucket.alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    rb = toks.groupBy("b").agg(F.count("*").alias("rc"))
+    tb = (
+        db.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    rb = db.groupBy("b").agg(F.sum("c").alias("rc"))
     tt = tb.agg((F.sum("tc") + DSIR_BUCKETS).alias("t_tot"))
     rt = rb.agg((F.sum("rc") + DSIR_BUCKETS).alias("r_tot"))
 
@@ -965,15 +975,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         + fp("r_tot")
     )
     return (
-        toks.join(F.broadcast(tb), "b", "left")
+        db.join(F.broadcast(tb), "b", "left")
         .join(F.broadcast(rb), "b")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(rt))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(term).cast("double") / 100000000.0, 6).alias(
-                "log_weight"
-            ),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * term).cast("double") / 100000000.0, 6
+            ).alias("log_weight"),
         )
     )
