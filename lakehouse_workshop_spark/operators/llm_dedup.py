@@ -329,7 +329,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline 6×. Here bands come from ONE pass over sigs (explode of the
     4 band structs) carrying the full signature array, so the expensive
     pipeline runs once and the pair stage is a self-equi-join on
-    (band_id, band_hash).
+    (band_id, band_hash). est_jaccard is computed INSIDE the join row
+    (both sides already carry their signature) and the cross-band dedup
+    aggregates ``first(est)`` per pair — the dedup shuffle moves one
+    double per candidate instead of two 16-element signature arrays
+    (every copy of a pair carries the identical estimate, so ``first``
+    is deterministic).
     """
     _docs_view(spark, sf_dir)
     # Materialize the signature stage once (lazily): both sides of the
@@ -359,7 +364,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
@@ -369,20 +381,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+            (matches.cast("double") / MINHASH_K).alias("est"),
         )
-        .distinct()
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est").alias("est_jaccard"))
     )
 
 
@@ -1054,7 +1056,14 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.expr(INCR_BATCH_PRED)
     corpus_bands = bands.filter(~is_batch).alias("x")
     batch_bands = bands.filter(is_batch).alias("y")
-    cand = (
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         corpus_bands.join(
             F.broadcast(batch_bands),
             (F.col("x.band_id") == F.col("y.band_id"))
@@ -1063,18 +1072,8 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("corpus_doc"),
             F.col("y.doc_id").alias("batch_doc"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+            (matches.cast("double") / MINHASH_K).alias("est"),
         )
-        .distinct()
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return cand.select(
-        "corpus_doc",
-        "batch_doc",
-        (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+        .groupBy("corpus_doc", "batch_doc")
+        .agg(F.first("est").alias("est_jaccard"))
     )
