@@ -589,7 +589,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Like minhash_lsh_pairs, the Spark plan bands with ONE explode pass over
     the fingerprints (CTE inlining would recompute the token pipeline 4×
-    through the oracle's UNION ALL form).
+    through the oracle's UNION ALL form). The hamming distance computes
+    INSIDE the join row and the threshold filters BEFORE the cross-band
+    dedup, so the dedup exchange carries only passing pairs (every band
+    copy of a pair yields the identical distance — first() is
+    deterministic and the filter commutes with the dedup).
     """
     _docs_view(spark, sf_dir)
     fp = spark.sql(_spark_simhash_sql()).localCheckpoint(eager=True)
@@ -610,7 +614,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
 
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast(
+        "int"
+    )
+    return (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
@@ -619,16 +626,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
-            F.col("x.simhash").alias("sim_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("y.simhash").alias("sim_b"),
+            hamming.alias("h"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .filter(F.col("h") <= SIMHASH_MAX_HAMMING)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("h").alias("hamming"))
     )
 
 
