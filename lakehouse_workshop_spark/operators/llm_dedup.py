@@ -239,9 +239,48 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate; capping df bounds per-shingle fan-out at DF_CAP² and the
     join becomes corpus-linear for natural corpora. Same scoring formula
     on the surviving shingles.
+
+    Plan shape: the oracle references the capped-shingle CTE three times
+    (sizes + both self-join sides). Spark's exchange reuse already
+    dedupes those identical subtrees at this scale (measured ~even with
+    the inlined SQL form); the explicit eager checkpoint keeps the
+    sharing guaranteed rather than optimizer-dependent — at 100 TB a
+    ReusedExchange miss (e.g. AQE re-planning one consumer differently)
+    would re-run the corpus explode. Cost is dominated by the bounded
+    Σ df² self-join fan-out itself, which is the operator's honest price.
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(_jaccard_capped_sql(_SPARK_SHINGLES))
+    raw = spark.sql(_SPARK_SHINGLES)
+    df = raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    capped = (
+        raw.join(df.filter(F.col("df") <= DF_CAP), "shingle")
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)  # read by sizes and both join sides
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
