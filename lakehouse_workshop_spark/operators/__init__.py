@@ -59,7 +59,7 @@ DRIVER_ORDER: list[str] = [
     "bigram_lm_score",
     "embedding_component_variance",
     "table_expectations",
-    # -- 26-32: driver-green before, source changed in round 6 -----------
+    # -- 26-35: driver-green before, source changed in round 6 -----------
     "vocab_coverage",
     "tfidf_top_terms",
     "semantic_dedup",
@@ -67,7 +67,12 @@ DRIVER_ORDER: list[str] = [
     "chunk_dedup",
     "dedup_incremental",
     "decontaminate",
-    # -- 33-50: latest driver row is r04; re-verify before they go stale -
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs_capped",
+    "simhash_near_pairs",
+    # -- 36-50: latest driver row is r04; re-verify before they go stale
+    #    (the three displaced r04 rows go stale at r07 and lead that
+    #    window by rule 1) ------------------------------------------------
     "monthly_sales_1997",
     "count_distinct_customers",
     "count_distinct_customers_approx",
@@ -83,9 +88,6 @@ DRIVER_ORDER: list[str] = [
     "customer_value_bands",
     "order_percentiles_approx",
     "revenue_by_nation",
-    "top_customer_per_nation",
-    "active_or_rich_customers",
-    "sales_rollup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
