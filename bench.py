@@ -216,7 +216,7 @@ PROBE_REPLICAS = 10
 # the stress the blockwise verdict exists for). One rep (the point is the
 # order of growth, not ±5%). Tag carries "full" because this corpus now
 # includes embeddings (a cached docs-only corpus must not be reused).
-PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs", "semantic_dedup"]
+PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs", "semantic_dedup", "ivf_topk"]
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"
 
