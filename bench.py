@@ -112,6 +112,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "ngram_novelty",
     "minhash_lsh_incremental",
+    "clv_temporal_holdout",
 ]
 
 
