@@ -113,6 +113,7 @@ HEADLINE = [
     "ngram_novelty",
     "minhash_lsh_incremental",
     "clv_temporal_holdout",
+    "cross_source_dup_matrix",
 ]
 
 

@@ -1119,3 +1119,45 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("corpus_doc", "batch_doc")
         .agg(F.first("est").alias("est_jaccard"))
     )
+
+
+# --- cross-source duplication matrix (round 6) -----------------------------
+
+
+_DUP_MATRIX_SQL = """
+    WITH hs AS (
+        SELECT md5(text) AS h, source, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.source = b.source
+                         THEN (a.cnt * (a.cnt - 1)) / 2
+                         ELSE a.cnt * b.cnt END) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM hs a JOIN hs b
+      ON a.h = b.h AND a.source <= b.source
+    WHERE NOT (a.source = b.source AND a.cnt < 2)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("cross_source_dup_matrix", tier=2, oracle=_DUP_MATRIX_SQL)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: for every source pair (incl.
+    a source against itself), the number of exact-duplicate document
+    pairs and of distinct shared texts — the provenance diagnostic that
+    finds mirror sites and scraped-content farms BEFORE sampling weights
+    are chosen (a source whose docs all exist elsewhere adds tokens, not
+    information).
+
+    Scale: the corpus reduces map-side to (content-hash, source) counts
+    — at most |sources| rows per distinct text — and the self-join keys
+    on the uniform md5 hash with per-key fan-out bounded by |sources|.
+    Pair counts are products of exact integers (cnt·(cnt−1) is even, so
+    the /2 is exact in both engines); output is ≤ |sources|² rows.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(
+        _DUP_MATRIX_SQL.replace("(a.cnt * (a.cnt - 1)) / 2",
+                                "(a.cnt * (a.cnt - 1)) div 2")
+    )
