@@ -21,19 +21,23 @@ TIERS: dict[str, int] = {}
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Every query never yet driver-verified whose one-round grace is up
-#      leads the window (positions 1-25 here: the entire round-5 batch —
-#      their only prior evidence is sf0.001 pytest parity).
+#   1. Every query never yet driver-verified leads the window. That is
+#      positions 1-39 here: the 25-query round-5 batch whose grace is up
+#      PLUS the 14 queries added in round 6 itself — round 5's verdict
+#      flagged shipping a round's new queries pytest-only, so round 6
+#      spends its slots to leave ZERO never-verified queries behind.
 #   2. Then every query whose registered source changed since its last
-#      driver row (positions 26-32: the round-6 plan rewrites —
+#      driver row (positions 40-49: the round-6 plan rewrites —
 #      vocab_coverage top-k, tfidf n_docs fold-in, semantic_dedup
 #      sub-cluster split, ann_topk_lsh plane scaling, the selective
 #      eager-checkpoint pass).
-#   3. Remaining slots go to the oldest driver rows (latest = r04) so
-#      they cannot cross the 2-round staleness bound at r07. Names
-#      absent from this list keep registration order.
+#   3. The one remaining slot goes to the oldest driver row
+#      (monthly_sales_1997, latest = r04). The other r04 rows go stale
+#      at r07 and lead that window by rule 1; ~41 stale + <=9 new fits
+#      the r07 budget. Names absent from this list keep registration
+#      order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-25: never driver-verified, registered in round 5 (pending) ----
+    # -- 1-25: never driver-verified, registered in round 5 (grace up) ---
     "click_attribution",
     "event_transitions",
     "streaming_event_transitions",
@@ -59,7 +63,23 @@ DRIVER_ORDER: list[str] = [
     "bigram_lm_score",
     "embedding_component_variance",
     "table_expectations",
-    # -- 26-35: driver-green before, source changed in round 6 -----------
+    # -- 26-39: never driver-verified, registered in round 6 (no grace
+    #    spent: verified the same round they land) -----------------------
+    "clv_temporal_holdout",
+    "bpe_merge_candidates",
+    "minhash_band_stats",
+    "ngram_novelty",
+    "minhash_lsh_incremental",
+    "cross_source_dup_matrix",
+    "forecast_revenue_discount",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "small_quantity_avg_yearly",
+    "quality_classifier_score",
+    "token_dist_shift",
+    "embedding_norm_outliers",
+    "dsir_importance_weights",
+    # -- 40-49: driver-green before, source changed in round 6 -----------
     "vocab_coverage",
     "tfidf_top_terms",
     "semantic_dedup",
@@ -70,24 +90,8 @@ DRIVER_ORDER: list[str] = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs_capped",
     "simhash_near_pairs",
-    # -- 36-50: latest driver row is r04; re-verify before they go stale
-    #    (the three displaced r04 rows go stale at r07 and lead that
-    #    window by rule 1) ------------------------------------------------
+    # -- 50: the single oldest r04 row ------------------------------------
     "monthly_sales_1997",
-    "count_distinct_customers",
-    "count_distinct_customers_approx",
-    "customers_by_status",
-    "rfm_summary",
-    "distinct_parts",
-    "corr_frequency_monetary",
-    "orders_in_1995",
-    "customer_recast",
-    "order_value_buckets",
-    "top10_orders",
-    "frequency_bands",
-    "customer_value_bands",
-    "order_percentiles_approx",
-    "revenue_by_nation",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
