@@ -114,6 +114,9 @@ HEADLINE = [
     "minhash_lsh_incremental",
     "clv_temporal_holdout",
     "cross_source_dup_matrix",
+    # round 6: real PNG + WAV codecs behind the decode seam
+    "png_decode_stats",
+    "audio_decode_stats",
 ]
 
 

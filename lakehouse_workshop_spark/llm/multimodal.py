@@ -86,18 +86,246 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
+# --- built-in PNG codec (stdlib zlib + numpy) ------------------------------
+# A second REAL raster codec, this one with actual compression: PNG 8-bit
+# RGB, non-interlaced. The encoder cycles the scanline filter 0..4 so a
+# round-trip exercises every PNG filter type (None/Sub/Up/Average/Paeth)
+# in the decoder; chunk CRCs are written and verified. Anything fancier
+# (palette, 16-bit, interlace, alpha) raises NotImplementedError loudly.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an HxWx3 uint8 array as a real PNG (8-bit RGB, no interlace).
+
+    Scanline ``r`` uses filter type ``r % 5``, so every filter the spec
+    defines appears in the stream — a decoder that mishandles any of the
+    five diverges the pixel checksums downstream.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "PNG color type 2 is RGB"
+    bpp = 3
+    raw = arr.reshape(h, w * bpp).astype(np.int16)  # headroom for filter math
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    lines = []
+    for r in range(h):
+        line = raw[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        f = r % 5
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = line - left
+        elif f == 2:  # Up
+            filt = line - prev
+        elif f == 3:  # Average
+            filt = line - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = line - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit RGB non-interlaced PNG to an HxWx3 uint8 array.
+
+    Full chunk walk with CRC verification, multi-IDAT concatenation, and
+    all five scanline filters. Sub/Up unfilter vectorized (uint8 wraparound
+    accumulate); Average/Paeth carry a true per-pixel left dependency, so
+    they reconstruct in a per-scanline loop — fine for the synthesized
+    thumbnails here; a production build would push those two into C or
+    restrict its encoder's filter choice the way ours could.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    data = bytes(payload)
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG is decoded natively"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        if f == 0:
+            recon = line.copy()
+        elif f == 1:  # Sub: prefix-sum per bpp lane, uint8 wraps mod 256
+            recon = np.add.accumulate(
+                line.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            recon = ((line.astype(np.int16) + prev) % 256).astype(np.uint8)
+        elif f == 3:  # Average
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (int(line[i]) + (int(left) + int(prev[i])) // 2) % 256
+            recon = rec.astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else cc)
+                rec[i] = (int(line[i]) + pred) % 256
+            recon = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = recon
+        prev = recon.astype(np.int16)
+    return out.reshape(h, w, bpp)
+
+
+# --- built-in WAV (RIFF PCM16 mono) codec ----------------------------------
+# The audio modality's real decoder: RIFF/WAVE chunk walk, PCM 16-bit
+# little-endian mono. Compressed/float/multi-channel formats raise.
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a canonical PCM16 mono WAV file."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(data),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            rate,
+            rate * 2,
+            2,
+            16,
+            b"data",
+            len(data),
+        )
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE payload to ``(int16 sample array, rate)``.
+
+    Proper chunk walk (tolerates extra chunks + odd-length padding), PCM16
+    mono only — anything else raises NotImplementedError.
+    """
+    import struct
+
+    import numpy as np
+
+    d = bytes(payload)
+    if d[:4] != WAV_MAGIC or d[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(d):
+        tag, ln = struct.unpack("<4sI", d[pos : pos + 8])
+        body = d[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            audio_fmt, channels, rate, _byterate, _align, bits = fmt
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "only PCM16 mono WAV is decoded natively"
+                )
+            return np.frombuffer(body, dtype="<i2"), rate
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    raise ValueError("WAV missing data chunk")
+
+
 def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
     """Decode an image payload.
 
-    PPM (P6) decodes natively via :func:`decode_ppm` (pure numpy — really
-    executes in this container; exercised distributed by the
-    ``image_decode_stats`` query). Any other format needs an injected
-    codec (e.g. ``PIL.Image.open``) — without one this raises, explicitly.
+    PPM (P6) and 8-bit RGB PNG decode natively (pure numpy / stdlib zlib —
+    real decodes that execute in this container; exercised distributed by
+    the ``image_decode_stats`` and ``png_decode_stats`` queries). Any other
+    format needs an injected codec (e.g. ``PIL.Image.open``) — without one
+    this raises, explicitly.
     """
     if decoder is not None:
         return decoder(payload)
     if bytes(payload[:2]) == PPM_MAGIC:
         return decode_ppm(payload)
+    if bytes(payload[:8]) == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         "no codec for this format in this environment — inject "
         "decoder=PIL.Image.open (or equivalent) when available"
@@ -188,6 +416,89 @@ def media_ppm_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "payload": payloads,
                     "width": PPM_SIDE,
                     "height": PPM_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)
+
+
+def media_png_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL PNG table from ``documents``: each doc becomes an
+    8×8 RGB PNG whose 192 pixel bytes are md5(text) repeated 12× — the same
+    deterministic raster as :func:`media_ppm_from_documents`, but carried
+    through actual DEFLATE compression, per-chunk CRCs, and all five
+    scanline filters (the encoder cycles them row by row). SQL recomputes
+    any pixel statistic from the digest hex without decoding.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_px_bytes = PPM_SIDE * PPM_SIDE * 3  # 192 = 12 x 16 digest bytes
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reps = n_px_bytes // 16
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = np.frombuffer(digest * reps, dtype=np.uint8).reshape(
+                    PPM_SIDE, PPM_SIDE, 3
+                )
+                payloads.append(encode_png(pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "image/png",
+                    "payload": payloads,
+                    "width": PPM_SIDE,
+                    "height": PPM_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)
+
+
+AUDIO_TILE = 8  # synthesized clips are 8 digest-int16s tiled AUDIO_TILE times
+AUDIO_RATE = 16000
+
+
+def media_wav_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL audio table from ``documents``: each doc becomes a
+    64-sample PCM16 mono WAV whose samples are md5(text)'s 8 little-endian
+    int16s tiled 8× — deterministic, so SQL recomputes amplitude statistics
+    from the digest hex. Payloads are genuine RIFF/WAVE files any player
+    parses.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                samples = np.tile(np.frombuffer(digest, dtype="<i2"), AUDIO_TILE)
+                payloads.append(encode_wav(samples, AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
                 }
             )
 

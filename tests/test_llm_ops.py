@@ -87,9 +87,111 @@ def test_multimodal_features_match_hashlib(spark, sf_dir):
 def test_decode_image_is_explicit_stub():
     from lakehouse_workshop_spark.llm.multimodal import decode_image
 
+    # JPEG (no native codec): must raise, not silently fake a decode
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
+
+
+def test_png_codec_roundtrip_all_filters():
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    # >= 5 rows exercises every filter type (encoder cycles r % 5);
+    # odd widths catch stride bugs, 1x1 the no-left/no-up edge.
+    for shape in [(8, 8, 3), (5, 3, 3), (1, 1, 3), (16, 2, 3), (7, 11, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_png(px)
+        assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+        np.testing.assert_array_equal(decode_png(payload), px)
+        # decode_image dispatches PNG natively now
+        np.testing.assert_array_equal(decode_image(payload), px)
+
+
+def test_png_decoder_rejects_corruption_and_exotics():
+    import struct
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import decode_png, encode_png
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(px))
+    # flip one IDAT byte: the chunk CRC must catch it
+    payload[len(payload) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit/palette/interlaced headers must refuse loudly, not mis-decode
+    good = encode_png(px)
+    ihdr_off = 8 + 8  # sig + len/tag
+    exotic = bytearray(good)
+    exotic[ihdr_off + 8] = 16  # bit depth
+    body = bytes(exotic[ihdr_off : ihdr_off + 13])
+    import zlib
+
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    exotic[ihdr_off + 13 : ihdr_off + 17] = crc
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(exotic))
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(13)
+    samples = rng.integers(-32768, 32768, size=37, dtype=np.int16)
+    payload = encode_wav(samples, rate=8000)
+    got, rate = decode_wav(payload)
+    assert rate == 8000
+    np.testing.assert_array_equal(got, samples)
+    # decoder walks chunks: an extra LIST chunk between fmt and data is fine
+    hdr, data = payload[:36], payload[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len pads
+    got2, _ = decode_wav(hdr + extra + data)
+    np.testing.assert_array_equal(got2, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF....AIFF")
+    # stereo must refuse loudly
+    stereo = bytearray(payload)
+    stereo[22] = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+
+
+def test_png_wav_media_decode_to_digest_payloads(spark, sf_dir):
+    """Synthesized PNG/WAV payloads are genuine files whose content is
+    md5(text)-derived — decode must reproduce exactly those bytes."""
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_png,
+        decode_wav,
+        media_png_from_documents,
+        media_wav_from_documents,
+    )
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for r in media_png_from_documents(spark, sf_dir).limit(5).collect():
+        arr = decode_png(r.payload)
+        assert arr.shape == (8, 8, 3)
+        digest = hashlib.md5(docs[r.media_id].encode()).digest()
+        assert arr.tobytes() == digest * 12
+    for r in media_wav_from_documents(spark, sf_dir).limit(5).collect():
+        samples, rate = decode_wav(r.payload)
+        digest = hashlib.md5(docs[r.media_id].encode()).digest()
+        expect = np.tile(np.frombuffer(digest, dtype="<i2"), 8)
+        assert rate == 16000
+        np.testing.assert_array_equal(samples, expect)
 
 
 def test_ppm_codec_roundtrip():
