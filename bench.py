@@ -117,6 +117,8 @@ HEADLINE = [
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
     "audio_decode_stats",
+    # round 6: substring-grain dedup signal (Lee et al. 2022 span view)
+    "dup_span_stats",
 ]
 
 

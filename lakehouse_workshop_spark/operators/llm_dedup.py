@@ -1161,3 +1161,87 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DUP_MATRIX_SQL.replace("(a.cnt * (a.cnt - 1)) / 2",
                                 "(a.cnt * (a.cnt - 1)) div 2")
     )
+
+
+# --- duplicated-span statistics (round 6) ----------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicates at SUBSTRING granularity: a doc is mostly novel yet
+# still carries a long verbatim span copied corpus-wide. The family here
+# already measures doc-grain dup (dedup_*), chunk-grain (chunk_dedup), and
+# per-doc novelty share (ngram_novelty); this adds the span view — per doc,
+# how many CONTIGUOUS runs of shared shingles exist and how long the
+# longest verbatim span is, the signal substring-level scrubbing acts on.
+
+_SPARK_SHINGLE_POS = f"""
+    SELECT doc_id, i - 1 AS pos,
+           array_join(slice(t, i, {SHINGLE_WIDTH}), ' ') AS shingle
+    FROM (SELECT doc_id, t,
+                 explode(sequence(1, size(t) - {SHINGLE_WIDTH - 1})) AS i
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+          WHERE size(t) >= {SHINGLE_WIDTH})
+"""
+
+_DUCK_SHINGLE_POS = f"""
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[i:i+{SHINGLE_WIDTH - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - {SHINGLE_WIDTH - 1})) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+          WHERE len(t) >= {SHINGLE_WIDTH})
+"""
+
+
+def _dup_span_sql(shingle_pos: str) -> str:
+    return f"""
+    WITH sh AS ({shingle_pos}),
+    dupsh AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM dup
+    ),
+    spans AS (
+        SELECT doc_id, grp, COUNT(*) AS span_len
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_spans,
+           CAST(MAX(span_len) + {SHINGLE_WIDTH - 1} AS BIGINT)
+               AS max_dup_token_span,
+           CAST(SUM(span_len) AS BIGINT) AS dup_shingle_positions
+    FROM spans GROUP BY doc_id
+    """
+
+
+@query("dup_span_stats", tier=2, oracle=_dup_span_sql(_DUCK_SHINGLE_POS))
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-span statistics: islands of CONSECUTIVE
+    {SHINGLE_WIDTH}-gram shingle positions whose shingle also occurs in
+    at least one other document — the count of such spans, the longest
+    span in tokens, and how many shingle positions sit inside any span.
+    This is the substring-grain signal of Lee et al. 2022: a doc that is
+    90% novel but embeds one 300-token verbatim block scores low on
+    doc-grain dedup yet high here, and span scrubbing (not whole-doc
+    dropping) is the right action.
+
+    Determinism: positions are exact integers; islands come from the
+    classic gaps-and-islands rewrite (pos − ROW_NUMBER per doc), and
+    every emitted column is an integer count — no floats anywhere.
+
+    Scale: the shingle document-frequency aggregate keys on the
+    Zipf-skewed shingle column (map-side combine; AQE splits head keys),
+    the join back carries one row per duplicated occurrence only, and
+    the islands window partitions BY DOCUMENT — bounded by doc length,
+    never corpus-wide. Docs shorter than {SHINGLE_WIDTH} tokens are
+    absent in both dialects (explicit WHERE, so Spark's descending
+    ``sequence(1, -1)`` ramp can never fire).
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS))

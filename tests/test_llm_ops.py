@@ -708,3 +708,34 @@ def test_minhash_lsh_incremental_subset_of_full(spark, sf_dir):
     for a, b, j in zip(inc["corpus_doc"], inc["batch_doc"], inc["est_jaccard"]):
         key = (min(a, b), max(a, b))
         assert key in fullset and abs(fullset[key] - j) < 1e-12
+
+
+def test_dup_span_stats_planted_spans(spark):
+    """Two docs share one verbatim 8-token block and one 5-token block;
+    a third doc is fully novel and must be absent."""
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _SPARK_SHINGLE_POS,
+        _dup_span_sql,
+    )
+
+    block = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    small = "one two three four five"  # exactly SHINGLE_WIDTH tokens
+    docs = [
+        (1, f"u1a u1b u1c {block} v1a v1b v1c {small} w1a w1b w1c w1d"),
+        (2, f"u2a u2b u2c {block} v2a v2b v2c {small} w2a w2b w2c w2d"),
+        (3, "totally novel text with no shared shingles at all here ok"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    rows = {
+        r.doc_id: r
+        for r in spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS)).collect()
+    }
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        # 8-token block -> island of 4 shingle positions -> span 8 tokens;
+        # 5-token block -> island of 1 -> span 5 tokens
+        assert rows[d].dup_spans == 2
+        assert rows[d].max_dup_token_span == 8
+        assert rows[d].dup_shingle_positions == 5
