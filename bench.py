@@ -119,6 +119,12 @@ HEADLINE = [
     "audio_decode_stats",
     # round 6: substring-grain dedup signal (Lee et al. 2022 span view)
     "dup_span_stats",
+    # round 6: final five canonical TPC-H shapes (Q1, Q9, Q16, Q20, Q21)
+    "pricing_summary",
+    "product_type_profit",
+    "supplier_part_variety",
+    "excess_shipped_suppliers",
+    "waiting_orders_blame",
 ]
 
 

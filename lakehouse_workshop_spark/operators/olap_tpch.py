@@ -945,3 +945,312 @@ def small_quantity_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# --- the final five canonical shapes (round 6): Q1, Q9, Q16, Q20, Q21 ------
+# With these, every one of the 22 canonical TPC-H query shapes has an
+# engine analog (adapted where the testdata schema lacks partsupp /
+# commitdate / shipmode, as documented per query).
+
+Q1_CUTOFF = "1998-09-02"
+Q9_PART_LIKE = "%widget%"
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+Q16_EXCL_BAL = 1000.0
+Q20_PART_PREFIX = "large%"
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+Q20_QTY = 300
+Q21_LATE_DAYS = 60
+Q21_TOP = 100
+
+
+@query(
+    "pricing_summary",
+    tier=2,
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report), the canonical warehouse query:
+    eight aggregates over the full fact grouped by the 2-value flag pair.
+
+    Plan shape: single scan (date filter pushed), map-side partial
+    aggregation collapses everything to ≤ |flag|×|status| groups before
+    the one tiny exchange — the ideal 100 TB profile (bandwidth-bound
+    scan, negligible shuffle). Money sums accumulate in DECIMAL at the
+    per-term scale (2/4/6 dp for price/disc-price/charge) so partial
+    order can't move a double; averages divide the exact sums by the
+    group count and round to 6 dp identically in both dialects.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= Q1_CUTOFF
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", scale=2).alias("sum_qty"),
+            dec_sum("l_extendedprice", scale=2).alias("sum_base_price"),
+            dec_sum(disc_price, scale=4).alias("sum_disc_price"),
+            dec_sum(charge, scale=6).alias("sum_charge"),
+            F.round(dec_sum("l_quantity", scale=2) / n, 6).alias("avg_qty"),
+            F.round(dec_sum("l_extendedprice", scale=2) / n, 6).alias(
+                "avg_price"
+            ),
+            F.round(dec_sum("l_discount", scale=6) / n, 6).alias("avg_disc"),
+            n.cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "product_type_profit",
+    tier=2,
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '{Q9_PART_LIKE}'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp, so profit omits the supply-cost
+    term): revenue on a product family by supplier nation and order
+    year — the classic star join feeding a two-key rollup.
+
+    Plan shape: the p_name filter prunes part BEFORE its broadcast, so
+    the fact scan is cut to the family's lines early; supplier⨝nation
+    broadcast too. The only wide shuffle is lineitem⨝orders on
+    orderkey; the final rollup is |nations|×|years| groups, partial
+    map-side. At 100 TB: one fact-sized shuffle, everything else
+    broadcast — the plan Catalyst should and does pick.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_PART_LIKE)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dec_sum(F.expr(_REV), scale=4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "supplier_part_variety",
+    tier=2,
+    oracle=f"""
+    WITH observed AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM observed
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{Q16_EXCL_BRAND}'
+      AND p_size IN {Q16_SIZES}
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_EXCL_BAL})
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp: supplier-part relationships are
+    the pairs OBSERVED in lineitem; the "customer complaints" exclusion
+    becomes a low-account-balance supplier set): how many distinct
+    eligible suppliers serve each (brand, type, size) slice.
+
+    Plan shape: lineitem reduces map-side to distinct (part, supp)
+    pairs first — the one fact-sized exchange; part broadcasts with
+    brand/size filters pushed to its scan; the NOT IN is a broadcast
+    anti-join against the (tiny) excluded-supplier list, NULL-safe
+    because s_suppkey is a key. COUNT(DISTINCT) then runs over the
+    already-distinct pair set, so no second expansion.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < Q16_EXCL_BAL
+    )
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "excess_shipped_suppliers",
+    tier=2,
+    oracle=f"""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '{Q20_PART_PREFIX}'
+        WHERE l_shipdate >= '{Q20_LO}' AND l_shipdate < '{Q20_HI}'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > {Q20_QTY})
+    ORDER BY s_suppkey
+    """,
+)
+def excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty: "excess stock" becomes
+    excess SHIPPED volume): suppliers who moved more than {Q20_QTY}
+    units of a part family in one year — the HAVING-filtered IN
+    subquery → left-semi-join shape.
+
+    Plan shape: part's name filter prunes before broadcast; the
+    aggregate reduces the year's lines to one row per supplier BEFORE
+    the HAVING cut, and the qualifying-supplier set (tiny) broadcasts
+    into the semi-join against supplier. Quantity accumulates in
+    DECIMAL so the > threshold never flips on summation order.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q20_PART_PREFIX)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q20_LO) & (F.col("l_shipdate") < Q20_HI)
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"))
+        .filter(F.col("qty") > Q20_QTY)
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "waiting_orders_blame",
+    tier=2,
+    oracle=f"""
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate >= o_orderdate
+                                           + INTERVAL {Q21_LATE_DAYS} DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+        FROM per GROUP BY 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN ord USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per.late = 1 AND ord.n_late = 1 AND ord.n_supp > 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {Q21_TOP}
+    """,
+)
+def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no receiptdate/commitdate: "late" is shipping
+    ≥{Q21_LATE_DAYS} days after the order date): suppliers who were the
+    SOLE late supplier on finalized multi-supplier orders — the
+    hardest canonical shape, EXISTS + NOT EXISTS correlated self-joins.
+
+    Plan shape: both correlated subqueries decorrelate into ONE
+    per-(order, supplier) reduction of the fact (late-flag max) and one
+    per-order rollup (supplier count, late count) — two aggregations
+    over the same orderkey-partitioned exchange instead of three
+    fact-sized self-joins; the blame filter is then a row predicate.
+    At 100 TB this is the difference between one shuffle of the fact
+    and three.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    ord_stats = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        per.join(ord_stats, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_late") == 1) & (F.col("n_supp") > 1)
+        )
+        .join(F.broadcast(sup), per.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP)
+    )
