@@ -1215,13 +1215,15 @@ def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardest canonical shape, EXISTS + NOT EXISTS correlated self-joins.
 
     Plan shape: both correlated subqueries decorrelate into ONE
-    per-(order, supplier) reduction of the fact (late-flag max) and one
-    per-order rollup (supplier count, late count) — two aggregations
-    over the same orderkey-partitioned exchange instead of three
-    fact-sized self-joins; the blame filter is then a row predicate.
-    At 100 TB this is the difference between one shuffle of the fact
-    and three.
+    per-(order, supplier) reduction of the fact (late-flag max); the
+    per-order supplier/late counts come from a WINDOW over that reduced
+    set (partitioned by order — bounded by suppliers-per-order, never
+    corpus-wide), so no aggregate-vs-aggregate self-join ever builds.
+    At 100 TB this is one shuffle of the fact plus one of the reduced
+    per-(order, supplier) rows, instead of three fact-sized self-joins.
     """
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -1239,12 +1241,11 @@ def waiting_orders_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    ord_stats = per.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     sup = load_table(spark, sf_dir, "supplier")
     return (
-        per.join(ord_stats, "l_orderkey")
+        per.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter(
             (F.col("late") == 1) & (F.col("n_late") == 1) & (F.col("n_supp") > 1)
         )
