@@ -220,6 +220,7 @@ PROBE_QUERIES = [
     "minhash_band_stats",
     "dsir_importance_weights",
     "minhash_lsh_incremental",
+    "dup_span_stats",
 ]
 PROBE_REPLICAS = 10
 
