@@ -1,0 +1,102 @@
+"""Regression guards for hot-query PHYSICAL plans.
+
+Round 5's verdict flagged three correct-but-wrong-plan queries
+(topic_assign's 6-exchange component join, vocab_coverage's global
+rank+cumsum, tfidf's driver-side count job); round 6 rewrote them and the
+Q21 aggregate self-join. Parity cannot see a plan regression — a
+broadcast silently demoting to sort-merge, a top-k falling back to a
+global window — so these tests pin the exchange/join budget each
+docstring promises. Bounds are the audited values (PLANS.md) plus zero
+slack on join strategy and +1 on exchange count (AQE/stats-level
+wiggle), so a structural regression fails while plan-format noise
+doesn't.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lakehouse_workshop_spark.operators import all_queries
+
+Q = all_queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def test_topic_assign_is_broadcast_matmul_not_component_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topic_assign")
+    # the r5 plan had 6 exchanges and an n*dim x labels*dim equi-join;
+    # the rewrite scores Arrow batches against collected centroids
+    assert _exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_vocab_coverage_ranks_after_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert _exchanges(plan) <= 2
+    # the type vocabulary must be cut by top-k BEFORE any window runs
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_folds_corpus_count_into_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    # n_docs rides as a 1-row broadcast, not a driver-side .count() job
+    assert _exchanges(plan) <= 4
+    # per-doc top-3 runs as a rank-limit pushdown (partial before the
+    # shuffle), never a full per-doc sort of every term
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_waiting_orders_blame_has_no_aggregate_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "waiting_orders_blame")
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(plan) <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_is_one_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # no joins at all; the date filter reaches the parquet scan
+    assert "Join" not in plan
+    assert _exchanges(plan) <= 3
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_product_type_profit_broadcasts_every_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "product_type_profit")
+    # part/supplier/nation (and orders at test scale) all broadcast;
+    # a sort-merge join at sf0.001 would mean a broadcast regressed
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_stays_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert _exchanges(plan) <= 3
+    # verdicts run in Arrow-batched Python, never row-at-a-time
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_row_at_a_time_python_in_hot_queries(spark, sf_dir):
+    # BatchEvalPython = row-at-a-time Python UDF — banned engine-wide;
+    # only Arrow boundaries (ArrowEvalPython / MapInPandas /
+    # FlatMapGroupsInPandas) may appear.
+    for name in (
+        "topic_assign",
+        "semantic_dedup",
+        "png_decode_stats",
+        "audio_decode_stats",
+        "dup_span_stats",
+        "minhash_lsh_pairs",
+        "simhash_near_pairs",
+        "ivf_topk",
+    ):
+        assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name
