@@ -117,6 +117,7 @@ HEADLINE = [
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
     "audio_decode_stats",
+    "image_resize_stats",
     # round 6: substring-grain dedup signal (Lee et al. 2022 span view)
     "dup_span_stats",
     # round 6: final five canonical TPC-H shapes (Q1, Q9, Q16, Q20, Q21)
@@ -230,7 +231,16 @@ PROBE_REPLICAS = 10
 # the stress the blockwise verdict exists for). One rep (the point is the
 # order of growth, not ±5%). Tag carries "full" because this corpus now
 # includes embeddings (a cached docs-only corpus must not be reused).
-PROBE100X_QUERIES = ["dedup_exact", "minhash_lsh_pairs", "semantic_dedup", "ivf_topk"]
+PROBE100X_QUERIES = [
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "semantic_dedup",
+    "ivf_topk",
+    # plane-count scales ~log2(n) in-query, so bucket population (and
+    # therefore wall) should stay near-flat 10x -> 100x — this anchor is
+    # the evidence for that knob
+    "ann_topk_lsh",
+]
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"
 

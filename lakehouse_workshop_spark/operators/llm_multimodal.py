@@ -337,3 +337,115 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(body, schema=schema)
+
+
+def _pool_sum_sql(ch: int) -> str:
+    # Pooled pixel (r, c, ch) of the 4x4 mean-pooled raster: floor-mean of
+    # the 2x2 source block; source byte (y, x, ch) is
+    # digest[((y*8 + x)*3 + ch) % 16], hex byte i = substr(hex, 2i+1, 2).
+    def b(y: str, x: str) -> str:
+        return (
+            "('0x' || substr(md5(text), "
+            f"2*(((({y})*8 + ({x}))*3 + {ch}) % 16) + 1, 2))::BIGINT"
+        )
+
+    return (
+        "list_aggregate(list_transform(generate_series(0, 15), k -> ("
+        + " + ".join(
+            b(f"(k // 4)*2 + {dy}", f"(k % 4)*2 + {dx}")
+            for dy in (0, 1)
+            for dx in (0, 1)
+        )
+        + ") // 4), 'sum')"
+    )
+
+
+@query(
+    "image_resize_stats",
+    tier=2,
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST({_pool_sum_sql(0)} AS BIGINT) AS pooled_sum_r,
+           CAST({_pool_sum_sql(1)} AS BIGINT) AS pooled_sum_g,
+           CAST({_pool_sum_sql(2)} AS BIGINT) AS pooled_sum_b
+    FROM documents
+    """,
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed image resize: the generic ``resize_images``
+    operator runs with an actual codec-backed resizer (PNG decode →
+    2×2 floor-mean pool → PNG re-encode), then the resized payloads are
+    decoded AGAIN and per-channel pixel sums emitted — so the bytes that
+    cross the second Arrow boundary are genuine 4×4 PNG files produced
+    by the first.
+
+    Value-check: pooling is integer floor-mean, so every pooled pixel is
+    exactly recomputable from the md5 digest hex in SQL — a resize that
+    mixes up block geometry, channel order, or rounding diverges the
+    sums.
+
+    Scale: three Arrow-batched mapInPandas passes (synthesize → resize →
+    stats), each streaming record batches; a real deployment fuses
+    synth/ingest away and pays decode+encode once per image, embarrass-
+    ingly parallel. Peak task memory is one batch of rasters.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+        media_png_from_documents,
+        resize_images,
+    )
+
+    def png_pool_resizer(payload: bytes, w: int, h: int) -> bytes:
+        arr = decode_png(payload)
+        sh, sw, _ = arr.shape
+        fy, fx = sh // h, sw // w
+        pooled = (
+            arr.astype(np.int64)
+            .reshape(h, fy, w, fx, 3)
+            .sum(axis=(1, 3))
+            // (fy * fx)
+        ).astype(np.uint8)
+        return encode_png(pooled)
+
+    media = media_png_from_documents(spark, sf_dir)
+    resized = resize_images(media, 4, 4, resizer=png_pool_resizer)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("pooled_sum_r", LongType(), True),
+            StructField("pooled_sum_g", LongType(), True),
+            StructField("pooled_sum_b", LongType(), True),
+        ]
+    )
+
+    def body(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "pooled_sum_r", "pooled_sum_g", "pooled_sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_png(payload)  # the RESIZED file, decoded anew
+                h, w, _ = arr.shape
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pooled_sum_r"].append(int(sums[0]))
+                rows["pooled_sum_g"].append(int(sums[1]))
+                rows["pooled_sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    return resized.mapInPandas(body, schema=schema)
