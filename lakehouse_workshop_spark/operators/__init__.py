@@ -33,9 +33,12 @@ TIERS: dict[str, int] = {}
 #      eager-checkpoint pass).
 #   3. The one remaining slot goes to the oldest driver row
 #      (monthly_sales_1997, latest = r04). The other r04 rows go stale
-#      at r07 and lead that window by rule 1; ~41 stale + <=9 new fits
-#      the r07 budget. Names absent from this list keep registration
-#      order.
+#      at r07 and lead that window by rule 1. Round 6 then registered 9
+#      new queries (grace: verified in r07), so r07 demand is exactly
+#      41 stale + 9 pending = 50: round 7 must relax the cadence
+#      (3- to 4-round re-verify) BEFORE registering anything new or
+#      rewriting an out-of-window source. Names absent from this list
+#      keep registration order.
 DRIVER_ORDER: list[str] = [
     # -- 1-25: never driver-verified, registered in round 5 (grace up) ---
     "click_attribution",
