@@ -1,0 +1,76 @@
+"""Tests for the BPE tokenizer (distributed count/apply, exact learn)."""
+
+from __future__ import annotations
+
+from lakehouse_workshop_spark.llm.bpe import (
+    END_OF_WORD,
+    apply_bpe,
+    encode_word,
+    learn_merges,
+    train_bpe,
+    word_counts,
+)
+
+
+def test_learn_merges_textbook_example():
+    # Sennrich et al.'s canonical example family: 'low'-type corpus.
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(counts, 4)
+    # 'es' (9), then 'est' (9), then 'est</w>' (9), then 'lo' (7)
+    assert merges[:4] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", END_OF_WORD),
+        ("l", "o"),
+    ]
+
+
+def test_learn_merges_is_deterministic_on_ties():
+    counts = [("ab", 3), ("cd", 3)]
+    # both pairs have weight 3 (plus boundary pairs); lexicographic
+    # tie-break must always pick the same winner
+    assert learn_merges(counts, 1) == learn_merges(list(reversed(counts)), 1)
+
+
+def test_encode_word_applies_ranks_in_order():
+    merges = [("e", "s"), ("es", "t"), ("est", END_OF_WORD), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["low", "est" + END_OF_WORD]
+    # unseen word falls back to characters + boundary
+    assert encode_word("zq", ranks) == ["z", "q", END_OF_WORD]
+
+
+def test_distributed_apply_matches_local_encode(spark):
+    docs = [
+        (1, "low lower newest"),
+        (2, "widest low low"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = train_bpe(df, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r.doc_id: (list(r.tokens), r.n_tokens) for r in apply_bpe(df, merges).collect()}
+    for doc_id, text in docs:
+        expect = []
+        for w in text.split(" "):
+            if w:
+                expect.extend(encode_word(w, ranks))
+        assert got[doc_id] == (expect, len(expect)), doc_id
+
+
+def test_word_counts_reduce(spark):
+    df = spark.createDataFrame([(1, "a b a"), (2, "b")], ["doc_id", "text"])
+    got = {r.word: r.cnt for r in word_counts(df).collect()}
+    assert got == {"a": 2, "b": 2}
+
+
+def test_roundtrip_token_concatenation_recovers_text(spark):
+    # BPE is lossless: concatenating a word's tokens and stripping the
+    # boundary marker recovers the word, for every doc in the fixture.
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    merges = train_bpe(df, 50)
+    out = {r.doc_id: r.tokens for r in apply_bpe(df, merges).collect()}
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for doc_id, toks in out.items():
+        rebuilt = "".join(toks).replace(END_OF_WORD, " ").rstrip()
+        assert rebuilt == " ".join(w for w in texts[doc_id].split(" ") if w)
