@@ -4,13 +4,17 @@ Pattern: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python row-by-row.
 
-Decode status: binary PPM (P6) decodes NATIVELY (pure-numpy codec below —
-real decode executes in this container, distributed, via the
-``image_decode_stats`` query over engine-synthesized PPM payloads). Every
-other format (JPEG/PNG/audio/video) still needs an injected codec —
-``decode_image`` raises ``NotImplementedError`` for those, explicitly.
-``extract_features_batch`` keeps a deterministic md5-based fake "feature
-extractor" so the batch plumbing is oracle-checkable end-to-end.
+Decode status: binary PPM (P6), PNG (8-bit RGB, stdlib zlib + numpy, all
+five scanline filters, CRC-verified) and WAV (RIFF PCM16 mono) decode
+NATIVELY — real decodes execute in this container, distributed, via the
+``image_decode_stats`` / ``png_decode_stats`` / ``audio_decode_stats`` /
+``image_resize_stats`` queries over engine-synthesized payloads; audio
+features come from a real Hann-window rFFT spectrogram
+(``extract_audio_features``). Remaining formats (JPEG, video containers)
+still need an injected codec — ``decode_image`` raises
+``NotImplementedError`` for those, explicitly. ``extract_features_batch``
+keeps a deterministic md5-based fake "feature extractor" so the batch
+plumbing is oracle-checkable end-to-end.
 
 Scale posture: mapInPandas streams Arrow record batches, so peak memory per
 task is one batch (tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -590,3 +594,71 @@ def sample_frames(
             )
 
     return media.mapInPandas(body, schema=FRAME_SCHEMA)
+
+
+# --- audio feature extraction (round 6) ------------------------------------
+
+SPEC_FRAME = 32
+SPEC_HOP = 16
+SPEC_BANDS = 4
+
+SPECTROGRAM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("band_energy", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def spectrogram_bands(samples, frame: int = SPEC_FRAME, hop: int = SPEC_HOP,
+                      bands: int = SPEC_BANDS):
+    """Mean log-power per frequency band of a PCM16 clip (pure numpy).
+
+    Hann-windowed frames → rFFT power spectrum → ``bands`` equal bins of
+    the positive-frequency axis → log10 of the frame-averaged energy
+    (+1 so silence maps to 0). Deterministic; the distributed operator
+    calls exactly this, so distributed == local is testable directly.
+    """
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n_frames = max(0, 1 + (len(x) - frame) // hop) if len(x) >= frame else 0
+    if n_frames == 0:
+        return 0, [0.0] * bands
+    win = np.hanning(frame)
+    frames = np.stack(
+        [x[i * hop : i * hop + frame] * win for i in range(n_frames)]
+    )
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, frame//2+1)
+    edges = np.linspace(0, power.shape[1], bands + 1).astype(int)
+    band = [
+        float(np.log10(1.0 + power[:, edges[b] : edges[b + 1]].mean()))
+        for b in range(bands)
+    ]
+    return n_frames, band
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Distributed audio feature extraction: decode WAV payloads and emit
+    per-clip spectrogram band energies, Arrow-batched.
+
+    Scale: same one-pass mapInPandas shape as the image decoders; FFT
+    work is per-clip and embarrassingly parallel; the payload column is
+    pruned unless referenced.
+    """
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, be = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(payload)
+                n, bandv = spectrogram_bands(samples)
+                ids.append(int(mid))
+                nf.append(n)
+                be.append(bandv)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_frames": nf, "band_energy": be}
+            )
+
+    return media.mapInPandas(body, schema=SPECTROGRAM_SCHEMA)

@@ -739,3 +739,41 @@ def test_dup_span_stats_planted_spans(spark):
         assert rows[d].dup_spans == 2
         assert rows[d].max_dup_token_span == 8
         assert rows[d].dup_shingle_positions == 5
+
+
+def test_audio_spectrogram_distributed_matches_local(spark, sf_dir):
+    """The distributed spectrogram operator must agree exactly with the
+    local numpy function on the same decoded samples."""
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import (
+        decode_wav,
+        extract_audio_features,
+        media_wav_from_documents,
+        spectrogram_bands,
+    )
+
+    media = media_wav_from_documents(spark, sf_dir)
+    got = {
+        r.media_id: (r.n_frames, list(r.band_energy))
+        for r in extract_audio_features(media).limit(20).collect()
+    }
+    raw = {r.media_id: bytes(r.payload) for r in media.limit(20).collect()}
+    assert got
+    for mid, (n, band) in got.items():
+        samples, _ = decode_wav(raw[mid])
+        n2, band2 = spectrogram_bands(samples)
+        assert n == n2 == 3  # 64 samples, frame 32, hop 16
+        assert band == band2
+        assert all(b >= 0.0 for b in band)
+
+
+def test_spectrogram_edge_cases():
+    from lakehouse_workshop_spark.llm.multimodal import spectrogram_bands
+
+    # shorter than one frame -> explicit empty result, not a crash
+    n, band = spectrogram_bands([1, 2, 3])
+    assert n == 0 and band == [0.0, 0.0, 0.0, 0.0]
+    # pure silence -> all-zero log energies
+    n, band = spectrogram_bands([0] * 64)
+    assert n == 3 and band == [0.0, 0.0, 0.0, 0.0]
