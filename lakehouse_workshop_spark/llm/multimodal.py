@@ -330,6 +330,10 @@ def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = Non
         return decode_ppm(payload)
     if bytes(payload[:8]) == PNG_SIG:
         return decode_png(payload)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from lakehouse_workshop_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this format in this environment — inject "
         "decoder=PIL.Image.open (or equivalent) when available"

@@ -87,9 +87,9 @@ def test_multimodal_features_match_hashlib(spark, sf_dir):
 def test_decode_image_is_explicit_stub():
     from lakehouse_workshop_spark.llm.multimodal import decode_image
 
-    # JPEG (no native codec): must raise, not silently fake a decode
+    # video container (no native codec): must raise, not fake a decode
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+        decode_image(b"\x00\x00\x00\x18ftypmp42 video bytes")
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
 
 
