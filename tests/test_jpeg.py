@@ -135,3 +135,56 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(J.encode_jpeg(flat))
     assert out.shape == (8, 8, 3)
     assert int(np.abs(out.astype(int) - 50).max()) <= 1
+
+
+def test_jpeg_decodes_distributed(spark):
+    """JPEG payloads synthesized and decoded through Arrow-batched
+    mapInPandas must agree with the local decode — the distributed
+    plumbing for the codec, without a registry slot."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rng = np.random.default_rng(21)
+    imgs = {i: rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for i in range(24)}
+    rows = [(i, bytearray(J.encode_jpeg(px))) for i, px in imgs.items()]
+    media = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), False),
+            ]
+        ),
+    ).repartition(8)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("pix_md5", StringType(), True),
+        ]
+    )
+
+    def body(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"media_id": [], "pix_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = J.decode_jpeg(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["pix_md5"].append(hashlib.md5(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    got = {r.media_id: r.pix_md5 for r in media.mapInPandas(body, schema=schema).collect()}
+    import hashlib
+
+    for i, px in imgs.items():
+        local = hashlib.md5(J.decode_jpeg(J.encode_jpeg(px)).tobytes()).hexdigest()
+        assert got[i] == local, i
