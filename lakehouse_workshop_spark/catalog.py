@@ -98,6 +98,20 @@ def path_scan(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     return spark.read.format(fmt).load(path)
 
 
+def write_path(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Write a DataFrame by storage path in any Spark-native format.
+
+    Format breadth note: parquet/ORC are the columnar production formats
+    (predicate pushdown + column pruning reach the scan); JSON-lines and
+    CSV round-trip for interchange but scan as full-row reads — at 100 TB
+    they are ingest formats, not table formats, and the engine's tables
+    stay columnar.
+    """
+    df.write.format(fmt).mode(mode).save(path)
+
+
 def catalog_scan(spark: SparkSession, name: str, *, cache: bool = False) -> DataFrame:
     """Read a managed table by name, optionally cached (ref ``:66``)."""
     df = spark.read.table(name)

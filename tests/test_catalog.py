@@ -348,3 +348,28 @@ def test_zorder_bits_autoshrink_keeps_key_nonnegative(spark, sf_dir):
     key = cat.zorder_key(li, cols)
     mn = li.select(F.min(key).alias("mn")).collect()[0]["mn"]
     assert mn >= 0
+
+
+def test_path_roundtrip_every_spark_native_format(spark, tmp_path):
+    """Source/sink breadth: parquet, ORC, JSON-lines, and CSV all
+    round-trip by path (values preserved; CSV via explicit schema)."""
+    import lakehouse_workshop_spark.catalog as cat
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        ["id", "name", "score"],
+    )
+    expect = {(r.id, r.name, r.score) for r in df.collect()}
+    for fmt in ("parquet", "orc", "json"):
+        dest = str(tmp_path / fmt)
+        cat.write_path(df, dest, fmt=fmt)
+        got = cat.path_scan(spark, dest, fmt=fmt).select("id", "name", "score")
+        assert {(r.id, r.name, r.score) for r in got.collect()} == expect, fmt
+    dest = str(tmp_path / "csv")
+    cat.write_path(df.coalesce(1), dest, fmt="csv")
+    got = (
+        spark.read.format("csv")
+        .schema("id bigint, name string, score double")
+        .load(dest)
+    )
+    assert {(r.id, r.name, r.score) for r in got.collect()} == expect
