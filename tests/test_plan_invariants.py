@@ -100,3 +100,19 @@ def test_no_row_at_a_time_python_in_hot_queries(spark, sf_dir):
         "ivf_topk",
     ):
         assert "BatchEvalPython" not in _plan(spark, sf_dir, name), name
+
+
+def test_supplier_part_variety_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "supplier_part_variety")
+    # excluded-supplier NOT IN must plan as a broadcast ANTI join, and
+    # the brand/size filters must reach the part scan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_excess_shipped_suppliers_semi_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "excess_shipped_suppliers")
+    # HAVING-filtered IN subquery -> broadcast LEFT SEMI into supplier
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
