@@ -56,6 +56,13 @@ SIMHASH_MAX_HAMMING = 10  # same relative strictness as 6-of-32
 # NB: tokens split ONCE in the inner select — referencing split(text) inside
 # the transform lambda would re-tokenize the document per shingle index
 # (measured 3x slower).
+# NB2: the WHERE guard on short docs is load-bearing for cross-dialect
+# safety, not an optimization — Spark's sequence(1, n) with n < 1 yields
+# a DESCENDING ramp [1, 0, -1, ...] while DuckDB's generate_series yields
+# the empty set, so a doc shorter than SHINGLE_WIDTH tokens would emit
+# garbage shingles in Spark only. No testdata doc is that short (min 10
+# tokens at every SF), so the guard is behavior-identical today; it
+# exists so arbitrary corpora stay dialect-identical.
 _SPARK_SHINGLES = f"""
     SELECT doc_id,
            explode(array_distinct(transform(
@@ -63,6 +70,7 @@ _SPARK_SHINGLES = f"""
                i -> array_join(slice(toks, i, {SHINGLE_WIDTH}), ' ')
            ))) AS shingle
     FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+    WHERE size(toks) >= {SHINGLE_WIDTH}
 """
 
 _DUCK_SHINGLES = f"""
@@ -71,6 +79,7 @@ _DUCK_SHINGLES = f"""
                i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WIDTH - 1}], ' ')
            ))) AS shingle
     FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_WIDTH}
 """
 
 _SPARK_SHINGLE_INT = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
