@@ -777,3 +777,62 @@ def test_spectrogram_edge_cases():
     # pure silence -> all-zero log energies
     n, band = spectrogram_bands([0] * 64)
     assert n == 3 and band == [0.0, 0.0, 0.0, 0.0]
+
+
+@pytest.mark.parametrize("seed", [7, 101, 20260814])
+def test_dup_span_stats_matches_pure_python_reference(spark, seed):
+    """Randomized corpora (tiny vocabulary to force shingle collisions)
+    cross-checked against an independent pure-Python islands
+    implementation — triple coverage on top of the DuckDB oracle."""
+    import random
+
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        SHINGLE_WIDTH,
+        _SPARK_SHINGLE_POS,
+        _dup_span_sql,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(6)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for d in range(8)
+    ]
+
+    # reference: positional shingles -> corpus doc-frequency -> islands
+    sh = {
+        d: [
+            " ".join(toks[i : i + SHINGLE_WIDTH])
+            for i in range(len(toks) - SHINGLE_WIDTH + 1)
+        ]
+        for d, text in docs
+        for toks in [[t for t in text.split(" ") if t != ""]]
+        if len(toks) >= SHINGLE_WIDTH
+    }
+    docs_of = {}
+    for d, shingles in sh.items():
+        for s in shingles:
+            docs_of.setdefault(s, set()).add(d)
+    expect = {}
+    for d, shingles in sh.items():
+        flags = [len(docs_of[s]) >= 2 for s in shingles]
+        spans, best, total, run = 0, 0, 0, 0
+        for f in flags + [False]:
+            if f:
+                run += 1
+            elif run:
+                spans += 1
+                best = max(best, run)
+                total += run
+                run = 0
+        if spans:
+            expect[d] = (spans, best + SHINGLE_WIDTH - 1, total)
+
+    spark.createDataFrame(docs, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = {
+        r.doc_id: (r.dup_spans, r.max_dup_token_span, r.dup_shingle_positions)
+        for r in spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS)).collect()
+    }
+    assert got == expect
