@@ -295,6 +295,57 @@ def write_zordered(
     )
 
 
+def table_stats(path: str, columns: list[str] | None = None) -> list[dict]:
+    """Read parquet FOOTER statistics (no data scan): one dict per
+    (file, row-group) with per-column min/max/null-count/size.
+
+    This is the metadata a 100 TB engine prunes with — `write_zordered`
+    exists precisely to tighten these min/max envelopes, and this reader
+    makes the effect inspectable/testable without scanning data: the
+    footer read is O(files), not O(bytes).
+    """
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for f in sorted(_parquet_data_files(path)):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            row: dict = {"file": f, "row_group": rg, "num_rows": group.num_rows}
+            cols = {}
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                if columns is not None and name not in columns:
+                    continue
+                st = col.statistics
+                cols[name] = {
+                    "min": st.min if st is not None and st.has_min_max else None,
+                    "max": st.max if st is not None and st.has_min_max else None,
+                    "nulls": st.null_count if st is not None else None,
+                    "compressed_bytes": col.total_compressed_size,
+                }
+            row["columns"] = cols
+            out.append(row)
+    return out
+
+
+def _parquet_data_files(root: str) -> list[str]:
+    import os as _os
+
+    if _os.path.isfile(root):
+        return [root]
+    files = []
+    for dirpath, _d, filenames in _os.walk(root):
+        files += [
+            _os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+    return files
+
+
+
 # --- compaction (small-file maintenance) -----------------------------------
 def compact_files(
     spark: SparkSession,

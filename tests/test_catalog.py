@@ -373,3 +373,33 @@ def test_path_roundtrip_every_spark_native_format(spark, tmp_path):
         .load(dest)
     )
     assert {(r.id, r.name, r.score) for r in got.collect()} == expect
+
+
+def test_table_stats_reads_footers_and_zorder_tightens_them(spark, tmp_path):
+    """Footer stats come from metadata only, and z-ordered layout must
+    tighten per-file min/max envelopes vs a shuffled layout."""
+    import lakehouse_workshop_spark.catalog as cat
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 4000).alias("b")
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    df.orderBy(F.md5(F.col("a").cast("string"))).repartition(8).write.parquet(plain)
+    cat.write_zordered(df, zord, ["a", "b"], n_files=8)
+
+    stats = cat.table_stats(zord, columns=["a"])
+    assert stats and all(r["columns"]["a"]["min"] is not None for r in stats)
+    assert sum(r["num_rows"] for r in stats) == 4000
+
+    def avg_span(path):
+        rows = cat.table_stats(path, columns=["a"])
+        spans = [r["columns"]["a"]["max"] - r["columns"]["a"]["min"] for r in rows]
+        return sum(spans) / len(spans)
+
+    # random layout: every file spans ~the full domain. A 2-D z-curve
+    # localizes each dimension to ~domain/sqrt(n_files) per file (8
+    # files -> ~0.35x), so anything clearly below the full span proves
+    # the clustering; 0.7x leaves noise headroom.
+    assert avg_span(zord) < avg_span(plain) * 0.7
