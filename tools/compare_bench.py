@@ -1,0 +1,76 @@
+"""Compare two bench artifacts round-over-round.
+
+Usage: python tools/compare_bench.py BENCH_r05.json BENCH_r06.json
+       python tools/compare_bench.py BENCH_r05.json /tmp/bench_run.log
+
+Accepts either a driver artifact ({"tail": "..."} wrapping the emitted
+JSON line, possibly truncated — per-query pairs are regex-recovered) or
+a raw bench.py log/JSON line. Prints regressions above a noise threshold
+(>1.3x AND >0.3s), improvements, and the common-subset totals — the same
+comparison the round verdict performs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+NOISE_RATIO = 1.3
+NOISE_ABS = 0.3
+
+
+def load_queries(path: str) -> dict[str, float]:
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+        elif isinstance(doc, dict) and "queries" in doc:
+            return {k: float(v) for k, v in doc["queries"].items()}
+    except json.JSONDecodeError:
+        pass
+    # raw log: prefer the emitted JSON line if present
+    for line in text.splitlines():
+        if line.strip().startswith('{"metric"'):
+            return {
+                k: float(v)
+                for k, v in json.loads(line)["queries"].items()
+            }
+    # truncated tail: recover visible name/number pairs
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', text)
+    return {
+        k: float(v) for k, v in pairs if k not in ("sf", "reps", "n", "cpus", "rc")
+    }
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old, new = load_queries(old_path), load_queries(new_path)
+    common = sorted(set(old) & set(new))
+    worse = [
+        (n, old[n], new[n])
+        for n in common
+        if new[n] > max(old[n] * NOISE_RATIO, old[n] + NOISE_ABS)
+    ]
+    better = [
+        (n, old[n], new[n])
+        for n in common
+        if new[n] < old[n] / NOISE_RATIO and old[n] - new[n] > NOISE_ABS
+    ]
+    print(f"common rows: {len(common)} ({old_path} vs {new_path})")
+    print(f"REGRESSIONS (> {NOISE_RATIO}x and > {NOISE_ABS}s): {len(worse)}")
+    for n, a, b in sorted(worse, key=lambda x: x[1] - x[2]):
+        print(f"  {n:38s} {a:8.2f} -> {b:8.2f}")
+    print(f"improvements: {len(better)}")
+    for n, a, b in sorted(better, key=lambda x: x[2] - x[1]):
+        print(f"  {n:38s} {a:8.2f} -> {b:8.2f}")
+    t_old = sum(old[n] for n in common)
+    t_new = sum(new[n] for n in common)
+    print(f"common-subset total: {t_old:.1f}s -> {t_new:.1f}s")
+    if worse:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
