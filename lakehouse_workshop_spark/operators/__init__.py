@@ -32,13 +32,13 @@ TIERS: dict[str, int] = {}
 #      sub-cluster split, ann_topk_lsh plane scaling, the selective
 #      eager-checkpoint pass).
 #   3. The one remaining slot goes to the oldest driver row
-#      (monthly_sales_1997, latest = r04). The other r04 rows go stale
-#      at r07 and lead that window by rule 1. Round 6 then registered 9
-#      new queries (grace: verified in r07), so r07 demand is exactly
-#      41 stale + 9 pending = 50: round 7 must relax the cadence
-#      (3- to 4-round re-verify) BEFORE registering anything new or
-#      rewriting an out-of-window source. Names absent from this list
-#      keep registration order.
+#      (monthly_sales_1997, latest = r04). Round 6 then registered 9
+#      new queries (grace: verified in r07) — which put the fixed
+#      3-round cadence at exact capacity — so the staleness rule became
+#      self-scaling the same round: P = max(3, ceil(registry/window)+1)
+#      (= 4 at 144 queries). Under P=4 the r04 rows go stale at r08,
+#      leaving r07 ~41 free slots for the 9 pending plus new surface.
+#      Names absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
     # -- 1-25: never driver-verified, registered in round 5 (grace up) ---
     "click_attribution",

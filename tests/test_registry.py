@@ -66,17 +66,21 @@ def test_window_union_covers_every_registered_query():
 
 
 def test_stale_queries_lead_the_window():
-    """Max staleness <= 2 recorded rounds: every query whose latest driver
-    row is >= 2 rounds behind the newest recorded round must sit inside
-    the upcoming 50-entry window (i.e. every query re-verifies at least
-    every third round). Derived from the recorded CORRECTNESS_r*.json
-    files, so the rule re-evaluates itself each round without
-    hand-maintained lists.
+    """Self-scaling staleness: every query re-verifies at least every
+    P-th round, P = max(3, ceil(registry / window) + 1) — a query whose
+    latest driver row is P or more rounds old must sit inside the
+    upcoming 50-entry window. Derived from the recorded
+    CORRECTNESS_r*.json files, so the rule re-evaluates itself each
+    round without hand-maintained lists.
 
-    Cadence rationale (round 6): the registry (121) outgrew 2x the window
-    (50), so the original <=1-round rule demanded 71 slots and became
-    unsatisfiable for ANY order. A 3-round rotation covers 150 slots,
-    which bounds the registry this cadence can govern."""
+    Cadence rationale: the original <=1-round rule became unsatisfiable
+    at 121 queries in round 6 (it demanded 71 of 50 slots), and the
+    fixed 3-round rotation that replaced it hit exact capacity (150) at
+    144 queries the same round — every future round would have spent
+    its entire window on staleness with zero budget for new queries or
+    out-of-window rewrites. Deriving P from the registry size keeps the
+    rule satisfiable with ~window/P slots of headroom per round while
+    still bounding how long any row can go unre-verified."""
     from glob import glob
 
     latest: dict[str, int] = {}
@@ -92,17 +96,19 @@ def test_stale_queries_lead_the_window():
     window = set(names[:DRIVER_WINDOW])
     manifest_path = "/root/repo/tools/driver_manifest.json"
     manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
-    # Verified-before queries go overdue when their row is >= 2 rounds
-    # behind the newest recorded round; never-verified queries go overdue
+    # Verified-before queries go overdue when their latest row is P or
+    # more rounds old (see docstring); never-verified queries go overdue
     # after waiting one full round (a registry larger than the window
     # makes rotation inevitable, so brand-new queries may wait exactly
     # one round, no more).
+    period = max(3, -(-len(names) // DRIVER_WINDOW) + 1)
+    horizon = max_round + 1 - period
     overdue = [
         n
         for n in names
         if n not in window
         and (
-            0 < latest.get(n, 0) < max_round - 1
+            0 < latest.get(n, 0) <= horizon
             or (
                 latest.get(n, 0) == 0
                 and manifest.get(n, {}).get("first_seen_round", max_round + 1)

@@ -5,11 +5,14 @@ per round, so coverage rotates through ``operators.DRIVER_ORDER``. Two
 rules decide who must be in the upcoming window (both enforced by
 ``tests/test_registry.py``):
 
-1. **Max staleness <= 2 recorded rounds**: any query whose latest driver
-   row is two or more rounds behind the newest recorded round leads the
-   window (every query re-verifies at least every third round; relaxed
-   from <=1 in round 6 when the 121-query registry made the old rule
-   demand 71 of 50 slots).
+1. **Self-scaling staleness**: every query re-verifies at least every
+   P-th round, where P = max(3, ceil(registry / window) + 1) — the
+   rotation period grows with the registry so the rule stays satisfiable
+   with headroom for ~window/P new queries per round. (History: <=1-round
+   staleness became unsatisfiable at 121 queries in round 6 and was
+   relaxed to a fixed 3-round rotation, which itself hit exact capacity
+   at 144 queries the same round; the ceil() form is the principled
+   fix — at 144 queries P = 4, capacity 200.)
 2. **Changed source re-verifies**: any query whose registered source
    (``inspect.getsource`` of the decorated function, which includes the
    ``@query(...)`` block and therefore the oracle SQL) changed since the
@@ -75,8 +78,13 @@ def main() -> None:
     #   changed — source differs from the hash its last row vouched for
     # Brand-new queries (first registered this round) may wait one round;
     # they enter the manifest as pending and harden next round.
+    # Verified at round r -> must re-enter the window by building round
+    # r + P (P = rotation period), i.e. overdue when latest <= max_round
+    # + 1 - P.
+    period = max(3, -(-len(names) // DRIVER_WINDOW) + 1)
+    horizon = max_round + 1 - period
     stale = [
-        n for n in names if 0 < latest.get(n, 0) < max_round - 1
+        n for n in names if 0 < latest.get(n, 0) <= horizon
     ]
     pending = [
         n
@@ -96,7 +104,8 @@ def main() -> None:
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
-    print(f"stale (latest row < r{max_round - 1:02d}): {len(stale)}")
+    print(f"rotation period: {period} rounds (registry {len(names)}, window {DRIVER_WINDOW})")
+    print(f"stale (latest row <= r{horizon:02d}): {len(stale)}")
     print(f"  {stale}")
     print(f"pending (never verified, registered <= r{max_round:02d}): {pending}")
     print(f"changed since manifest: {len(changed)}")
