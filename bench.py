@@ -118,6 +118,7 @@ HEADLINE = [
     "png_decode_stats",
     "audio_decode_stats",
     "image_resize_stats",
+    "jpeg_decode_stats",
     # round 6: substring-grain dedup signal (Lee et al. 2022 span view)
     "dup_span_stats",
     # round 6: final five canonical TPC-H shapes (Q1, Q9, Q16, Q20, Q21)

@@ -10,9 +10,11 @@ NATIVELY — real decodes execute in this container, distributed, via the
 ``image_decode_stats`` / ``png_decode_stats`` / ``audio_decode_stats`` /
 ``image_resize_stats`` queries over engine-synthesized payloads; audio
 features come from a real Hann-window rFFT spectrogram
-(``extract_audio_features``). Remaining formats (JPEG, video containers)
-still need an injected codec — ``decode_image`` raises
-``NotImplementedError`` for those, explicitly. ``extract_features_batch``
+(``extract_audio_features``); baseline JPEG decodes natively too
+(``llm/jpeg.py``, lossy-but-deterministic — ``jpeg_decode_stats`` pins a
+reconstruction-error contract). Only video containers still need an
+injected codec — ``decode_image`` raises ``NotImplementedError`` for
+those, explicitly. ``extract_features_batch``
 keeps a deterministic md5-based fake "feature extractor" so the batch
 plumbing is oracle-checkable end-to-end.
 
@@ -666,3 +668,48 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(body, schema=SPECTROGRAM_SCHEMA)
+
+
+JPEG_ERR_BOUND = 32.0  # digest rasters measure mean-abs-err <= 25.3; garbage ~85
+
+
+def media_jpeg_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL JPEG table from ``documents``: each doc's 8×8
+    digest raster (md5(text) repeated 12×) carried through actual DCT,
+    Annex-K quantization, and Huffman entropy coding. Lossy but
+    deterministic — the decode contract bounds reconstruction error
+    against the digest raster SQL can recompute.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.llm.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_px_bytes = PPM_SIDE * PPM_SIDE * 3
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reps = n_px_bytes // 16
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = np.frombuffer(digest * reps, dtype=np.uint8).reshape(
+                    PPM_SIDE, PPM_SIDE, 3
+                )
+                payloads.append(encode_jpeg(pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "image/jpeg",
+                    "payload": payloads,
+                    "width": PPM_SIDE,
+                    "height": PPM_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)

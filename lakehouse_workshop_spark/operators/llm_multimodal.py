@@ -449,3 +449,91 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return resized.mapInPandas(body, schema=schema)
+
+
+@query(
+    "jpeg_decode_stats",
+    tier=2,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           TRUE AS err_ok
+    FROM documents
+    """,
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, distributed: each payload is a genuine baseline
+    JFIF file (DCT + Annex-K quantization + Huffman entropy coding,
+    `llm/jpeg.py`) decoded inside Arrow-batched mapInPandas.
+
+    JPEG is lossy, so the oracle cannot recompute pixels; this query uses
+    the same CONTRACT pattern as ``ivf_topk_kmeans``'s recall check: the
+    decoder recomputes the ORIGINAL digest raster from the doc text
+    (exactly what the SQL would) and emits ``err_ok`` = mean |decoded −
+    original| ≤ {JPEG_ERR_BOUND} per image. Measured envelope on digest
+    rasters: ≤ 25.3; an unrelated-noise (broken-decoder) raster measures
+    ~85 — the driver's value-hash fails if even ONE image decodes
+    outside the bound. Dims come from the decoded raster, not metadata.
+
+    Scale: encode pass + decode pass, both Arrow-batched; per-task peak
+    is one record batch of thumbnails.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_workshop_spark.llm.jpeg import decode_jpeg
+    from lakehouse_workshop_spark.llm.multimodal import (
+        JPEG_ERR_BOUND,
+        media_jpeg_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    media = media_jpeg_from_documents(spark, sf_dir).join(
+        docs, F.col("media_id") == F.col("doc_id")
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("err_ok", BooleanType(), True),
+        ]
+    )
+
+    def body(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "err_ok": []}
+            for mid, payload, text in zip(
+                pdf["media_id"], pdf["payload"], pdf["text"]
+            ):
+                arr = decode_jpeg(bytes(payload))
+                h, w, _ = arr.shape
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                orig = np.frombuffer(digest * 12, dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                err = float(
+                    np.abs(arr.astype(np.int64) - orig.astype(np.int64)).mean()
+                )
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["err_ok"].append(err <= JPEG_ERR_BOUND)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "text").mapInPandas(
+        body, schema=schema
+    )
