@@ -127,6 +127,8 @@ HEADLINE = [
     "supplier_part_variety",
     "excess_shipped_suppliers",
     "waiting_orders_blame",
+    # round 6: link analysis over the co-purchase graph
+    "part_copurchase_pagerank",
 ]
 
 
