@@ -1405,6 +1405,3 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part", "CAST(score AS BIGINT) AS pr_fixed"
     ).orderBy(F.desc("pr_fixed"), "part")
 
-
-def _tables_view(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
