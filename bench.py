@@ -225,6 +225,11 @@ PROBE_QUERIES = [
     "dsir_importance_weights",
     "minhash_lsh_incremental",
     "dup_span_stats",
+    # r6 plan rewrites — probe their scaling, not just their 1x wall:
+    # topic_assign (broadcast-centroid matmul) and vocab_coverage
+    # (top-k-then-rank) both replaced forms that grew with corpus size
+    "topic_assign",
+    "vocab_coverage",
 ]
 PROBE_REPLICAS = 10
 
