@@ -129,6 +129,8 @@ HEADLINE = [
     "waiting_orders_blame",
     # round 6: link analysis over the co-purchase graph
     "part_copurchase_pagerank",
+    # round 6: SCD Type-2 history build (the other half of the CDC story)
+    "scd2_customer_history",
 ]
 
 

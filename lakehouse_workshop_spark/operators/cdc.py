@@ -82,3 +82,48 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     return merge_upsert(target, cdc_batch(spark, sf_dir), "o_orderkey")
+
+
+# --- SCD Type-2 history build (round 6) ------------------------------------
+# The other half of the lakehouse CDC story: MERGE applies changes to the
+# CURRENT table; SCD2 preserves every version with validity intervals so
+# "what was this customer's value on date D" is a range lookup. Treating
+# each order as a change event, the build is one per-key LEAD window —
+# identical SQL text runs on both engines.
+
+_SCD2_SQL = """
+    SELECT o_custkey AS custkey,
+           o_orderkey AS version_key,
+           o_totalprice AS attr_value,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("scd2_customer_history", oracle=_SCD2_SQL, tier=2)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: every order becomes a
+    versioned dimension row with [valid_from, valid_to) validity and an
+    is_current flag — the standard warehouse answer to "what was this
+    customer's state at time T", built from the change stream in ONE
+    pass.
+
+    Determinism: the version order is (valid_from, version_key), so
+    same-day changes tie-break identically in both engines; intervals
+    are half-open and zero-length intervals for same-timestamp versions
+    are kept (the consumer's AS OF lookup uses from <= T < to, which
+    skips them naturally).
+
+    Scale: one LEAD window partitioned BY KEY — bounded by versions per
+    customer, never corpus-wide; at 100 TB this is one shuffle of the
+    change stream on the dimension key, the minimum any SCD2 build
+    pays. Append-only downstream (each run emits the full history;
+    an incremental variant MERGEs only keys present in the new batch,
+    exactly the `merge_upsert` seam above).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCD2_SQL)
