@@ -131,6 +131,7 @@ HEADLINE = [
     "part_copurchase_pagerank",
     # round 6: SCD Type-2 history build (the other half of the CDC story)
     "scd2_customer_history",
+    "scd2_asof_lookup",
 ]
 
 

@@ -127,3 +127,34 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCD2_SQL)
+
+
+SCD2_ASOF_T = "1997-06-15"
+
+_SCD2_ASOF_SQL = f"""
+    WITH hist AS ({_SCD2_SQL})
+    SELECT custkey, version_key, attr_value
+    FROM hist
+    WHERE valid_from <= '{SCD2_ASOF_T}'
+      AND (valid_to IS NULL OR valid_to > '{SCD2_ASOF_T}')
+    ORDER BY custkey
+"""
+
+
+@query("scd2_asof_lookup", oracle=_SCD2_ASOF_SQL, tier=2)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 consumer: each customer's version valid AS OF
+    {SCD2_ASOF_T} — the half-open interval predicate
+    ``valid_from <= T < valid_to`` that the Type-2 layout exists to make
+    a plain range filter. Zero-length intervals (same-timestamp
+    versions) are skipped by the predicate itself, so at most one
+    version survives per key; customers whose history starts after T
+    are absent — the correct "did not exist yet" answer.
+
+    Scale: on a STORED SCD2 table this is a scan-pushed range filter
+    (and a partition prune if the table partitions on valid_from);
+    rebuilt inline here, it adds one filter atop the single-window
+    build. No join — the point of the layout.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCD2_ASOF_SQL)
