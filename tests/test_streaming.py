@@ -278,3 +278,51 @@ def test_streaming_transitions_bridge_microbatches(spark, sf_dir, tmp_path):
     assert got == want
     # the batches genuinely split the stream: total pairs = events - users
     assert sum(got.values()) == n - raw.select("user_id").distinct().count()
+
+
+def test_streaming_scd2_equals_batch_build(spark, tmp_path):
+    """Incremental streaming SCD2 over three change batches (one key's
+    versions deliberately split across batches, plus a LATE event in the
+    final batch) must equal the one-shot batch build over all events."""
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.operators.cdc import scd2_customer_history
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_scd2
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS custkey",
+            "o_orderkey AS version_key",
+            "o_totalprice AS attr_value",
+            "o_orderdate AS valid_from",
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "stream_src")
+    # batch 1: early orders; batch 2: mid orders; batch 3: the tail PLUS
+    # the earliest slice replayed late (idempotence + late-arrival path)
+    b1 = events.filter("valid_from <  '1996-06-01'")
+    b2 = events.filter(
+        "valid_from >= '1996-06-01' AND valid_from < '1998-01-01'"
+    )
+    b3 = events.filter("valid_from >= '1998-01-01'").union(
+        events.filter("valid_from < '1995-06-01'")
+    )
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+        import os, glob, shutil
+
+        part = glob.glob(f"{src}/f{i}.parquet/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch_{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}.parquet")
+
+    target = str(tmp_path / "scd2_target")
+    got = run_streaming_scd2(spark, src, target, events.schema)
+
+    cols = ["custkey", "version_key", "attr_value", "valid_from", "valid_to", "is_current"]
+    want = {tuple(r) for r in scd2_customer_history(spark, sf_dir).select(cols).collect()}
+    have = {tuple(r) for r in got.select(cols).collect()}
+    # replayed duplicates must collapse: history holds each version once
+    assert got.count() == got.select("custkey", "version_key").distinct().count()
+    assert have == want
