@@ -236,3 +236,80 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "from_type", "to_type")
     )
+
+
+@query(
+    "streaming_scd2_history",
+    tier=2,
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderkey AS version_key,
+           o_totalprice AS attr_value,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``scd2_customer_history``: the change stream is
+    split into THREE date-sliced micro-batches (the last one replaying
+    the earliest slice — the at-least-once case) and
+    ``run_streaming_scd2`` maintains the Type-2 table incrementally;
+    the oracle is the one-shot batch build, so the driver value-checks
+    that per-key incremental rebuild + late replay converges to exactly
+    the batch result.
+
+    Scale: each micro-batch's cost is proportional to the keys it
+    touches (prior-history join + re-window), never table size — the
+    property this query exists to pin.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_scd2
+
+    events = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS custkey",
+            "o_orderkey AS version_key",
+            "o_totalprice AS attr_value",
+            "o_orderdate AS valid_from",
+        )
+        .localCheckpoint(eager=True)
+    )
+    workdir = tempfile.mkdtemp(prefix="scd2_stream_")
+    src = f"{workdir}/src"
+    target = f"{workdir}/target"
+    batches = (
+        events.filter("valid_from < '1996-06-01'"),
+        events.filter(
+            "valid_from >= '1996-06-01' AND valid_from < '1998-01-01'"
+        ),
+        events.filter("valid_from >= '1998-01-01'").union(
+            events.filter("valid_from < '1995-06-01'")  # late replay
+        ),
+    )
+    import glob
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for i, b in enumerate(batches):
+        tmp = f"{workdir}/b{i}"
+        b.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch_{i}.parquet")
+        shutil.rmtree(tmp)
+    result = run_streaming_scd2(spark, src, target, events.schema)
+    # materialize off the temp dir before it is removed
+    out = result.select(
+        "custkey", "version_key", "attr_value", "valid_from", "valid_to", "is_current"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
