@@ -211,3 +211,34 @@ def test_wav_roundtrip_property(samples, rate):
     got, got_rate = decode_wav(encode_wav(arr, rate))
     assert got_rate == rate
     assert (got == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+def test_bpe_is_lossless_for_any_corpus(words, n_merges):
+    """BPE never loses information: for ANY corpus and ANY merge budget,
+    encoding a word with the learned ranks and concatenating its tokens
+    recovers the word + boundary marker exactly."""
+    from collections import Counter
+
+    from lakehouse_workshop_spark.llm.bpe import (
+        END_OF_WORD,
+        encode_word,
+        learn_merges,
+    )
+
+    counts = list(Counter(words).items())
+    merges = learn_merges(counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(words):
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END_OF_WORD
+        # merges only ever concatenate — token count is bounded by chars+1
+        assert 1 <= len(toks) <= len(w) + 1
