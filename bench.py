@@ -132,6 +132,7 @@ HEADLINE = [
     # round 6: SCD Type-2 history build (the other half of the CDC story)
     "scd2_customer_history",
     "scd2_asof_lookup",
+    "snapshot_diff_orders",
 ]
 
 

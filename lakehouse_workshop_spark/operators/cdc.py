@@ -158,3 +158,51 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCD2_ASOF_SQL)
+
+
+# --- snapshot diff (round 6) ------------------------------------------------
+# The audit half of time travel (`catalog.snapshot_write/read` hold the
+# versions): what changed between table versions, by class. Runs current
+# vs the CDC-merged next version; identical SQL text on both engines.
+
+_SNAPSHOT_DIFF_SQL = f"""
+    WITH updates AS ({_CDC_BATCH_SQL}),
+    next_t AS (
+        SELECT {_CDC_COLS} FROM updates
+        UNION ALL
+        SELECT {_CDC_COLS} FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = t.o_orderkey)
+    ),
+    diff AS (
+        SELECT CASE WHEN c.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN n.o_orderstatus <> c.o_orderstatus
+                      OR n.o_totalprice <> c.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS change_class
+        FROM orders c
+        FULL JOIN next_t n ON c.o_orderkey = n.o_orderkey
+    )
+    SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n
+    FROM diff GROUP BY change_class ORDER BY change_class
+"""
+
+
+@query("snapshot_diff_orders", oracle=_SNAPSHOT_DIFF_SQL, tier=2)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version DIFF: row counts per change class (added / changed /
+    unchanged — this batch has no deletes) between the current orders
+    snapshot and the CDC-merged next version. The audit query every
+    time-travel layer owes its operators: "what did that write actually
+    do" without replaying it.
+
+    Scale: one FULL join keyed on the table key — both sides shuffle
+    once (or the smaller snapshot broadcasts); the class rollup is
+    4 rows. On a Delta/Iceberg table the same query runs over
+    ``VERSION AS OF`` pairs; here the next version derives in-plan from
+    the deterministic CDC batch, which also makes the oracle exact.
+    Doubles compare for equality safely: both versions' values are
+    either bit-identical parquet reads or the same IEEE add of +10.0.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SNAPSHOT_DIFF_SQL)
