@@ -17,84 +17,79 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 6. The driver's correctness pass
+# Explicit driver-pass order for round 7. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
 #   1. Every query never yet driver-verified leads the window. That is
-#      positions 1-39 here: the 25-query round-5 batch whose grace is up
-#      PLUS the 14 queries added in round 6 itself — round 5's verdict
-#      flagged shipping a round's new queries pytest-only, so round 6
-#      spends its slots to leave ZERO never-verified queries behind.
-#   2. Then every query whose registered source changed since its last
-#      driver row (positions 40-49: the round-6 plan rewrites —
-#      vocab_coverage top-k, tfidf n_docs fold-in, semantic_dedup
-#      sub-cluster split, ann_topk_lsh plane scaling, the selective
-#      eager-checkpoint pass).
-#   3. The one remaining slot goes to the oldest driver row
-#      (monthly_sales_1997, latest = r04). Round 6 then registered 9
-#      new queries (grace: verified in r07) — which put the fixed
-#      3-round cadence at exact capacity — so the staleness rule became
-#      self-scaling the same round: P = max(3, ceil(registry/window)+1)
-#      (= 4 at 144 queries). Under P=4 the r04 rows go stale at r08,
-#      leaving r07 ~41 free slots for the 9 pending plus new surface.
+#      positions 1-15 here: the 15 queries registered late in round 6
+#      (after that round's window had shipped) — the four decode-stats
+#      queries, dup_span_stats, the five TPC-H shapes, pagerank, the two
+#      SCD2 queries, snapshot_diff_orders, streaming_scd2_history. Their
+#      one-round grace expires with the r07 run.
+#   2. No query is stale for r07 under the self-scaling period
+#      P = max(3, ceil(registry/window)+1) (= 4 at 150 queries), but the
+#      41 queries whose latest row is r04 ALL go stale at r08 — more
+#      than a whole window. Positions 16-50 pre-rotate 35 of them now so
+#      r08 inherits only 6 stale rows (the simplest scan/agg shapes,
+#      deferred deliberately) plus round-7's own new registrations.
 #      Names absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-25: never driver-verified, registered in round 5 (grace up) ---
-    "click_attribution",
-    "event_transitions",
-    "streaming_event_transitions",
-    "lang_id_confusion",
-    "promo_revenue_monthly",
-    "late_shipment_priority",
-    "volume_shipping",
-    "market_share",
-    "top_returned_customers",
-    "nation_revenue_share",
-    "min_cost_supplier",
-    "big_quantity_orders",
-    "dormant_rich_customers",
-    "disjunctive_part_revenue",
-    "basket_part_pairs",
-    "customer_ltv_deciles",
-    "supplier_concentration",
-    "source_balanced_sample",
-    "docs_length_outliers",
-    "topic_assign",
-    "corpus_quality_funnel",
-    "weighted_sample_topk",
-    "bigram_lm_score",
-    "embedding_component_variance",
-    "table_expectations",
-    # -- 26-39: never driver-verified, registered in round 6 (no grace
-    #    spent: verified the same round they land) -----------------------
-    "clv_temporal_holdout",
-    "bpe_merge_candidates",
-    "minhash_band_stats",
-    "ngram_novelty",
-    "minhash_lsh_incremental",
-    "cross_source_dup_matrix",
-    "forecast_revenue_discount",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "small_quantity_avg_yearly",
-    "quality_classifier_score",
-    "token_dist_shift",
-    "embedding_norm_outliers",
-    "dsir_importance_weights",
-    # -- 40-49: driver-green before, source changed in round 6 -----------
-    "vocab_coverage",
-    "tfidf_top_terms",
-    "semantic_dedup",
-    "ann_topk_lsh",
-    "chunk_dedup",
-    "dedup_incremental",
-    "decontaminate",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs_capped",
-    "simhash_near_pairs",
-    # -- 50: the single oldest r04 row ------------------------------------
-    "monthly_sales_1997",
+    # -- 1-15: never driver-verified, registered in round 6 (grace up) ---
+    "scd2_customer_history",
+    "scd2_asof_lookup",
+    "snapshot_diff_orders",
+    "streaming_scd2_history",
+    "dup_span_stats",
+    "png_decode_stats",
+    "audio_decode_stats",
+    "image_resize_stats",
+    "jpeg_decode_stats",
+    "pricing_summary",
+    "product_type_profit",
+    "supplier_part_variety",
+    "excess_shipped_suppliers",
+    "waiting_orders_blame",
+    "part_copurchase_pagerank",
+    # -- 16-50: latest row r04, pre-rotated before they go stale at r08 --
+    "rfm_summary",
+    "corr_frequency_monetary",
+    "order_value_buckets",
+    "top10_orders",
+    "frequency_bands",
+    "customer_value_bands",
+    "order_percentiles_approx",
+    "revenue_by_nation",
+    "top_customer_per_nation",
+    "active_or_rich_customers",
+    "sales_rollup",
+    "orders_pivot_status",
+    "sessionize_events",
+    "churned_customers",
+    "cumulative_monthly_revenue",
+    "event_props_agg",
+    "clv_distributed",
+    "clv_segment_rollup",
+    "text_stats",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "token_counts",
+    "blocklist_scrub",
+    "sequence_packing",
+    "pii_redact",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "ivf_topk_kmeans",
+    "embedding_quantize_int8",
+    "image_decode_stats",
+    # deferred to lead r08 (simple stable scans/aggs): count_distinct_customers,
+    # count_distinct_customers_approx, customers_by_status, distinct_parts,
+    # orders_in_1995, customer_recast
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
