@@ -170,15 +170,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     # tokens split once (see llm_dedup._SPARK_SHINGLES note)
+    # size(toks) < 5 guard: Spark's sequence(1, n) with n <= 0 emits a
+    # DESCENDING ramp (1, 0, -1, ...) where DuckDB's generate_series is
+    # empty — an unguarded short doc would hash garbage slices instead of
+    # yielding NULL (the shared shingle CTEs in llm_dedup got this guard
+    # in round 6; this query was out-of-window then).
     return docs.selectExpr("doc_id", "text", "split(text, ' ') AS toks").selectExpr(
         "doc_id",
         "md5(text) AS content_hash",
         """
-        array_min(transform(
-            transform(sequence(1, size(toks) - 4),
-                      i -> array_join(slice(toks, i, 5), ' ')),
-            s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
-        )) AS min_shingle_hash
+        CASE WHEN size(toks) >= 5 THEN
+            array_min(transform(
+                transform(sequence(1, size(toks) - 4),
+                          i -> array_join(slice(toks, i, 5), ' ')),
+                s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+            ))
+        END AS min_shingle_hash
         """,
     )
 

@@ -836,3 +836,38 @@ def test_dup_span_stats_matches_pure_python_reference(spark, seed):
         for r in spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS)).collect()
     }
     assert got == expect
+
+
+def test_doc_fingerprint_short_docs_null_shingle(spark, tmp_path):
+    """Docs shorter than the 5-token shingle width must yield a NULL
+    min_shingle_hash (matching DuckDB's empty generate_series), not a
+    hash of garbage descending-ramp slices (Spark's sequence(1, n<=0))."""
+    import duckdb
+
+    rows = [
+        (1, "only four tokens here", "en", "web", 21),
+        (2, "a b", "en", "web", 3),
+        (3, " ".join(f"w{i}" for i in range(12)), "en", "web", 40),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    from lakehouse_workshop_spark.operators import ORACLES, all_queries
+
+    got = {
+        r.doc_id: r.min_shingle_hash
+        for r in all_queries()["doc_fingerprint"](spark, str(sf)).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = {
+        d: h for d, _, h in con.execute(ORACLES["doc_fingerprint"]).fetchall()
+    }
+    assert got == want
