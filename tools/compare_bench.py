@@ -37,11 +37,19 @@ def load_queries(path: str) -> dict[str, float]:
                 k: float(v)
                 for k, v in json.loads(line)["queries"].items()
             }
-    # truncated tail: recover visible name/number pairs
-    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', text)
-    return {
-        k: float(v) for k, v in pairs if k not in ("sf", "reps", "n", "cpus", "rc")
-    }
+    # truncated tail: recover name/number pairs, but only from within the
+    # queries object — a deny-list of metadata keys would silently absorb
+    # any new numeric field (elapsed, totals) into the timings. The tail
+    # may begin mid-object (head truncated), so absent a '"queries"'
+    # anchor the whole text IS the queries interior; with one, match only
+    # after it and stop at the closing brace.
+    qpos = text.find('"queries"')
+    scope = text[qpos + len('"queries"') :] if qpos >= 0 else text
+    brace = scope.find("}")
+    if brace >= 0:
+        scope = scope[: brace + 1]
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', scope)
+    return {k: float(v) for k, v in pairs}
 
 
 def main() -> None:
