@@ -397,9 +397,20 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        if data[pos + 1] == 0xFF:
+            # T.81 permits 0xFF fill bytes between segments
+            pos += 1
+            continue
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # standalone markers carry no length word; treating them as
+            # length-prefixed would misparse the stream — refuse loudly
+            # like every other out-of-scope shape in this module
+            raise NotImplementedError(
+                f"standalone marker 0x{marker:04X} before SOS (TEM/RSTn)"
+            )
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:

@@ -188,3 +188,25 @@ def test_jpeg_decodes_distributed(spark):
     for i, px in imgs.items():
         local = hashlib.md5(J.decode_jpeg(J.encode_jpeg(px)).tobytes()).hexdigest()
         assert got[i] == local, i
+
+
+def test_fill_bytes_between_segments_are_skipped():
+    """T.81 allows any number of 0xFF fill bytes before a marker."""
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = J.encode_jpeg(img)
+    # splice a fill byte right after SOI, before the first segment marker
+    padded = payload[:2] + b"\xff" + payload[2:]
+    out = J.decode_jpeg(padded)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_array_equal(out, J.decode_jpeg(payload))
+
+
+def test_standalone_marker_before_sos_refuses_loudly():
+    """TEM/RSTn before SOS carry no length word; the walk must refuse,
+    not misparse them as length-prefixed segments."""
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = J.encode_jpeg(img)
+    for standalone in (b"\xff\x01", b"\xff\xd0", b"\xff\xd7"):
+        spliced = payload[:2] + standalone + payload[2:]
+        with pytest.raises(NotImplementedError, match="standalone marker"):
+            J.decode_jpeg(spliced)
