@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QueryFn]:
         olap_extras,
         olap_tpch,
         llm_quality,
+        llm_mixture,
         profiling,
     )
 

@@ -1,0 +1,388 @@
+"""Corpus mixture, ordering, and ingest-gating operators (round 7).
+
+The data-curation decisions a pretraining pipeline makes BETWEEN dedup
+and training: what to sample from each source (mixture weights), what
+order to feed it (curriculum), what to block at ingest (bloom-filter
+gate), and how contaminated each eval suite is (per-benchmark report —
+the pooled variant lives in ``llm_dedup.decontaminate``). Plus the two
+corpus-shape statistics those decisions read: per-document token entropy
+and the corpus Zipf slope.
+
+Determinism posture (the engine-wide rules): LN/EXP only ever see
+integers or per-row doubles both engines computed identically; every
+multi-row float sum accumulates in DECIMAL so partition order can never
+move a bit; every ratio is rounded to 6 dp in both dialects.
+
+Scale posture: everything here is groupBy/join on uniform keys — no
+pairwise comparison, no global window over unbounded rows (the Zipf fit
+ranks AFTER a top-k cut, per the ``hot_keys_events`` pattern). The bloom
+gate is expressed relationally (distinct bit-position set ⨝ batch
+positions); at 100 TB the corpus side compiles to an actual bitmap
+broadcast — the relational form is the same join with the bitmap
+materialized as a table, so the semantics (including false positives)
+are identical and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_workshop_spark.operators import query
+from lakehouse_workshop_spark.operators.llm_dedup import (
+    CONTAM_BENCH_PCT,
+    CONTAM_MIN_SHINGLES,
+    _docs_view,
+    _DUCK_DOC_PCT,
+    _DUCK_SHINGLES,
+    _SPARK_DOC_PCT,
+    _SPARK_SHINGLES,
+)
+from lakehouse_workshop_spark.operators.llm_pipeline import NEW_BATCH_PRED
+
+# --- domain mixture ---------------------------------------------------------
+# Uniform-over-sources target: weight_s = target_share / observed_share.
+# A real run swaps the target vector per experiment; the shape (exact
+# integer token counts -> 1-row total broadcast -> per-source ratio) is
+# what matters at scale.
+
+
+def _mixture_sql(split_len: str) -> str:
+    return f"""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM({split_len}) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS n_sources FROM per_src)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+           ROUND((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / t), 6)
+               AS mix_weight
+    FROM per_src CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+@query(
+    "domain_mixture_weights",
+    tier=2,
+    oracle=_mixture_sql("len(string_split(text, ' '))"),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights to reach a uniform token mixture:
+    weight = target_share / observed_share (>1 = upsample, <1 = downsample).
+
+    Scale: one scan, map-side partial agg to |sources| rows, 1-row total
+    broadcast back — the pricing_summary profile. Token counts are exact
+    integers, so every share is a ratio of integers: bit-identical across
+    engines with no DECIMAL machinery needed.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_mixture_sql("size(split(text, ' '))"))
+
+
+# --- lang × source composition ----------------------------------------------
+
+
+def _lang_mix_sql() -> str:
+    return """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 SUM(COUNT(*)) OVER (PARTITION BY source), 6)
+               AS share_within_source
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """
+
+
+@query("lang_source_mix", tier=2, oracle=_lang_mix_sql())
+def lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source — the crosstab a mixture audit
+    starts from (a source whose language mix shifts between crawls is the
+    first contamination signal).
+
+    Scale: partial-agg to |source × lang| rows before the exchange; the
+    share window runs over that tiny aggregate, partitioned by source.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_lang_mix_sql())
+
+
+# --- per-document token entropy ----------------------------------------------
+
+
+def _entropy_sql(explode_expr: str) -> str:
+    # entropy = ln(n) - (sum c*ln(c)) / n; LN sees only integer counts and
+    # the per-term double c*LN(c) is identical across engines, so the
+    # DECIMAL sum makes the whole expression order-independent.
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {explode_expr} AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (
+        SELECT doc_id, SUM(c) AS n,
+               SUM(CAST(c * LN(c) AS DECIMAL(38,8))) AS slc
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(LN(n) - CAST(slc AS DOUBLE) / n, 6) AS token_entropy
+    FROM agg
+    """
+
+
+@query(
+    "token_entropy",
+    tier=2,
+    oracle=_entropy_sql("unnest(string_split(text, ' '))"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy (nats) — low entropy flags
+    boilerplate/repetition, high entropy flags noise; quality funnels cut
+    both tails.
+
+    Scale: tokens group on (doc_id, tok) — co-partitioned with the doc,
+    no corpus-wide key, so the one exchange is uniform in doc_id. The
+    identity H = ln(n) − Σc·ln(c)/n keeps LN on integer counts only.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_entropy_sql("explode(split(text, ' '))"))
+
+
+# --- corpus Zipf slope --------------------------------------------------------
+
+ZIPF_TOP_RANKS = 1000
+
+
+def _zipf_sql(split_tok: str) -> str:
+    # top-k FIRST (TakeOrderedAndProject-shaped), rank the k survivors,
+    # then a closed-form least-squares fit of ln(freq) on ln(rank) with
+    # DECIMAL moment sums. Tie order among equal counts cannot move the
+    # fit: tied rows contribute the same (rank-set, freq) values.
+    return f"""
+    WITH toks AS (SELECT {split_tok} AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    top AS (
+        SELECT c FROM vocab ORDER BY c DESC, tok LIMIT {ZIPF_TOP_RANKS}
+    ),
+    xy AS (
+        SELECT LN(ROW_NUMBER() OVER (ORDER BY c DESC)) AS x, LN(c) AS y
+        FROM top
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope
+    FROM m
+    """
+
+
+@query(
+    "zipf_slope",
+    tier=2,
+    oracle=_zipf_sql("unnest(string_split(text, ' '))"),
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over the top-1000
+    vocabulary — natural text sits near −1; synthetic or templated
+    corpora drift toward 0 (flat) or below −1.5 (degenerate). The
+    corpus-health number a mixture dashboard tracks per source refresh.
+
+    Scale: the vocabulary never ranks globally — a top-k cut (per-
+    partition partial top-k, single reduce) precedes the 1000-row window,
+    per the ``hot_keys_events`` pattern round 5's verdict mandated. The
+    fit itself is closed-form over DECIMAL moment sums (regr_slope would
+    sum doubles in partition order).
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_zipf_sql("explode(split(text, ' '))"))
+
+
+# --- curriculum stages --------------------------------------------------------
+# Fixed token-length stage edges (integer, dialect-shared); the training
+# order is (stage, md5(doc_id)) — deterministic, shuffle-friendly (hash
+# order decorrelates stage position from ingest order within a stage).
+
+CURRICULUM_EDGES = (30, 60, 120)  # token-count stage boundaries
+
+
+def _curriculum_sql(split_len: str) -> str:
+    edges = CURRICULUM_EDGES
+    return f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CASE WHEN {split_len} < {edges[0]} THEN 1
+                    WHEN {split_len} < {edges[1]} THEN 2
+                    WHEN {split_len} < {edges[2]} THEN 3
+                    ELSE 4 END AS stage,
+               {split_len} AS n_toks
+        FROM documents
+    ),
+    per_stage AS (
+        SELECT stage, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens
+        FROM feat GROUP BY stage
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY stage) - n_docs AS BIGINT)
+               AS order_lo,
+           CAST(SUM(n_docs) OVER (ORDER BY stage) - 1 AS BIGINT) AS order_hi
+    FROM per_stage
+    ORDER BY stage
+    """
+
+
+@query(
+    "curriculum_stages",
+    tier=2,
+    oracle=_curriculum_sql("len(string_split(text, ' '))"),
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-staged curriculum layout: docs bucket into fixed token-count
+    stages (short → long), and each stage's global training-order span
+    [order_lo, order_hi] is the running count of earlier stages. The full
+    order is (stage, md5(doc_id)) — deterministic without any global sort
+    of the corpus itself; only the 4-row stage table cumsums.
+
+    Scale: one scan, partial-agg to 4 rows, window over 4 rows. Emitting
+    spans instead of 10^9 per-doc ranks is the point: the per-doc order
+    key is computable locally at write time from (stage, md5), no global
+    coordination.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_curriculum_sql("size(split(text, ' '))"))
+
+
+# --- bloom-filter ingest gate --------------------------------------------------
+
+BLOOM_M = 1 << 20  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_hash(dialect_md5_int: str) -> list[str]:
+    return [
+        dialect_md5_int.format(i=i) + f" % {BLOOM_M}" for i in range(BLOOM_K)
+    ]
+
+
+_SPARK_BLOOM = (
+    "CAST(conv(substring(md5(CAST({i} AS STRING) || ':' || text), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_DUCK_BLOOM = (
+    "('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || text), 1, 15))::BIGINT"
+)
+
+
+def _bloom_sql(md5_int: str) -> str:
+    hashes = _bloom_hash(md5_int)
+    corpus_pos = " UNION ".join(
+        f"SELECT {h} AS pos FROM corpus" for h in hashes
+    )
+    batch_pos = " UNION ALL ".join(
+        f"SELECT doc_id, {h} AS pos FROM batch" for h in hashes
+    )
+    return f"""
+    WITH corpus AS (SELECT text FROM documents WHERE NOT ({NEW_BATCH_PRED})),
+    batch AS (SELECT doc_id, text FROM documents WHERE {NEW_BATCH_PRED}),
+    cpos AS ({corpus_pos}),
+    bpos AS ({batch_pos}),
+    hits AS (
+        SELECT b.doc_id, COUNT(c.pos) AS n_set
+        FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
+        GROUP BY b.doc_id
+    ),
+    exact AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+    SELECT hits.doc_id,
+           n_set = {BLOOM_K} AS bloom_maybe_dup,
+           EXISTS (SELECT 1 FROM exact WHERE exact.h = md5(batch.text))
+               AS exact_dup
+    FROM hits JOIN batch ON hits.doc_id = batch.doc_id
+    ORDER BY hits.doc_id
+    """
+
+
+@query("bloom_dedup", tier=2, oracle=_bloom_sql(_DUCK_BLOOM))
+def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate: each incoming-batch doc is flagged
+    ``bloom_maybe_dup`` iff all {BLOOM_K} of its md5-derived bit positions
+    (mod {BLOOM_M}) are set by the existing corpus, alongside the exact
+    answer so false positives are visible (bloom true, exact false —
+    never the reverse: the no-false-negative property is pinned in
+    tests).
+
+    Scale: the corpus collapses to its distinct set-bit positions
+    (≤ k·n ints, ≤ {BLOOM_M} after distinct — a fixed-size table no
+    matter the corpus); the batch side probes it with an equi-join. At
+    100 TB the position set IS the bloom bitmap — broadcast it (128 KiB
+    at m=2^20) and the probe becomes a map-side lookup with identical
+    semantics; the relational join form is what makes those semantics
+    oracle-checkable here.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_bloom_sql(_SPARK_BLOOM))
+
+
+# --- per-benchmark contamination ------------------------------------------------
+
+N_BENCH_SUITES = 3
+
+
+def _contam_by_bench_sql(shingles: str, pct: str) -> str:
+    return f"""
+    WITH sh AS ({shingles}),
+    bench AS (
+        SELECT DISTINCT CAST(doc_id % {N_BENCH_SUITES} AS INT) AS suite,
+               shingle
+        FROM sh WHERE {pct} >= {CONTAM_BENCH_PCT}
+    ),
+    ovl AS (
+        SELECT b.suite, s.doc_id, COUNT(*) AS n_shared
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE {pct.replace('doc_id', 's.doc_id')} < {CONTAM_BENCH_PCT}
+        GROUP BY b.suite, s.doc_id
+    )
+    SELECT suite,
+           CAST(COUNT(CASE WHEN n_shared >= {CONTAM_MIN_SHINGLES} THEN 1 END)
+                AS BIGINT) AS n_flagged_docs,
+           CAST(MAX(n_shared) AS BIGINT) AS max_overlap
+    FROM ovl
+    GROUP BY suite
+    ORDER BY suite
+    """
+
+
+@query(
+    "contamination_by_benchmark",
+    tier=2,
+    oracle=_contam_by_bench_sql(_DUCK_SHINGLES, _DUCK_DOC_PCT),
+)
+def contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-suite contamination report: the benchmark slice splits into
+    {N_BENCH_SUITES} suites (doc_id mod) and each training doc's distinct
+    5-gram overlap is counted AGAINST EACH SUITE SEPARATELY — the report
+    an eval owner reads ("suite 2 is compromised, 0 and 1 are clean"),
+    where ``decontaminate`` gives the pooled training-side purge list.
+
+    Scale: same equi-join-on-shingle shape as decontaminate — the bench
+    side stays eval-suite-sized, the suite column just rides along the
+    build side; one uniform exchange on shingle, then a per-(suite, doc)
+    partial agg that collapses to |suites| rows.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_contam_by_bench_sql(_SPARK_SHINGLES, _SPARK_DOC_PCT))

@@ -1,0 +1,75 @@
+"""Tests for the round-7 mixture/curation operators (llm_mixture.py)."""
+
+from __future__ import annotations
+
+import math
+
+from lakehouse_workshop_spark.operators import all_queries
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """Bloom semantics: exact_dup=True implies bloom_maybe_dup=True for
+    every batch doc — false positives are allowed, false negatives never."""
+    rows = all_queries()["bloom_dedup"](spark, sf_dir).collect()
+    assert rows, "batch slice should be non-empty"
+    for r in rows:
+        if r.exact_dup:
+            assert r.bloom_maybe_dup, f"false negative for doc {r.doc_id}"
+
+
+def test_token_entropy_matches_pure_python(spark, sf_dir):
+    """Spot-check the entropy identity against collections.Counter."""
+    from collections import Counter
+
+    out = {
+        r.doc_id: (r.n_tokens, r.token_entropy)
+        for r in all_queries()["token_entropy"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        n = len(toks)
+        counts = Counter(toks)
+        h = -sum((c / n) * math.log(c / n) for c in counts.values())
+        got_n, got_h = out[d.doc_id]
+        assert got_n == n
+        assert abs(got_h - h) < 1e-4, (d.doc_id, got_h, h)
+
+
+def test_zipf_slope_matches_numpy_fit(spark, sf_dir):
+    """The closed-form DECIMAL-moment fit equals numpy's least squares."""
+    import numpy as np
+    from collections import Counter
+
+    row = all_queries()["zipf_slope"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    counts = Counter(t for d in docs for t in d.text.split(" "))
+    top = sorted(counts.values(), reverse=True)[:1000]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array(top, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert row.n_ranks == len(top)
+    assert abs(row.zipf_slope - slope) < 1e-4, (row.zipf_slope, slope)
+
+
+def test_curriculum_spans_are_contiguous_and_cover(spark, sf_dir):
+    rows = sorted(
+        all_queries()["curriculum_stages"](spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    nxt = 0
+    for r in rows:
+        assert r.order_lo == nxt
+        assert r.order_hi == r.order_lo + r.n_docs - 1
+        nxt = r.order_hi + 1
+    assert nxt == n_docs
+
+
+def test_mixture_weights_average_to_one_token_weighted(spark, sf_dir):
+    """Sum over sources of token_share * mix_weight = 1 (each source's
+    weighted share is exactly the uniform target share)."""
+    rows = all_queries()["domain_mixture_weights"](spark, sf_dir).collect()
+    total = sum(r.token_share * r.mix_weight for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
