@@ -150,6 +150,7 @@ def all_queries() -> dict[str, QueryFn]:
         olap_tpch,
         llm_quality,
         llm_mixture,
+        event_analytics,
         profiling,
     )
 

@@ -1,0 +1,146 @@
+"""Event-stream analytics operators (round 7).
+
+Sequence and seasonality shapes over the ``events`` table that the
+existing funnel/sessionize/attribution family doesn't cover: path
+mining (top event-type trigrams), time-of-day seasonality, and
+statistical anomaly detection on daily volumes.
+
+Determinism posture: every float sum is a DECIMAL accumulation, LN/
+SQRT see per-row values both engines computed identically, ratios
+round to 6 dp, and every ordering breaks ties on a unique key
+(``event_id`` within a user stream, names elsewhere).
+
+Scale posture: windows partition by user (uniform, unbounded
+parallelism) or run over calendar-bounded aggregates (hours × types,
+days × types — small no matter the event volume); the heavy exchanges
+are partial-aggregated groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_workshop_spark.operators import query
+
+PATH_TOP_K = 10
+ANOMALY_Z = 2.0
+
+
+def _path_sql() -> str:
+    # LEAD twice over the per-user stream, then count trigram strings.
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT {PATH_TOP_K}
+    """
+
+
+@query("user_path_trigrams", tier=2, oracle=_path_sql())
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP_K} three-step event-type paths across all user
+    streams — the path-mining primitive behind "what do users do right
+    before purchase/error".
+
+    Scale: one window pass partitioned by user (each stream is
+    independent; the exchange key is uniform), then a groupBy on the
+    trigram string whose distinct cardinality is ≤ |event_types|³ = tiny
+    — partial aggregation collapses it map-side; the final top-k is
+    TakeOrderedAndProject.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_path_sql())
+
+
+def _seasonality_sql(hour_expr: str) -> str:
+    return f"""
+    SELECT CAST({hour_expr} AS INT) AS hour_of_day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+               AS share_of_type
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_of_day, event_type
+    """
+
+
+@query(
+    "hourly_seasonality",
+    tier=2,
+    oracle=_seasonality_sql("EXTRACT(hour FROM ts)"),
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type with each hour's share of
+    its type's total — the load-shaping/staffing curve. Sessions pin UTC
+    so the hour extract agrees across engines.
+
+    Scale: partial-agg to ≤ 24 × |types| rows before the only exchange;
+    the share window runs over that constant-size aggregate.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonality_sql("hour(ts)"))
+
+
+def _anomaly_sql(day_expr: str) -> str:
+    # Daily value totals per type, then a population z-score per day
+    # against that type's own distribution. Moments accumulate in
+    # DECIMAL over per-day values that are themselves DECIMAL sums, so
+    # nothing depends on partition order.
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {day_expr} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS svv
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           ROUND(d.v, 2) AS day_value,
+           ROUND((d.v - sv / n_days)
+                 / SQRT(svv / n_days - (sv / n_days) * (sv / n_days)),
+                 6) AS zscore
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE svv / n_days - (sv / n_days) * (sv / n_days) > 0
+      AND ABS((d.v - sv / n_days)
+              / SQRT(svv / n_days - (sv / n_days) * (sv / n_days)))
+          > {ANOMALY_Z}
+    ORDER BY d.event_type, d.day
+    """
+
+
+@query(
+    "daily_value_anomalies",
+    tier=2,
+    oracle=_anomaly_sql("strftime(ts, '%Y-%m-%d')"),
+)
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total event value sits more than {ANOMALY_Z}σ from that
+    event type's own daily mean (population moments) — the monitoring
+    query behind volume-anomaly alerts.
+
+    Scale: the raw scan partial-aggregates to days × types rows; the
+    moment pass and the z-score join both run over that calendar-bounded
+    aggregate. Per-day sums and both moment sums accumulate in DECIMAL;
+    SQRT sees a double both engines derived from identical DECIMAL casts.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_anomaly_sql("date_format(ts, 'yyyy-MM-dd')"))
