@@ -1405,3 +1405,96 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part", "CAST(score AS BIGINT) AS pr_fixed"
     ).orderBy(F.desc("pr_fixed"), "part")
 
+
+
+# --- Q12 analog + graph triangles (round 7) ---------------------------------
+# Q12 completes the 22-shape canon: the testdata schema has no shipmode,
+# so the classic "shipmode service-level mix" groups by l_linestatus and
+# the "late" predicate is ship-lag-derived (as Q4/Q21 already do).
+
+Q12_LO, Q12_HI = "1996-01-01", "1997-01-01"
+Q12_LATE_DAYS = 60
+TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "linestatus_priority_mix",
+    tier=2,
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '{Q12_LO}' AND l_shipdate < '{Q12_HI}'
+      AND l_shipdate >= o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def linestatus_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode column): among lines shipped
+    ≥{Q12_LATE_DAYS} days after ordering within the year, how many came
+    from high-priority vs other orders, per line status — the
+    service-level mix query. Completes the 22-canonical-shape canon.
+
+    Scale: date filter in the lineitem scan, equi-join on orderkey (both
+    sides shuffle on their natural key — orders is not broadcastable at
+    100 TB), CASE-conditional integer counts collapse map-side to
+    |linestatus| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q12_LO) & (F.col("l_shipdate") < Q12_HI)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), Q12_LATE_DAYS))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def _tri_sql() -> str:
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    )
+    SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c,
+           CAST(LEAST(e1.n, e2.n, e3.n) AS BIGINT) AS min_support
+    FROM e e1
+    JOIN e e2 ON e1.pb = e2.pa
+    JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+    ORDER BY min_support DESC, part_a, part_b, part_c
+    """
+
+
+@query("copurchase_triangles", tier=2, oracle=_tri_sql())
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (three parts pairwise
+    co-ordered ≥{TRI_MIN_SUPPORT} times) — the cohesion structure one
+    level up from ``basket_part_pairs``' edges and the classic graph-
+    analytics benchmark beside ``part_copurchase_pagerank``.
+
+    Scale: support filtering FIRST is what makes this tractable — the
+    edge list e is orders-bounded and the ≥{TRI_MIN_SUPPORT} cut drops
+    the quadratic tail before any triangle join. The a<b<c orientation
+    (each edge stored low→high) counts every triangle exactly once and
+    halves the join fan-in; both triangle joins are equi-joins on part
+    keys. Degenerate hub parts are the known hazard — the orientation
+    bounds per-node fan-out by its higher-degree neighbors (the standard
+    oriented-triangle-counting trick).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_tri_sql())
