@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QueryFn]:
         llm_quality,
         llm_mixture,
         event_analytics,
+        llm_ann_pq,
         profiling,
     )
 

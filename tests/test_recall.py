@@ -99,3 +99,39 @@ def test_ann_topk_lsh_recall_holds_at_10x_scale(spark):
         f"10x-scale ann recall@10 {recall:.3f} < {TOPK_RECALL_FLOOR} "
         "(plane growth over-shrank the buckets)"
     )
+
+
+def test_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ (residual codes + ADC shortlist + exact re-rank) recall@10.
+    Measured: 0.68 (sf0.001) / 0.66 (sf0.01) — deterministic index, so
+    the floor has no run-to-run variance to absorb."""
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        PQ_RECALL_FLOOR,
+        ivf_pq_search,
+    )
+
+    exact = _topk_set(S.cosine_topk(spark, sf_dir))
+    pq = _topk_set(ivf_pq_search(spark, sf_dir))
+    recall = len(pq & exact) / len(exact)
+    assert recall >= PQ_RECALL_FLOOR, f"pq recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
+
+
+def test_pca_spectrum_matches_numpy(spark, sf_dir):
+    """The emitted contract row agrees with a direct numpy PCA on the collected
+    corpus: total variance equals the covariance trace, and the internal
+    consistency booleans are TRUE."""
+    import numpy as np
+
+    from lakehouse_workshop_spark.operators import all_queries
+
+    row = all_queries()["embedding_pca_spectrum"](spark, sf_dir).collect()[0]
+    m = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ]
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    assert row.n_vectors == len(m)
+    assert abs(row.total_variance - np.trace(cov)) < 1e-4
+    assert row.eigen_trace_ok and row.shares_descending_ok
