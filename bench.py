@@ -133,6 +133,24 @@ HEADLINE = [
     "scd2_customer_history",
     "scd2_asof_lookup",
     "snapshot_diff_orders",
+    # round 7: mixture/curation + ingest gate + corpus-shape stats
+    "domain_mixture_weights",
+    "lang_source_mix",
+    "token_entropy",
+    "zipf_slope",
+    "curriculum_stages",
+    "bloom_dedup",
+    "contamination_by_benchmark",
+    # round 7: event-stream analytics
+    "user_path_trigrams",
+    "hourly_seasonality",
+    "daily_value_anomalies",
+    # round 7: Q12 analog (completes the 22-shape canon) + triangles
+    "linestatus_priority_mix",
+    "copurchase_triangles",
+    # round 7: product-quantized ANN + PCA spectrum contract
+    "ivf_pq_topk",
+    "embedding_pca_spectrum",
 ]
 
 
@@ -234,6 +252,14 @@ PROBE_QUERIES = [
     # (top-k-then-rank) both replaced forms that grew with corpus size
     "topic_assign",
     "vocab_coverage",
+    # r7 corpus-bound additions: entropy/zipf are token-shuffle-bound,
+    # bloom is the distinct-position set build, contamination mirrors
+    # decontaminate's join, ivf_pq probes the quantized candidate path
+    "token_entropy",
+    "zipf_slope",
+    "bloom_dedup",
+    "contamination_by_benchmark",
+    "ivf_pq_topk",
 ]
 PROBE_REPLICAS = 10
 
@@ -252,6 +278,9 @@ PROBE100X_QUERIES = [
     # therefore wall) should stay near-flat 10x -> 100x — this anchor is
     # the evidence for that knob
     "ann_topk_lsh",
+    # the PQ path is the one BUILT for this scale: candidates travel as
+    # 8 codes, so its 100x growth should undercut ivf_topk's
+    "ivf_pq_topk",
 ]
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"

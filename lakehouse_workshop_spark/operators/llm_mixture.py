@@ -274,12 +274,6 @@ BLOOM_M = 1 << 20  # bits
 BLOOM_K = 4  # hash functions
 
 
-def _bloom_hash(dialect_md5_int: str) -> list[str]:
-    return [
-        dialect_md5_int.format(i=i) + f" % {BLOOM_M}" for i in range(BLOOM_K)
-    ]
-
-
 _SPARK_BLOOM = (
     "CAST(conv(substring(md5(CAST({i} AS STRING) || ':' || text), 1, 15),"
     " 16, 10) AS BIGINT)"
@@ -289,19 +283,16 @@ _DUCK_BLOOM = (
 )
 
 
-def _bloom_sql(md5_int: str) -> str:
-    hashes = _bloom_hash(md5_int)
-    corpus_pos = " UNION ".join(
-        f"SELECT {h} AS pos FROM corpus" for h in hashes
-    )
-    batch_pos = " UNION ALL ".join(
-        f"SELECT doc_id, {h} AS pos FROM batch" for h in hashes
-    )
+def _bloom_sql(md5_int: str, lateral: str) -> str:
+    # One scan per side: the K hash rows come from an in-row explode of
+    # the hash index (a UNION of K per-hash selects would scan the corpus
+    # K times — measured 14 exchanges vs 6 in the plan audit).
+    h = md5_int.format(i="i") + f" % {BLOOM_M}"
     return f"""
     WITH corpus AS (SELECT text FROM documents WHERE NOT ({NEW_BATCH_PRED})),
     batch AS (SELECT doc_id, text FROM documents WHERE {NEW_BATCH_PRED}),
-    cpos AS ({corpus_pos}),
-    bpos AS ({batch_pos}),
+    cpos AS (SELECT DISTINCT {h} AS pos FROM corpus {lateral}),
+    bpos AS (SELECT doc_id, {h} AS pos FROM batch {lateral}),
     hits AS (
         SELECT b.doc_id, COUNT(c.pos) AS n_set
         FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
@@ -317,7 +308,13 @@ def _bloom_sql(md5_int: str) -> str:
     """
 
 
-@query("bloom_dedup", tier=2, oracle=_bloom_sql(_DUCK_BLOOM))
+@query(
+    "bloom_dedup",
+    tier=2,
+    oracle=_bloom_sql(
+        _DUCK_BLOOM, f", generate_series(0, {BLOOM_K - 1}) AS t(i)"
+    ),
+)
 def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter ingest gate: each incoming-batch doc is flagged
     ``bloom_maybe_dup`` iff all {BLOOM_K} of its md5-derived bit positions
@@ -335,7 +332,12 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable here.
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(_bloom_sql(_SPARK_BLOOM))
+    return spark.sql(
+        _bloom_sql(
+            _SPARK_BLOOM,
+            f"LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) t AS i",
+        )
+    )
 
 
 # --- per-benchmark contamination ------------------------------------------------

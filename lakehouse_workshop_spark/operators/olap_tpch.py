@@ -1495,6 +1495,43 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys. Degenerate hub parts are the known hazard — the orientation
     bounds per-node fan-out by its higher-degree neighbors (the standard
     oriented-triangle-counting trick).
+
+    Plan: edges build with the pagerank edge pattern (per-order
+    collect_set + in-row oriented pair expansion — one orderkey groupBy
+    + one pair groupBy instead of the distinct + self-join's four
+    exchanges) and materialize ONCE (eager checkpoint): Spark inlines
+    CTEs, so the SQL form would recompute the basket expansion for each
+    of e's three join appearances. The oracle keeps the self-join CTE —
+    DuckDB materializes in-chain CTEs, and per order the oriented
+    expansion and the a<b self-join emit the identical pair set.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_tri_sql())
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("tri_edges")
+    return spark.sql(
+        f"""
+        SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c,
+               CAST(LEAST(e1.n, e2.n, e3.n) AS BIGINT) AS min_support
+        FROM tri_edges e1
+        JOIN tri_edges e2 ON e1.pb = e2.pa
+        JOIN tri_edges e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+        ORDER BY min_support DESC, part_a, part_b, part_c
+        """
+    )
