@@ -30,7 +30,6 @@ from lakehouse_workshop_spark.operators import query
 from lakehouse_workshop_spark.operators.llm_similarity import (
     _DUCK_PREP,
     _emb_view,
-    _matmul_assign,
     _SPARK_COS,
     _SPARK_PREP,
     EMB_DIM,
@@ -86,39 +85,49 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.
     """
     _emb_view(spark, sf_dir)
-    assigned = _matmul_assign(spark).localCheckpoint(eager=True)
-    assigned.createOrReplaceTempView("pq_assigned")
+    prepped = spark.sql(_SPARK_PREP)
+    prepped.createOrReplaceTempView("pq_prepped")
 
-    # Same centroid derivation as _matmul_assign (prefix rule), collected
-    # once for residual computation and decode.
+    # ONE prefix collect covers both the coarse centroids (the same
+    # vec_id < nlist prefix rule as _matmul_assign/ivf_topk) and the PQ
+    # training sample; the sample's coarse assignment and the codebook
+    # training both run driver-side on that bounded slice, so the whole
+    # index build costs one count + one collect + one distributed
+    # assign-and-encode pass (the first cut of this query re-derived the
+    # centroids and the sample through _matmul_assign and paid every job
+    # twice).
     n = spark.table("embeddings_raw").select("vec_id").count()
     nlist = max(IVF_NLIST_MIN, int(n**0.5))
-    prepped = spark.sql(_SPARK_PREP)
-    cent_rows = prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
-    cent_mat = np.array([r["emb"] for r in cent_rows], dtype=np.float64)
-    cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
-    cid_index = {int(r["vec_id"]): i for i, r in enumerate(cent_rows)}
-
-    # Residual training sample: bounded, deterministic (vec_id prefix).
-    sample = (
-        assigned.where(F.col("vec_id") < PQ_TRAIN_N).orderBy("vec_id").collect()
+    prefix = (
+        prepped.where(F.col("vec_id") < max(nlist, PQ_TRAIN_N))
+        .orderBy("vec_id")
+        .collect()
     )
-    s_emb = np.array([r["emb"] for r in sample], dtype=np.float64)
-    s_emb /= np.array([r["nrm"] for r in sample])[:, None]
-    s_cent = cent_mat[[cid_index[int(r["cid"])] for r in sample]]
-    books = _train_codebooks(s_emb - s_cent)
+    unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
+    unit /= np.array([r["nrm"] for r in prefix])[:, None]
+    is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
+    cent_mat = unit[is_cent]
+    cent_ids = np.array(
+        [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
+        dtype=np.int64,
+    )
+    # Sample assignment mirrors the distributed rule exactly: 6-dp
+    # rounding BEFORE the argmax, first maximum over cid-ascending axis.
+    s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
+    books = _train_codebooks(unit - cent_mat[s_best])
 
-    bc = spark.sparkContext.broadcast((cent_mat, cid_index, books))
+    bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
 
-    def encode(batches):
+    def assign_encode(batches):
         import pandas as pd
 
-        c_mat, c_idx, bks = bc.value
+        c_mat, c_ids, bks = bc.value
         sub = c_mat.shape[1] // PQ_M
         for pdf in batches:
             vecs = np.stack(pdf["emb"].to_numpy())
             vecs /= pdf["nrm"].to_numpy()[:, None]
-            res = vecs - c_mat[[c_idx[int(c)] for c in pdf["cid"]]]
+            best = np.round(vecs @ c_mat.T, 6).argmax(axis=1)
+            res = vecs - c_mat[best]
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 x = res[:, m * sub : (m + 1) * sub]
@@ -127,21 +136,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": pdf["cid"].to_numpy(),
+                    "cid": c_ids[best],
                     "codes": list(codes),
                 }
             )
 
-    codes_df = assigned.mapInPandas(
-        encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
+    codes_df = prepped.mapInPandas(
+        assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
     ).localCheckpoint(eager=True)
     codes_df.createOrReplaceTempView("pq_codes")
 
     # Probe ranking: queries × centroid literal table (≤√n rows).
     spark.createDataFrame(
         [
-            (int(r["vec_id"]), [float(x) for x in cm])
-            for r, cm in zip(cent_rows, cent_mat)
+            (int(cid), [float(x) for x in cm])
+            for cid, cm in zip(cent_ids, cent_mat)
         ],
         "cid BIGINT, cunit ARRAY<DOUBLE>",
     ).createOrReplaceTempView("pq_centroids")
@@ -155,7 +164,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    (x, y) -> x * y),
                                           0.0D, (acc, v) -> acc + v) / q.nrm
                                 DESC, c.cid) AS prn
-            FROM (SELECT * FROM pq_assigned WHERE {QUERY_FILTER}) q
+            FROM (SELECT * FROM pq_prepped WHERE {QUERY_FILTER}) q
             CROSS JOIN pq_centroids c
         ) WHERE prn <= {PQ_NPROBE}
         """
@@ -169,7 +178,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                c.vec_id, c.cid, c.codes
         FROM pq_probes p
         JOIN pq_codes c ON p.cid = c.cid
-        JOIN (SELECT vec_id, emb, nrm FROM pq_assigned
+        JOIN (SELECT vec_id, emb, nrm FROM pq_prepped
               WHERE {QUERY_FILTER}) q ON p.qid = q.vec_id
         WHERE c.vec_id <> p.qid
         """
@@ -178,7 +187,8 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def adc(batches):
         import pandas as pd
 
-        c_mat, c_idx, bks = bc.value
+        c_mat, c_ids, bks = bc.value
+        c_idx = {int(c): i for i, c in enumerate(c_ids)}
         sub = c_mat.shape[1] // PQ_M
         for pdf in batches:
             if not len(pdf):
@@ -217,8 +227,8 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT s.query_id, s.vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
             FROM shortlist s
-            JOIN pq_assigned a ON s.query_id = a.vec_id
-            JOIN pq_assigned b ON s.vec_id = b.vec_id
+            JOIN pq_prepped a ON s.query_id = a.vec_id
+            JOIN pq_prepped b ON s.vec_id = b.vec_id
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
             SELECT query_id, vec_id, cosine,
