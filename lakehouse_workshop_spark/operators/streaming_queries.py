@@ -313,3 +313,48 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _streaming_bloom_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_mixture import (
+        BLOOM_K,
+        _bloom_sql,
+        _DUCK_BLOOM,
+    )
+
+    return _bloom_sql(_DUCK_BLOOM, f", generate_series(0, {BLOOM_K - 1}) AS t(i)")
+
+
+@query(
+    "streaming_bloom_dedup",
+    tier=2,
+    oracle=_streaming_bloom_oracle(),
+)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``bloom_dedup`` ingest gate: the
+    incoming slice arrives as a 5-file stream (5 micro-batches under
+    maxFilesPerTrigger=1) and every batch is gated inside foreachBatch
+    against the once-built corpus bit-position set. The filter is the
+    per-cycle snapshot — gating is arrival-order-independent — so the
+    driver value-checks the streamed emission against the exact same
+    SQL oracle as the batch gate.
+
+    Scale: per micro-batch cost is the batch's own positions probed
+    against the static (broadcastable, ≤2^20-entry) position set; state
+    is zero — the gate is stateless BETWEEN batches by design (the
+    filter snapshot rebuilds per ingest cycle, not per event).
+    """
+    import shutil
+    import tempfile
+
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_bloom_gate
+
+    workdir = tempfile.mkdtemp(prefix="bloom_stream_")
+    result = run_streaming_bloom_gate(spark, sf_dir, workdir)
+    out = (
+        result.select("doc_id", "bloom_maybe_dup", "exact_dup")
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

@@ -706,3 +706,101 @@ def run_streaming_scd2(
         )
         q.awaitTermination()
     return spark.read.parquet(target_dir)
+
+
+# --- streaming bloom ingest gate (round 7) -----------------------------------
+
+
+def run_streaming_bloom_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    n_source_files: int = 5,
+) -> DataFrame:
+    """Streaming twin of the batch ``bloom_dedup`` ingest gate: the
+    corpus's set-bit position table and exact-hash set build ONCE (the
+    static side, eagerly checkpointed — at 100 TB this is the broadcast
+    bitmap), then incoming docs arrive as a file stream and every
+    micro-batch is gated by a stream-static probe inside ``foreachBatch``.
+
+    The filter is the per-ingest-cycle snapshot (it does not self-grow
+    mid-stream), so the emission is batch-boundary-independent and equals
+    the batch gate over the same docs — which is what lets the DRIVER
+    value-check the whole streaming path against the same SQL oracle as
+    ``bloom_dedup``. Within-stream growth would make admission depend on
+    arrival order; production rebuilds the filter between cycles exactly
+    to keep gating deterministic and replayable.
+    """
+    import os
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.operators.llm_mixture import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+    from lakehouse_workshop_spark.operators.llm_pipeline import NEW_BATCH_PRED
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(~F.expr(NEW_BATCH_PRED)).select("text")
+    pos_expr = (
+        "CAST(conv(substring(md5(CAST(i AS STRING) || ':' || text), 1, 15),"
+        f" 16, 10) AS BIGINT) % {BLOOM_M}"
+    )
+    lateral = f"LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) t AS i"
+    corpus.createOrReplaceTempView("bloom_gate_corpus")
+    cpos = spark.sql(
+        f"SELECT DISTINCT {pos_expr} AS pos FROM bloom_gate_corpus {lateral}"
+    ).localCheckpoint(eager=True)
+    chash = (
+        corpus.select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
+    )
+
+    source_dir = os.path.join(target_dir, "_incoming")
+    docs.filter(F.expr(NEW_BATCH_PRED)).select("doc_id", "text").repartition(
+        n_source_files
+    ).write.mode("overwrite").parquet(source_dir)
+    out_dir = os.path.join(target_dir, "gated")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.createOrReplaceTempView("bloom_gate_batch")
+        bpos = batch_df.sparkSession.sql(
+            f"SELECT doc_id, {pos_expr} AS pos FROM bloom_gate_batch {lateral}"
+        )
+        hits = (
+            bpos.join(cpos, "pos", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_set"))
+        )
+        gated = (
+            batch_df.join(hits, "doc_id", "left")
+            .join(
+                chash.withColumnRenamed("h", "ch"),
+                F.md5(F.col("text")) == F.col("ch"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("n_set"), F.lit(0)) == BLOOM_K).alias(
+                    "bloom_maybe_dup"
+                ),
+                F.col("ch").isNotNull().alias("exact_dup"),
+            )
+        )
+        gated.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -326,3 +326,22 @@ def test_streaming_scd2_equals_batch_build(spark, tmp_path):
     # replayed duplicates must collapse: history holds each version once
     assert got.count() == got.select("custkey", "version_key").distinct().count()
     assert have == want
+
+
+def test_streaming_bloom_gate_multibatch_equals_batch(spark, sf_dir):
+    """The streamed gate (5 micro-batches) must equal the batch gate
+    row-for-row — gating is arrival-order-independent because the filter
+    is the per-cycle snapshot."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    streamed = {
+        (r.doc_id, r.bloom_maybe_dup, r.exact_dup)
+        for r in q["streaming_bloom_dedup"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_id, r.bloom_maybe_dup, r.exact_dup)
+        for r in q["bloom_dedup"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed, "gate emitted nothing"
