@@ -650,6 +650,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_NPROBE = 8
+# KMeans training-sample bound (vec_id prefix): ~nlist*1e3 points at the
+# test SFs covers the whole corpus; at 100 TB it is what makes training
+# feasible at all. Deterministic by construction (no sample() RNG).
+KMEANS_TRAIN_N = 65536
 
 
 def ivf_kmeans_search(
@@ -663,11 +667,13 @@ def ivf_kmeans_search(
     nprobe=1 measured only ~0.2 mean recall@10 on near-uniform synthetic
     embeddings, nprobe=8 clears the 0.5 contract with headroom at both test SFs).
 
-    Scale: training runs on a sample in production (centroid quality needs
-    ~nlist·1e3 points, not the corpus); assignment is one narrow pass; the
-    centroid table stays ≤√n rows (broadcast to rank probes per query);
-    the search is still a cluster equi-join with √n-bounded lists, just
-    with nprobe candidate lists per query instead of one.
+    Scale: training runs on a bounded deterministic sample (centroid
+    quality needs ~nlist·1e3 points, not the corpus — fitting on the full
+    relation made training the dominant cost and would be flatly
+    impossible at 100 TB); assignment is one narrow pass over everything;
+    the centroid table stays ≤√n rows (broadcast to rank probes per
+    query); the search is still a cluster equi-join with √n-bounded
+    lists, just with nprobe candidate lists per query instead of one.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -678,9 +684,13 @@ def ivf_kmeans_search(
     # Same nlist rule as ivf_topk: √n, floored at 16. The count is one
     # cheap metadata-ish pass here; at 100 TB it comes from the catalog.
     nlist = max(IVF_NLIST_MIN, int(vecs.count() ** 0.5))
+    # Deterministic training sample: the vec_id prefix (same rule as the
+    # PQ codebook sample) capped at KMEANS_TRAIN_N — identical centroids
+    # on any cluster size or rerun, unlike a fraction-based sample.
+    train = vecs.where(F.col("vec_id") < KMEANS_TRAIN_N)
     model = KMeans(
         k=nlist, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
-    ).fit(vecs)
+    ).fit(train)
     assigned = (
         model.transform(vecs)
         .select("vec_id", "emb", "nrm", "cid")
