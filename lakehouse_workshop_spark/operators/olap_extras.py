@@ -233,3 +233,68 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("gap_days").cast("double") / F.count("gap_days")).alias("avg_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@query(
+    "gapfill_daily_revenue",
+    tier=2,
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate)::DATE AS lo, MAX(o_orderdate)::DATE AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT o_orderdate::DATE AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.revenue, 0.0) AS revenue,
+           CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+           daily.day IS NULL AS is_gap
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    ORDER BY cal.day
+    """,
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap-filled daily revenue: a generated day spine (min..max
+    order date) left-joined onto the daily aggregate, zero-filled, with
+    gap days flagged — the time-series shape every downstream
+    forecasting/rolling computation needs (a ROWS frame over the raw
+    daily aggregate silently skips missing days; ``rolling_revenue_7d``
+    dodges that with a RANGE frame, this materializes the dense spine).
+
+    Scale: the fact scan partial-aggregates to one row per calendar day
+    before anything else; the spine is a generated relation of days
+    (thousands of rows at any corpus size) and the join runs over those
+    two calendar-bounded sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    cal = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    ).select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+        .orderBy("day")
+    )
