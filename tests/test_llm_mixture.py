@@ -73,3 +73,43 @@ def test_mixture_weights_average_to_one_token_weighted(spark, sf_dir):
     rows = all_queries()["domain_mixture_weights"](spark, sf_dir).collect()
     total = sum(r.token_share * r.mix_weight for r in rows)
     assert abs(total - 1.0) < 1e-3, total
+
+
+def test_user_path_trigrams_matches_pure_python(spark):
+    """Trigram path counts vs a pure-Python fold over randomized streams
+    (breaks any window/tie-break bug symmetry with the SQL oracle)."""
+    import random
+    from collections import Counter
+
+    from lakehouse_workshop_spark.operators.event_analytics import _path_sql
+
+    rng = random.Random(11)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (eid, rng.randint(0, 20), f"2024-01-01 00:{eid // 60:02d}:{eid % 60:02d}",
+             rng.choice(types))
+        )
+    # duplicate timestamps within a user are common in real streams —
+    # event_id breaks the tie, so inject some
+    rows += [(1000 + i, 3, "2024-01-01 00:00:07", rng.choice(types)) for i in range(5)]
+
+    expect = Counter()
+    by_user = {}
+    for eid, uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    for stream in by_user.values():
+        stream.sort()
+        for i in range(len(stream) - 2):
+            expect[">".join(s[2] for s in stream[i : i + 3])] += 1
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    spark.createDataFrame(
+        [(e, u, t, y) for e, u, t, y in rows],
+        "event_id BIGINT, user_id BIGINT, ts_s STRING, event_type STRING",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"
+    ).createOrReplaceTempView("events")
+    got = [(r.path, r.n) for r in spark.sql(_path_sql()).collect()]
+    assert got == top
