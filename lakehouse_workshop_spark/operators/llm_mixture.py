@@ -388,3 +388,93 @@ def contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _docs_view(spark, sf_dir)
     return spark.sql(_contam_by_bench_sql(_SPARK_SHINGLES, _SPARK_DOC_PCT))
+
+
+# --- per-source distribution shift ------------------------------------------
+
+
+def _kl_sql(explode_expr: str) -> str:
+    # KL(source || corpus) over the unigram distribution, add-one smoothed
+    # on the source side only through restriction to tokens the source
+    # actually has (P(t)=0 terms contribute 0 by definition; the corpus
+    # marginal can never be 0 for a token the source contains, so the log
+    # is always finite). LN sees only integer products — both engines
+    # evaluate it on identical inputs — and the term sum accumulates in
+    # DECIMAL, so partition order cannot move the result.
+    return f"""
+    WITH toks AS (
+        SELECT source, {explode_expr} AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    ct AS (SELECT tok, SUM(c) AS cc FROM st GROUP BY tok),
+    n_src AS (SELECT source, SUM(c) AS ns FROM st GROUP BY source),
+    n_tot AS (SELECT SUM(cc) AS nt FROM ct)
+    SELECT st.source,
+           CAST(MAX(ns) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+                     (c / CAST(ns AS DOUBLE))
+                     * LN((c * CAST(nt AS DOUBLE)) / (cc * CAST(ns AS DOUBLE)))
+                     AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_vs_corpus
+    FROM st
+    JOIN ct ON st.tok = ct.tok
+    JOIN n_src ON st.source = n_src.source
+    CROSS JOIN n_tot
+    GROUP BY st.source
+    ORDER BY st.source
+    """
+
+
+@query(
+    "source_token_kl",
+    tier=2,
+    oracle=_kl_sql("unnest(string_split(text, ' '))"),
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram token distribution from the
+    corpus marginal — the drift number behind "source X changed between
+    crawls" and the distance input to mixture re-balancing (DSIR scores
+    docs; this scores SOURCES).
+
+    Scale: per-(source, tok) counts group on a composite key that
+    subdivides the Zipf-skewed token key (AQE splits whatever head
+    remains); the corpus marginal re-aggregates from those partials
+    (never a second corpus scan); the per-source totals and the 1-row
+    grand total broadcast back. KL terms are per-row doubles from
+    integer inputs, DECIMAL-summed.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_kl_sql("explode(split(text, ' '))"))
+
+
+# --- dedup observability ------------------------------------------------------
+
+
+def _dup_hist_sql() -> str:
+    return """
+    WITH clusters AS (
+        SELECT md5(text) AS h, COUNT(*) AS cluster_size
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+@query("dedup_cluster_sizes", tier=2, oracle=_dup_hist_sql())
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: how much of the corpus sits
+    in clusters of each size and how many docs dedup would remove — the
+    observability readout run BEFORE committing a dedup pass (a sudden
+    mass of size-k clusters usually means a scraper loop, not organic
+    duplication).
+
+    Scale: one hash-keyed aggregation to clusters, then a second over
+    the (tiny) size domain — both partial-aggregated; nothing pairwise.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_dup_hist_sql())
