@@ -126,7 +126,17 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             vecs = np.stack(pdf["emb"].to_numpy())
             vecs /= pdf["nrm"].to_numpy()[:, None]
-            best = np.round(vecs @ c_mat.T, 6).argmax(axis=1)
+            # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
+            # index whose rounded sim equals the rounded max has raw sim
+            # within 1e-6 of the raw max), without np.round over the
+            # full b×nlist similarity block
+            s = vecs @ c_mat.T
+            best = s.argmax(axis=1)
+            mx = s[np.arange(len(s)), best]
+            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
+            for i in np.nonzero(close)[0]:
+                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
+                best[i] = cand[np.round(s[i][cand], 6).argmax()]
             res = vecs - c_mat[best]
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
@@ -146,70 +156,90 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     codes_df.createOrReplaceTempView("pq_codes")
 
-    # Probe ranking: queries × centroid literal table (≤√n rows).
-    spark.createDataFrame(
-        [
-            (int(cid), [float(x) for x in cm])
-            for cid, cm in zip(cent_ids, cent_mat)
-        ],
-        "cid BIGINT, cunit ARRAY<DOUBLE>",
-    ).createOrReplaceTempView("pq_centroids")
-    spark.sql(
-        f"""
-        SELECT qid, cid FROM (
-            SELECT q.vec_id AS qid, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY aggregate(zip_with(q.emb, c.cunit,
-                                                   (x, y) -> x * y),
-                                          0.0D, (acc, v) -> acc + v) / q.nrm
-                                DESC, c.cid) AS prn
-            FROM (SELECT * FROM pq_prepped WHERE {QUERY_FILTER}) q
-            CROSS JOIN pq_centroids c
-        ) WHERE prn <= {PQ_NPROBE}
-        """
-    ).createOrReplaceTempView("pq_probes")
-
-    # ADC scoring: candidates carry only codes; queries ride along the
-    # probe join (the query side is tiny — broadcast).
-    cand = spark.sql(
-        f"""
-        SELECT p.qid, q.emb AS qemb, q.nrm AS qnrm,
-               c.vec_id, c.cid, c.codes
-        FROM pq_probes p
-        JOIN pq_codes c ON p.cid = c.cid
-        JOIN (SELECT vec_id, emb, nrm FROM pq_prepped
-              WHERE {QUERY_FILTER}) q ON p.qid = q.vec_id
-        WHERE c.vec_id <> p.qid
-        """
+    # Probe ranking runs DRIVER-SIDE on the collected query matrix: the
+    # query set must broadcast for scoring anyway (the same 51 MB-at-10^5-
+    # queries the exact search's BNLJ ships), and queries × centroids is
+    # a |Q|×√n matmul — pushing it through SQL paid one interpreted
+    # 64-element fold per pair (900k folds at the 100× probe, the exact
+    # anti-pattern the semantic-dedup rewrite removed).
+    q_rows = (
+        prepped.where(F.expr(QUERY_FILTER)).orderBy("vec_id").collect()
     )
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.array([r["nrm"] for r in q_rows])[:, None]
+    sims = np.round(q_mat @ cent_mat.T, 6)
+    # top-nprobe per query, ties by ascending cid (stable mergesort on
+    # (-sim, cid-order) — matches the SQL ORDER BY sim DESC, cid)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :PQ_NPROBE]
+    probed_by_cid: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for ci in order[qi]:
+            probed_by_cid.setdefault(int(cent_ids[ci]), []).append(qi)
+    bc_q = spark.sparkContext.broadcast((q_ids, q_mat, probed_by_cid))
 
-    def adc(batches):
+    # Per-cluster ADC: each inverted list decodes ONCE (L×dim), every
+    # query probing it scores by one BLAS matmul, and only the per-
+    # (query, cluster) top-{PQ_SHORTLIST} rows leave the worker — the
+    # global shortlist is the top of these per-group tops, so emission
+    # is exact while output shrinks from |Q|·nprobe·L to
+    # |Q|·nprobe·{PQ_SHORTLIST}. Peak memory per group is the decoded
+    # list (bounded by the largest cluster — the 100× skew probe's
+    # 22%-in-one-cluster case stays ~GB-scale at 64 dims; blockwise
+    # decode is the documented next lever if dim grows).
+    def adc_cluster(key, pdf):
         import pandas as pd
 
         c_mat, c_ids, bks = bc.value
-        c_idx = {int(c): i for i, c in enumerate(c_ids)}
+        qids, qmat, probes = bc_q.value
+        cid = int(key[0])
+        qis = probes.get(cid)
+        if not qis:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "approx": []}
+            ).astype({"query_id": "int64", "vec_id": "int64", "approx": "float64"})
         sub = c_mat.shape[1] // PQ_M
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["qemb"].to_numpy())
-            q /= pdf["qnrm"].to_numpy()[:, None]
-            dec = c_mat[[c_idx[int(c)] for c in pdf["cid"]]].copy()
-            codes = np.stack(pdf["codes"].to_numpy())
-            for m in range(PQ_M):
-                dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
-            approx = np.round(np.einsum("ij,ij->i", q, dec), 6)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["qid"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "approx": approx,
-                }
-            )
+        c_idx = {int(c): i for i, c in enumerate(c_ids)}
+        dec = np.broadcast_to(
+            c_mat[c_idx[cid]], (len(pdf), c_mat.shape[1])
+        ).copy()
+        codes = np.stack(pdf["codes"].to_numpy())
+        for m in range(PQ_M):
+            dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
+        vids = pdf["vec_id"].to_numpy()
+        scores = qmat[qis] @ dec.T  # RAW |q_probing| × L
+        out_q, out_v, out_s = [], [], []
+        for row, qi in enumerate(qis):
+            mask = vids != qids[qi]  # drop the self-hit
+            s, v = scores[row][mask], vids[mask]
+            k = min(PQ_SHORTLIST, len(s))
+            if k < len(s):
+                # deterministic top-k under 6-dp score ties: raw-cut a
+                # superset at the kth value minus the rounding margin
+                # (see exact_topk_blas), round ONLY those, then order the
+                # tie region by (-rounded, vec_id) — partition order can
+                # never decide which tied candidate survives, and the
+                # full row never pays np.round
+                thr = np.partition(s, len(s) - k)[len(s) - k]
+                sel = np.where(s >= thr - 2e-6)[0]
+            else:
+                sel = np.arange(len(s))
+            rs = np.round(s[sel], 6)
+            order = np.lexsort((v[sel], -rs))[:k]
+            sel, rs = sel[order], rs[order]
+            out_q.append(np.full(len(sel), qids[qi]))
+            out_v.append(v[sel])
+            out_s.append(rs)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "approx": np.concatenate(out_s),
+            }
+        )
 
-    cand.mapInPandas(
-        adc, "query_id BIGINT, vec_id BIGINT, approx DOUBLE"
+    codes_df.groupBy("cid").applyInPandas(
+        adc_cluster, "query_id BIGINT, vec_id BIGINT, approx DOUBLE"
     ).createOrReplaceTempView("pq_scored")
 
     # Shortlist on the quantized score, then exact re-rank by id.
@@ -240,6 +270,77 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} with the query matrix broadcast and each
+    Arrow batch scored by one BLAS matmul — the vectorized twin of
+    ``cosine_topk``'s BNLJ-and-fold plan (which pays one interpreted
+    64-element fold per (query, vector) pair: 400M folds at the 100×
+    probe, minutes of lambda dispatch for seconds of matmul).
+
+    Exactness: every batch emits each query's within-batch top-{TOP_K}
+    (cut at the kth score VALUE, tie region ordered by vec_id — never by
+    partition order), and the global window keeps the top of those tops,
+    which is exactly the global top-{TOP_K}. Self-hits are masked to -2
+    (below any cosine) before the cut.
+    """
+    _emb_view(spark, sf_dir)
+    prepped = spark.sql(_SPARK_PREP)
+    q_rows = prepped.where(F.expr(QUERY_FILTER)).orderBy("vec_id").collect()
+    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.array([r["nrm"] for r in q_rows])[:, None]
+    bcq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        import pandas as pd
+
+        qids, qmat = bcq.value
+        qpos = {int(v): i for i, v in enumerate(qids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["emb"].to_numpy())
+            vecs /= pdf["nrm"].to_numpy()[:, None]
+            vids = pdf["vec_id"].to_numpy()
+            s = qmat @ vecs.T  # RAW scores — see rounding note below
+            for col, vid in enumerate(vids):  # mask self-hits
+                qi = qpos.get(int(vid))
+                if qi is not None:
+                    s[qi, col] = -2.0
+            # Emit every cell that could round to at least the query's
+            # kth ROUNDED score — the top-k plus its 6-dp ties, a
+            # (k + ties)-bounded superset the global window cuts
+            # deterministically. Rounding is monotone with |x−round(x)|
+            # ≤ 5e-7, so round(x) ≥ round(thr) implies x ≥ thr − 1e-6:
+            # the raw threshold with a 2e-6 margin is a strict superset,
+            # and only the emitted cells get rounded — np.round over the
+            # full |Q|×batch matrix measured ~2× the matmul itself.
+            k = min(TOP_K, s.shape[1])
+            thr = np.partition(s, s.shape[1] - k, axis=1)[:, s.shape[1] - k]
+            qi_idx, col_idx = np.nonzero(s >= (thr - 2e-6)[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi_idx],
+                    "vec_id": vids[col_idx],
+                    "cosine": np.round(s[qi_idx, col_idx], 6),
+                }
+            )
+
+    prepped.mapInPandas(
+        score, "query_id BIGINT, vec_id BIGINT, cosine DOUBLE"
+    ).createOrReplaceTempView("exact_blas_partial")
+    return spark.sql(
+        f"""
+        SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rnk
+            FROM exact_blas_partial
+        ) WHERE rnk <= {TOP_K}
+        """
+    )
+
+
 @query(
     "ivf_pq_topk",
     tier=2,
@@ -253,14 +354,14 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for :func:`ivf_pq_search`: mean recall@{TOP_K}
     against the exact cosine top-k must clear {PQ_RECALL_FLOOR} (floor;
     tests/test_recall.py pins the measured value tighter). The oracle
-    derives ``n_queries`` exactly and expects ``recall_ok`` = TRUE."""
-    from lakehouse_workshop_spark.operators.llm_similarity import _topk_sql
+    derives ``n_queries`` exactly and expects ``recall_ok`` = TRUE.
 
+    The exact arm runs through :func:`exact_topk_blas` — measuring the
+    approximate index against the fold-based brute force made the CONTRACT
+    the slowest stage of the whole query at the 100× probe."""
     approx = ivf_pq_search(spark, sf_dir)
     approx.createOrReplaceTempView("ivf_pq_topk_result")
-    spark.sql(_topk_sql(_SPARK_COS, _SPARK_PREP)).createOrReplaceTempView(
-        "pq_exact_topk"
-    )
+    exact_topk_blas(spark, sf_dir).createOrReplaceTempView("pq_exact_topk")
     return spark.sql(
         f"""
         WITH hits AS (
