@@ -509,3 +509,38 @@ def evolved_read(spark: SparkSession, path: str) -> DataFrame:
     """Read with the union-of-file-schemas (``mergeSchema``) so batches
     written before a column existed surface it as NULL."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Persist a managed table hash-bucketed (and optionally sorted)
+    on ``key`` — the co-location contract that makes every later
+    equi-join or aggregation on that key SHUFFLE-FREE: Spark records
+    the bucketing in the catalog, and a join of two tables bucketed the
+    same way on the same key plans with no Exchange on either side.
+
+    This is THE lever for a 100 TB fact table that joins on the same
+    key query after query (orders ⨝ lineitem on orderkey): the shuffle
+    is paid once at write time instead of per query. Bucket count is a
+    layout decision (aim for 100–200 MB per bucket-file at target
+    scale); both join sides must share key AND bucket count.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Equi-join two identically-bucketed managed tables on their bucket
+    key. With both sides bucketed the physical plan contains ZERO
+    Exchange operators (pinned by tests/test_catalog.py) — the join
+    reads co-located buckets directly."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -403,3 +403,42 @@ def test_table_stats_reads_footers_and_zorder_tightens_them(spark, tmp_path):
     # files -> ~0.35x), so anything clearly below the full span proves
     # the clustering; 0.7x leaves noise headroom.
     assert avg_span(zord) < avg_span(plain) * 0.7
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The whole point of bucketing: the bucketed-on-key join plans with
+    ZERO Exchange operators, while the plain-parquet join of the same
+    relations must shuffle both sides."""
+    from lakehouse_workshop_spark.catalog import (
+        bucketed_join,
+        load_table,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    lines = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    ).select("orderkey", "l_quantity", "l_extendedprice")
+    write_bucketed(orders, "bkt_orders", "orderkey", buckets=8)
+    write_bucketed(lines, "bkt_lineitem", "orderkey", buckets=8)
+    # Force the SortMergeJoin path (tiny test tables would broadcast,
+    # which proves nothing about bucketing) and compare physical plans
+    # with and without the bucketed layout: the shuffle — Exchange
+    # hashpartitioning — must vanish, and only because of the layout.
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        plain = orders.join(lines, "orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+        # bucketing changes layout, never results
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
