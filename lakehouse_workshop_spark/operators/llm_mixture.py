@@ -441,9 +441,46 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a second corpus scan); the per-source totals and the 1-row
     grand total broadcast back. KL terms are per-row doubles from
     integer inputs, DECIMAL-summed.
+
+    Plan: the (source, tok) count relation materializes ONCE (eager
+    checkpoint) — Spark inlines CTEs, so the SQL form re-exploded and
+    re-grouped the whole corpus for each of st's three appearances
+    (14 exchanges in the plan audit vs 6 after). The oracle keeps the
+    CTE form; DuckDB materializes in-chain CTEs.
     """
+    from pyspark.sql import functions as F
+
     _docs_view(spark, sf_dir)
-    return spark.sql(_kl_sql("explode(split(text, ' '))"))
+    st = (
+        spark.sql(
+            """
+            SELECT source, tok, COUNT(*) AS c
+            FROM (SELECT source, explode(split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY source, tok
+            """
+        ).localCheckpoint(eager=True)
+    )
+    st.createOrReplaceTempView("kl_st")
+    return spark.sql(
+        f"""
+        WITH ct AS (SELECT tok, SUM(c) AS cc FROM kl_st GROUP BY tok),
+        n_src AS (SELECT source, SUM(c) AS ns FROM kl_st GROUP BY source),
+        n_tot AS (SELECT SUM(cc) AS nt FROM ct)
+        SELECT st.source,
+               CAST(MAX(ns) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(CAST(
+                         (c / CAST(ns AS DOUBLE))
+                         * LN((c * CAST(nt AS DOUBLE)) / (cc * CAST(ns AS DOUBLE)))
+                         AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_vs_corpus
+        FROM kl_st st
+        JOIN ct ON st.tok = ct.tok
+        JOIN n_src ON st.source = n_src.source
+        CROSS JOIN n_tot
+        GROUP BY st.source
+        ORDER BY st.source
+        """
+    )
 
 
 # --- dedup observability ------------------------------------------------------
