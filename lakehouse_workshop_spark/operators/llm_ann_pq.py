@@ -76,13 +76,17 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     id — returning (query_id, vec_id, cosine, rnk) like the exact search.
 
     Scale: the quantized candidate table carries (vec_id, cid, 8 codes) —
-    no vectors — so the probe join moves ~{PQ_M} bytes per candidate
-    instead of 8·{EMB_DIM}; the only full-width reads are the one encode
-    pass and the shortlist re-rank (|queries|·{PQ_SHORTLIST} rows fetched
-    by key). Codebooks + centroids broadcast (√n·{EMB_DIM} + {PQ_M}·{PQ_K}
-    doubles). Training reads a bounded prefix sample; at 100 TB that
-    prefix becomes a hash-sample of the same size — the index shape is
-    unchanged.
+    no vectors — and candidates never move at all: scoring is
+    per-cluster (applyInPandas grouped on cid), one decode per inverted
+    list + one BLAS matmul per probing query set, with only per-(query,
+    cluster) top-{PQ_SHORTLIST} rows leaving the worker. The only
+    full-width reads are the one assign-and-encode pass and the
+    shortlist re-rank (|queries|·{PQ_SHORTLIST} rows fetched by key).
+    Queries, codebooks and centroids broadcast (|Q|·{EMB_DIM} +
+    √n·{EMB_DIM} + {PQ_M}·{PQ_K} doubles — the same query broadcast the
+    exact search's BNLJ already ships). Training reads a bounded prefix
+    sample; at 100 TB that prefix becomes a hash-sample of the same
+    size — the index shape is unchanged.
     """
     _emb_view(spark, sf_dir)
     prepped = spark.sql(_SPARK_PREP)

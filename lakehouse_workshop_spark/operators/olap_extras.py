@@ -298,3 +298,75 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "gapfill_locf_revenue",
+    tier=2,
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate)::DATE AS lo, MAX(o_orderdate)::DATE AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT o_orderdate::DATE AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT cal.day, daily.revenue, daily.day IS NULL AS is_gap
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           LAST_VALUE(revenue IGNORE NULLS) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS revenue_locf,
+           is_gap
+    FROM spine
+    ORDER BY day
+    """,
+)
+def gapfill_locf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue with last-observation-carried-forward —
+    the other canonical fill policy beside ``gapfill_daily_revenue``'s
+    zero-fill (LOCF for level series like balances/prices, zero-fill for
+    flow series like revenue counts; both exist so the consumer picks by
+    semantics, not by what the engine happens to support). Exercises the
+    IGNORE NULLS running last_value — a window primitive nothing else in
+    the registry touches.
+
+    Scale: identical posture to ``gapfill_daily_revenue`` — the window
+    runs over the calendar-bounded day spine (thousands of rows at any
+    corpus size), never the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("revenue")
+    )
+    cal = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    ).select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            F.col("day"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "revenue_locf",
+            "is_gap",
+        )
+        .orderBy("day")
+    )
