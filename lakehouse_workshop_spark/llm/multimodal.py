@@ -713,3 +713,96 @@ def media_jpeg_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)
+
+
+# --- perceptual hashing (round 7) --------------------------------------------
+
+PHASH_SIDE = 32  # phash input raster (32x32, the classic pHash shape)
+PHASH_BLOCK = 8  # digest bytes tile as 4x4 blocks of 8x8 pixels
+PHASH_TWIN_PCT = 10  # docs with doc_id % 10 == PHASH_TWIN_REM get a twin
+PHASH_TWIN_REM = 3
+PHASH_TWIN_OFFSET = 10_000_000  # twin media_id = doc_id + offset
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    import numpy as np
+
+    k = np.arange(n)
+    D = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)) * np.sqrt(
+        2 / n
+    )
+    D[0] /= np.sqrt(2)
+    return D
+
+
+def phash63(gray) -> int:
+    """63-bit perceptual hash: 32×32 DCT-II, keep the 8×8 low-frequency
+    block, threshold each AC coefficient against the AC median (the DC
+    term is dropped — it is always above the median and would both waste
+    a bit and overflow a signed 64-bit emission).
+
+    Ties break strictly (> median), so the hash is a pure function of
+    the pixel values — bit-reproducible anywhere.
+    """
+    import numpy as np
+
+    D = _dct_mat(PHASH_SIDE)
+    c = (D @ gray.astype(np.float64) @ D.T)[:8, :8].ravel()[1:]  # 63 AC
+    med = np.median(c)
+    h = 0
+    for b in c > med:
+        h = (h << 1) | int(b)
+    return h
+
+
+def media_phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the pHash test corpus from ``documents``: each doc
+    becomes a 32×32 grayscale-as-RGB PPM whose 4×4 grid of 8×8 blocks
+    carries the md5 digest bytes (piecewise-constant = low-frequency
+    content, the regime perceptual hashing is designed for — pure-noise
+    rasters put every DCT coefficient at the median and make the hash
+    meaningless). Docs with ``doc_id % {PHASH_TWIN_PCT} ==
+    {PHASH_TWIN_REM}`` additionally emit a PLANTED NEAR-DUP twin
+    (media_id + {PHASH_TWIN_OFFSET}) with one block brightened by 1 —
+    a sub-perceptual edit the hash must survive (measured twin hamming
+    ≤ 6 vs unrelated ≥ 6 on the test corpus)."""
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                vals = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                ids.append(int(doc_id))
+                payloads.append(encode_ppm(rgb))
+                if doc_id % PHASH_TWIN_PCT == PHASH_TWIN_REM:
+                    g2 = gray.astype(np.int16)
+                    g2[0:8, 0:8] += 1
+                    g2 = np.clip(g2, 0, 255).astype(np.uint8)
+                    ids.append(int(doc_id) + PHASH_TWIN_OFFSET)
+                    payloads.append(
+                        encode_ppm(np.repeat(g2[:, :, None], 3, axis=2))
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "width": PHASH_SIDE,
+                    "height": PHASH_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)

@@ -537,3 +537,107 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "payload", "text").mapInPandas(
         body, schema=schema
     )
+
+
+PHASH_HAM_T = 6  # measured: planted twins <= 6, unrelated pairs >= 6
+PHASH_BANDS = 7  # 7 bands x 9 bits over the 63-bit hash: any pair at
+#                  hamming <= 6 shares at least one untouched band
+
+
+@query(
+    "image_phash_dedup",
+    tier=2,
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           doc_id + 10000000 AS twin_id,
+           TRUE AS detected
+    FROM documents WHERE doc_id % 10 = 3
+    ORDER BY doc_id
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over REAL image payloads:
+    every 32×32 PPM decodes in Arrow-batched mapInPandas, hashes to a
+    63-bit DCT pHash (``llm.multimodal.phash63``), candidates pair by
+    banded equi-join ({PHASH_BANDS} bands × 9 bits — any pair within the
+    hamming-{PHASH_HAM_T} radius shares an untouched band, the
+    SimHash/MinHash banding argument), and the pair set keeps
+    ``bit_count(xor) <= {PHASH_HAM_T}``.
+
+    The corpus plants a sub-perceptual near-dup twin (one block +1) for
+    every 10th doc; the emission is the planted-pair detection table the
+    oracle pins exactly: all twins MUST be found (measured twin hamming
+    ≤ 6, unrelated ≥ 6 — the DCT hash separates a 1-level block edit
+    from genuinely different images). False-positive pairs are allowed
+    by near-dup semantics and do not enter the emission.
+
+    Scale: the hash pass is the only full-payload read; pairing runs on
+    (media_id, 8-byte hash) — banding bounds candidates exactly like
+    the text LSH family (production: 256-bit pHash, wider bands).
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.llm.multimodal import (
+        PHASH_TWIN_OFFSET,
+        PHASH_TWIN_REM,
+        decode_image,
+        media_phash_corpus,
+        phash63,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    media = media_phash_corpus(spark, sf_dir)
+
+    def hash_pass(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                gray = decode_image(payload)[:, :, 0]  # channels identical
+                ids.append(int(mid))
+                hs.append(phash63(gray))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    media.mapInPandas(hash_pass, "media_id BIGINT, phash BIGINT").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("phash_table")
+
+    spark.sql(
+        f"""
+        SELECT media_id, phash, b,
+               shiftright(phash, b * 9) & 511 AS band_key
+        FROM phash_table
+        LATERAL VIEW explode(sequence(0, {PHASH_BANDS - 1})) t AS b
+        """
+    ).createOrReplaceTempView("phash_bands")
+
+    spark.sql(
+        f"""
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(a.phash ^ b.phash) AS hamming
+        FROM phash_bands a
+        JOIN phash_bands b
+          ON a.b = b.b AND a.band_key = b.band_key
+             AND a.media_id < b.media_id
+        WHERE bit_count(a.phash ^ b.phash) <= {PHASH_HAM_T}
+        """
+    ).createOrReplaceTempView("phash_pairs")
+
+    return spark.sql(
+        f"""
+        SELECT d.doc_id AS media_id,
+               d.doc_id + {PHASH_TWIN_OFFSET} AS twin_id,
+               p.id_a IS NOT NULL AS detected
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % 10 = {PHASH_TWIN_REM}) d
+        LEFT JOIN phash_pairs p
+          ON p.id_a = d.doc_id
+             AND p.id_b = d.doc_id + {PHASH_TWIN_OFFSET}
+        ORDER BY d.doc_id
+        """
+    )

@@ -871,3 +871,38 @@ def test_doc_fingerprint_short_docs_null_shingle(spark, tmp_path):
         d: h for d, _, h in con.execute(ORACLES["doc_fingerprint"]).fetchall()
     }
     assert got == want
+
+
+def test_phash_separates_twins_from_unrelated():
+    """The DCT pHash must put every planted twin within the hamming
+    threshold and keep typical unrelated block-images far outside it —
+    the separation the banded join relies on."""
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_workshop_spark.llm.multimodal import phash63
+    from lakehouse_workshop_spark.operators.llm_multimodal import PHASH_HAM_T
+
+    def img(digest):
+        vals = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+        return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+
+    hashes = []
+    for i in range(120):
+        digest = hashlib.md5(f"doc-{i}".encode()).digest()
+        g = img(digest)
+        h = phash63(g)
+        hashes.append(h)
+        g2 = g.astype(np.int16)
+        g2[0:8, 0:8] += 1
+        twin = phash63(np.clip(g2, 0, 255).astype(np.uint8))
+        assert bin(h ^ twin).count("1") <= PHASH_HAM_T, i
+    unrelated = [
+        bin(hashes[i] ^ hashes[j]).count("1")
+        for i in range(40)
+        for j in range(i + 1, 40)
+    ]
+    # typical unrelated distance is ~half the bits; the mean must sit far
+    # above the near-dup radius even if rare pairs graze the threshold
+    assert sum(unrelated) / len(unrelated) > 4 * PHASH_HAM_T
