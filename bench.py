@@ -151,6 +151,12 @@ HEADLINE = [
     # round 7: product-quantized ANN + PCA spectrum contract
     "ivf_pq_topk",
     "embedding_pca_spectrum",
+    # round 7: KL drift, dup histogram, gap-fills, perceptual-hash dedup
+    "source_token_kl",
+    "dedup_cluster_sizes",
+    "gapfill_daily_revenue",
+    "gapfill_locf_revenue",
+    "image_phash_dedup",
 ]
 
 
@@ -260,6 +266,8 @@ PROBE_QUERIES = [
     "bloom_dedup",
     "contamination_by_benchmark",
     "ivf_pq_topk",
+    "source_token_kl",
+    "image_phash_dedup",
 ]
 PROBE_REPLICAS = 10
 
