@@ -17,79 +17,81 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 7. The driver's correctness pass
+# Explicit driver-pass order for round 8. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
 #   1. Every query never yet driver-verified leads the window. That is
-#      positions 1-15 here: the 15 queries registered late in round 6
-#      (after that round's window had shipped) — the four decode-stats
-#      queries, dup_span_stats, the five TPC-H shapes, pagerank, the two
-#      SCD2 queries, snapshot_diff_orders, streaming_scd2_history. Their
-#      one-round grace expires with the r07 run.
-#   2. No query is stale for r07 under the self-scaling period
-#      P = max(3, ceil(registry/window)+1) (= 4 at 150 queries), but the
-#      41 queries whose latest row is r04 ALL go stale at r08 — more
-#      than a whole window. Positions 16-50 pre-rotate 35 of them now so
-#      r08 inherits only 6 stale rows (the simplest scan/agg shapes,
-#      deferred deliberately) plus round-7's own new registrations.
+#      positions 1-20 here: the 20 queries registered in round 7 (the
+#      mixture/curriculum/bloom family, event analytics, IVF-PQ, PCA
+#      spectrum, perceptual-hash image dedup, streaming bloom gate, the
+#      two gap-fill spines, the Q12 analog and triangle counting). Their
+#      one-round grace expired when CORRECTNESS_r07.json landed.
+#   2. Positions 21-26: the 6 queries whose latest row is r04 (deferred
+#      from the round-7 pre-rotation) — they go stale at r09 under the
+#      self-scaling period P = max(3, ceil(registry/window)+1) (= 5 at
+#      170 queries), so refresh them now.
+#   3. Positions 27-50: r05-latest rows pre-rotated ahead of their r10
+#      staleness (44 of them exist — more than a window minus the other
+#      demand — so spreading them across r08/r09 keeps every future
+#      window satisfiable). These slots are the swap budget for round-8
+#      registrations: a new query takes the slot of an (unedited) r05
+#      entry, which simply returns to the r09/r10 rotation pool.
 #      Names absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-15: never driver-verified, registered in round 6 (grace up) ---
-    "scd2_customer_history",
-    "scd2_asof_lookup",
-    "snapshot_diff_orders",
-    "streaming_scd2_history",
-    "dup_span_stats",
-    "png_decode_stats",
-    "audio_decode_stats",
-    "image_resize_stats",
-    "jpeg_decode_stats",
-    "pricing_summary",
-    "product_type_profit",
-    "supplier_part_variety",
-    "excess_shipped_suppliers",
-    "waiting_orders_blame",
-    "part_copurchase_pagerank",
-    # -- 16-50: latest row r04, pre-rotated before they go stale at r08 --
-    "rfm_summary",
-    "corr_frequency_monetary",
-    "order_value_buckets",
-    "top10_orders",
-    "frequency_bands",
-    "customer_value_bands",
-    "order_percentiles_approx",
-    "revenue_by_nation",
-    "top_customer_per_nation",
-    "active_or_rich_customers",
-    "sales_rollup",
-    "orders_pivot_status",
-    "sessionize_events",
-    "churned_customers",
-    "cumulative_monthly_revenue",
-    "event_props_agg",
-    "clv_distributed",
-    "clv_segment_rollup",
-    "text_stats",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "token_counts",
-    "blocklist_scrub",
-    "sequence_packing",
-    "pii_redact",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "cosine_topk",
-    "ivf_topk_kmeans",
-    "embedding_quantize_int8",
-    "image_decode_stats",
-    # deferred to lead r08 (simple stable scans/aggs): count_distinct_customers,
-    # count_distinct_customers_approx, customers_by_status, distinct_parts,
-    # orders_in_1995, customer_recast
+    # -- 1-20: never driver-verified, registered in round 7 (grace up) --
+    "domain_mixture_weights",
+    "lang_source_mix",
+    "token_entropy",
+    "zipf_slope",
+    "curriculum_stages",
+    "bloom_dedup",
+    "contamination_by_benchmark",
+    "source_token_kl",
+    "dedup_cluster_sizes",
+    "streaming_bloom_dedup",
+    "image_phash_dedup",
+    "gapfill_daily_revenue",
+    "gapfill_locf_revenue",
+    "linestatus_priority_mix",
+    "copurchase_triangles",
+    "user_path_trigrams",
+    "hourly_seasonality",
+    "daily_value_anomalies",
+    "ivf_pq_topk",
+    "embedding_pca_spectrum",
+    # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
+    "count_distinct_customers",
+    "count_distinct_customers_approx",
+    "customers_by_status",
+    "distinct_parts",
+    "orders_in_1995",
+    "customer_recast",
+    # -- 27-50: latest row r05, pre-rotated before their r10 staleness --
+    "monthly_sales",
+    "profit_by_returnflag",
+    "rfm_summary_grouped",
+    "customers_ranked_by_spend",
+    "latest_order_asof_event",
+    "embedding_near_pairs",
+    "lsh_buckets",
+    "embedding_near_pairs_lsh",
+    "ivf_topk",
+    "multimodal_features",
+    "frame_samples",
+    "clv_rfm_input",
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "streaming_enriched_counts",
+    "streaming_click_to_purchase",
+    "session_window_batch",
+    "near_dup_clusters",
+    "text_normalize",
+    "corpus_clean",
+    "train_val_test_split",
+    "stratified_sample",
+    "shard_assignments",
+    "pseudonymize_users",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
