@@ -16,12 +16,30 @@ import os
 from lakehouse_workshop_spark import operators as ops
 
 DRIVER_WINDOW = 50
+MANIFEST_PATH = "/root/repo/tools/driver_manifest.json"
 
 
 def _correctness_files() -> list[str]:
     from glob import glob
 
     return sorted(glob("/root/repo/CORRECTNESS_r*.json"))
+
+
+def _manifest() -> dict:
+    return json.load(open(MANIFEST_PATH)) if os.path.exists(MANIFEST_PATH) else {}
+
+
+def _eff_round(max_round: int, manifest: dict) -> int:
+    """The round governance evaluates AS OF.
+
+    A CORRECTNESS artifact lands between builder sessions; until the
+    builder's next commit the staleness/pending clocks stay pinned to the
+    round the manifest was built from, so an artifact drop alone can
+    never flip these tests red (rounds 5 and 7 both went red exactly this
+    way). test_manifest_rebuilt_after_artifact ends the grace at the
+    builder's next engine commit."""
+    as_of = manifest.get("_meta", {}).get("as_of_round", max_round)
+    return min(max_round, as_of)
 
 
 def test_driver_order_is_duplicate_free_and_registered():
@@ -48,14 +66,14 @@ def test_window_union_covers_every_registered_query():
         )
     names = list(ops.all_queries())
     window = set(names[:DRIVER_WINDOW])
-    manifest_path = "/root/repo/tools/driver_manifest.json"
-    manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
+    manifest = _manifest()
+    eff = _eff_round(max_round, manifest)
     uncovered = [
         n
         for n in names
         if n not in seen
         and n not in window
-        and manifest.get(n, {}).get("first_seen_round", 0) <= max_round
+        and manifest.get(n, {}).get("first_seen_round", 0) <= eff
     ]
     assert not uncovered, (
         "registered queries with no driver row in ANY recorded round, outside "
@@ -94,15 +112,18 @@ def test_stale_queries_lead_the_window():
         return
     names = list(ops.all_queries())
     window = set(names[:DRIVER_WINDOW])
-    manifest_path = "/root/repo/tools/driver_manifest.json"
-    manifest = json.load(open(manifest_path)) if os.path.exists(manifest_path) else {}
+    manifest = _manifest()
+    eff = _eff_round(max_round, manifest)
     # Verified-before queries go overdue when their latest row is P or
     # more rounds old (see docstring); never-verified queries go overdue
-    # after waiting one full round (a registry larger than the window
-    # makes rotation inevitable, so brand-new queries may wait exactly
-    # one round, no more).
+    # once the manifest has been rebuilt with them registered (since
+    # round 8, make_driver_order.py refuses to write while any
+    # never-verified query is outside the window, so registration and
+    # windowing are atomic). Both clocks run on eff, the round the
+    # manifest was built as of, so an artifact drop alone cannot trip
+    # this test.
     period = max(3, -(-len(names) // DRIVER_WINDOW) + 1)
-    horizon = max_round + 1 - period
+    horizon = eff + 1 - period
     overdue = [
         n
         for n in names
@@ -111,8 +132,7 @@ def test_stale_queries_lead_the_window():
             0 < latest.get(n, 0) <= horizon
             or (
                 latest.get(n, 0) == 0
-                and manifest.get(n, {}).get("first_seen_round", max_round + 1)
-                <= max_round
+                and manifest.get(n, {}).get("first_seen_round", eff + 1) <= eff
             )
         )
     ]
@@ -120,6 +140,55 @@ def test_stale_queries_lead_the_window():
         f"queries whose driver coverage violates the staleness rule and are "
         f"outside the {DRIVER_WINDOW}-entry window: {overdue} — rebuild "
         "DRIVER_ORDER with tools/make_driver_order.py"
+    )
+
+
+def test_manifest_rebuilt_after_artifact():
+    """The staleness grace that _eff_round grants when a CORRECTNESS
+    artifact is newer than the manifest lasts exactly until the builder's
+    next engine commit: committing engine work on top of a fresh artifact
+    without rerunning tools/make_driver_order.py is the round-5/round-7
+    failure mode, and it fails loudly here instead of two tests away."""
+    import subprocess
+
+    files = _correctness_files()
+    manifest = _manifest()
+    if not files or not manifest:
+        return
+    max_round = max(
+        int(os.path.basename(p).split("_r")[1].split(".")[0]) for p in files
+    )
+    as_of = manifest.get("_meta", {}).get("as_of_round")
+    assert as_of is not None, (
+        "tools/driver_manifest.json has no _meta.as_of_round stamp — "
+        "rerun tools/make_driver_order.py"
+    )
+    if as_of >= max_round:
+        return  # manifest is current; the strict tests above apply
+
+    def last_commit_ts(*paths: str) -> int:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", *paths],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        ).stdout.strip()
+        return int(out) if out else 0
+
+    newest_artifact = max(
+        files, key=lambda p: int(os.path.basename(p).split("_r")[1].split(".")[0])
+    )
+    t_artifact = last_commit_ts(newest_artifact) or int(
+        os.path.getmtime(newest_artifact)
+    )
+    t_engine = last_commit_ts(
+        "lakehouse_workshop_spark", "tools", "bench.py", "__spark_entry__.py"
+    )
+    assert t_engine <= t_artifact, (
+        f"CORRECTNESS_r{max_round:02d} landed after the manifest was built "
+        f"(as of r{as_of:02d}) and engine commits have since been made — the "
+        "first engine commit of a round must include the window rotation: "
+        "rebuild DRIVER_ORDER and rerun tools/make_driver_order.py"
     )
 
 
@@ -154,6 +223,36 @@ def test_changed_source_is_in_window():
         f"queries whose source changed since their manifest hash but are "
         f"outside the window: {drifted} — rerun tools/make_driver_order.py "
         "and give them a window slot"
+    )
+
+
+def test_never_verified_queries_are_windowed():
+    """Atomic-registration invariant (since round 8): whenever the
+    manifest is current, EVERY query with no driver row sits inside the
+    upcoming window — make_driver_order.py refuses to write otherwise —
+    so a new registration is always verified in its birth round. The
+    only state where a never-verified query may sit outside the window
+    is the artifact-just-landed grace, which
+    test_manifest_rebuilt_after_artifact bounds at one engine commit."""
+    files = _correctness_files()
+    if not files:
+        return
+    seen: set[str] = set()
+    max_round = 0
+    for path in files:
+        seen |= set(json.load(open(path)))
+        max_round = max(
+            max_round, int(os.path.basename(path).split("_r")[1].split(".")[0])
+        )
+    manifest = _manifest()
+    if manifest.get("_meta", {}).get("as_of_round", 0) < max_round:
+        return  # grace window; bounded by test_manifest_rebuilt_after_artifact
+    names = list(ops.all_queries())
+    window = set(names[:DRIVER_WINDOW])
+    unwindowed = [n for n in names if n not in seen and n not in window]
+    assert not unwindowed, (
+        f"never-driver-verified queries outside the window: {unwindowed} — "
+        "add them to DRIVER_ORDER and rerun tools/make_driver_order.py"
     )
 
 

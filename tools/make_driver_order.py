@@ -70,14 +70,21 @@ def main() -> None:
     latest, max_round = latest_rows()
 
     prev = json.load(open(MANIFEST)) if MANIFEST.exists() else {}
+    prev.pop("_meta", None)
     # Three slot-demanding classes (a registry larger than the window makes
     # rotation inevitable; these are the rows that may NOT wait):
-    #   stale   — verified before, but the row is >= 2 rounds behind the
+    #   stale   — verified before, but the row is >= P rounds behind the
     #             newest recorded round
-    #   pending — registered a full round ago and never yet verified
+    #   pending — never driver-verified, INCLUDING queries registered this
+    #             round. (History: until round 8 brand-new queries got one
+    #             round of grace; the grace expired the moment the next
+    #             CORRECTNESS artifact landed, turning the suite red
+    #             between the artifact drop and the next builder rotation
+    #             — rounds 5 and 7 both hit it. Registration is now atomic
+    #             with windowing: this tool refuses to write the manifest
+    #             while any never-verified query sits outside the window,
+    #             so every query earns a driver row in its birth round.)
     #   changed — source differs from the hash its last row vouched for
-    # Brand-new queries (first registered this round) may wait one round;
-    # they enter the manifest as pending and harden next round.
     # Verified at round r -> must re-enter the window by building round
     # r + P (P = rotation period), i.e. overdue when latest <= max_round
     # + 1 - P.
@@ -86,12 +93,7 @@ def main() -> None:
     stale = [
         n for n in names if 0 < latest.get(n, 0) <= horizon
     ]
-    pending = [
-        n
-        for n in names
-        if latest.get(n, 0) == 0
-        and prev.get(n, {}).get("first_seen_round", max_round + 1) <= max_round
-    ]
+    pending = [n for n in names if latest.get(n, 0) == 0]
     # Hash drift only matters for entries a driver row vouches for
     # (window_round set); a pending never-verified query has nothing to
     # invalidate — its hash just refreshes on write.
@@ -120,7 +122,14 @@ def main() -> None:
         print("!! manifest NOT written — rebuild DRIVER_ORDER first")
         sys.exit(1)
 
-    manifest = {}
+    manifest = {
+        # The governance tests read as_of_round to evaluate staleness as
+        # of the state this manifest was built from: a CORRECTNESS
+        # artifact landing AFTER this write cannot flip the suite red.
+        # The grace ends at the builder's next engine commit (see
+        # tests/test_registry.py::test_manifest_rebuilt_after_artifact).
+        "_meta": {"as_of_round": max_round, "target_round": max_round + 1},
+    }
     for n in names:
         first_seen = prev.get(n, {}).get("first_seen_round", max_round + 1)
         if n in window:
@@ -129,15 +138,9 @@ def main() -> None:
                 "window_round": max_round + 1,
                 "first_seen_round": first_seen,
             }
-        elif n not in prev:
-            # New this round, outside the window: record as pending — the
-            # next run hard-requires a slot for it.
-            manifest[n] = {
-                "hash": source_hash(queries[n]),
-                "window_round": None,
-                "first_seen_round": max_round + 1,
-            }
         else:
+            # The validation above guarantees anything outside the window
+            # is already verified and fresh.
             manifest[n] = {**prev[n], "first_seen_round": first_seen}
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST}")
