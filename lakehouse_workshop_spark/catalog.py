@@ -169,31 +169,7 @@ def describe(spark: SparkSession, name: str) -> DataFrame:
     return spark.sql(f"DESCRIBE {name}")
 
 
-# --- bucketed tables (co-located joins) -----------------------------------
-def write_bucketed(
-    df: DataFrame,
-    name: str,
-    *,
-    buckets: int,
-    key: str,
-    sort_by: str | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist a managed table hash-bucketed (and optionally sorted) on
-    ``key``.
-
-    The 100 TB lever for repeated joins/aggregations on the same key: two
-    tables bucketed identically join with ZERO exchanges (Catalyst proves
-    the child distribution from bucket metadata), so the shuffle is paid
-    once at write time instead of per query. Spark-native bucketing
-    (Hive-compatible layout); bucket pruning applies on equality filters.
-    """
-    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
-    if sort_by:
-        writer = writer.sortBy(sort_by)
-    writer.saveAsTable(name)
-
-
+# --- partitioned tables (directory pruning) --------------------------------
 def write_partitioned(
     df: DataFrame,
     name: str,
@@ -517,6 +493,7 @@ def write_bucketed(
     key: str,
     buckets: int = 16,
     sort_by: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a managed table hash-bucketed (and optionally sorted)
     on ``key`` — the co-location contract that makes every later
@@ -530,7 +507,7 @@ def write_bucketed(
     layout decision (aim for 100–200 MB per bucket-file at target
     scale); both join sides must share key AND bucket count.
     """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
     if sort_by is not None:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
