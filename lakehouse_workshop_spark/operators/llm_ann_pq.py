@@ -52,6 +52,12 @@ def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
     rows, PQ_ITERS sweeps, empty clusters keep their previous center,
     ties take the first (lowest-index) code. Returns (M, K, dim/M)."""
     n, dim = residuals.shape
+    if n < PQ_K:
+        raise ValueError(
+            f"PQ codebook training needs >= {PQ_K} sample rows, got {n} — "
+            "the vec_id-prefix sample assumes dense ids starting near 0; "
+            "remap ids or widen the training prefix"
+        )
     sub = dim // PQ_M
     books = np.empty((PQ_M, PQ_K, sub), dtype=np.float64)
     for m in range(PQ_M):
@@ -107,9 +113,20 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not prefix:
+        raise ValueError(
+            "IVF-PQ index build found no rows with vec_id < "
+            f"{max(nlist, PQ_TRAIN_N)} — the prefix-sample rule assumes "
+            "dense vec_ids starting near 0; remap ids before indexing"
+        )
     unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
     unit /= np.array([r["nrm"] for r in prefix])[:, None]
     is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
+    if not is_cent.any():
+        raise ValueError(
+            f"IVF-PQ coarse-centroid prefix (vec_id < {nlist}) is empty — "
+            "dense-from-0 vec_ids required"
+        )
     cent_mat = unit[is_cent]
     cent_ids = np.array(
         [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
@@ -321,7 +338,12 @@ def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
             # full |Q|×batch matrix measured ~2× the matmul itself.
             k = min(TOP_K, s.shape[1])
             thr = np.partition(s, s.shape[1] - k, axis=1)[:, s.shape[1] - k]
-            qi_idx, col_idx = np.nonzero(s >= (thr - 2e-6)[:, None])
+            # s > -1.5 drops the -2.0 self-hit sentinels: in a batch with
+            # <= k columns the threshold falls to the sentinel itself and
+            # the masked cell would otherwise pollute the final top-k.
+            qi_idx, col_idx = np.nonzero(
+                (s >= (thr - 2e-6)[:, None]) & (s > -1.5)
+            )
             yield pd.DataFrame(
                 {
                     "query_id": qids[qi_idx],

@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakehouse_workshop_spark.llm.multimodal import extract_features, media_from_documents
+from lakehouse_workshop_spark.llm.multimodal import (
+    PHASH_TWIN_OFFSET,
+    PHASH_TWIN_PCT,
+    PHASH_TWIN_REM,
+    extract_features,
+    media_from_documents,
+)
 from lakehouse_workshop_spark.operators import query
 
 
@@ -549,9 +555,9 @@ PHASH_BANDS = 7  # 7 bands x 9 bits over the 63-bit hash: any pair at
     tier=2,
     oracle=f"""
     SELECT doc_id AS media_id,
-           doc_id + 10000000 AS twin_id,
+           doc_id + {PHASH_TWIN_OFFSET} AS twin_id,
            TRUE AS detected
-    FROM documents WHERE doc_id % 10 = 3
+    FROM documents WHERE doc_id % {PHASH_TWIN_PCT} = {PHASH_TWIN_REM}
     ORDER BY doc_id
     """,
 )
@@ -577,8 +583,6 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lakehouse_workshop_spark.catalog import load_table
     from lakehouse_workshop_spark.llm.multimodal import (
-        PHASH_TWIN_OFFSET,
-        PHASH_TWIN_REM,
         decode_image,
         media_phash_corpus,
         phash63,
@@ -634,7 +638,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                d.doc_id + {PHASH_TWIN_OFFSET} AS twin_id,
                p.id_a IS NOT NULL AS detected
         FROM (SELECT doc_id FROM documents
-              WHERE doc_id % 10 = {PHASH_TWIN_REM}) d
+              WHERE doc_id % {PHASH_TWIN_PCT} = {PHASH_TWIN_REM}) d
         LEFT JOIN phash_pairs p
           ON p.id_a = d.doc_id
              AND p.id_b = d.doc_id + {PHASH_TWIN_OFFSET}

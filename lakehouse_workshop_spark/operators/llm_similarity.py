@@ -688,6 +688,11 @@ def ivf_kmeans_search(
     # PQ codebook sample) capped at KMEANS_TRAIN_N — identical centroids
     # on any cluster size or rerun, unlike a fraction-based sample.
     train = vecs.where(F.col("vec_id") < KMEANS_TRAIN_N)
+    if not train.take(1):
+        # Sparse / non-zero-based vec_ids leave the prefix empty; fall
+        # back to the full relation rather than crash KMeans.fit (the
+        # pre-round-7 behavior, correct at any id layout, just slower).
+        train = vecs
     model = KMeans(
         k=nlist, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
     ).fit(train)
