@@ -45,6 +45,7 @@ PQ_ITERS = 10
 PQ_NPROBE = 8
 PQ_SHORTLIST = 100
 PQ_RECALL_FLOOR = 0.6
+ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
 
 def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
@@ -199,15 +200,20 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             probed_by_cid.setdefault(int(cent_ids[ci]), []).append(qi)
     bc_q = spark.sparkContext.broadcast((q_ids, q_mat, probed_by_cid))
 
-    # Per-cluster ADC: each inverted list decodes ONCE (L×dim), every
-    # query probing it scores by one BLAS matmul, and only the per-
-    # (query, cluster) top-{PQ_SHORTLIST} rows leave the worker — the
-    # global shortlist is the top of these per-group tops, so emission
-    # is exact while output shrinks from |Q|·nprobe·L to
-    # |Q|·nprobe·{PQ_SHORTLIST}. Peak memory per group is the decoded
-    # list (bounded by the largest cluster — the 100× skew probe's
-    # 22%-in-one-cluster case stays ~GB-scale at 64 dims; blockwise
-    # decode is the documented next lever if dim grows).
+    # Per-cluster ADC: every query probing a list scores it by one BLAS
+    # matmul, and only the per-(query, cluster) top-{PQ_SHORTLIST} rows
+    # leave the worker — the global shortlist is the top of these
+    # per-group tops, so emission is exact while output shrinks from
+    # |Q|·nprobe·L to |Q|·nprobe·{PQ_SHORTLIST}. The inverted list
+    # decodes in ADC_BLOCK-row slabs, so peak task memory is
+    # ADC_BLOCK×dim + the accumulated candidate lists (≤ blocks×k per
+    # query) REGARDLESS of cluster size — the same slab fix that saved
+    # semantic_dedup at the 100× skew probe (22% of rows in one cluster),
+    # now safe at any dim. Exactness through the slabs: each slab keeps
+    # its own top-k-with-2e-6-margin superset; a cell a stronger slab
+    # threshold drops has ≥ k same-(query,cluster) cells whose raw
+    # scores exceed it by > 2e-6, hence STRICTLY higher 6-dp rounded
+    # scores — it could never survive the final (-rounded, vec_id) cut.
     def adc_cluster(key, pdf):
         import pandas as pd
 
@@ -221,36 +227,46 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype({"query_id": "int64", "vec_id": "int64", "approx": "float64"})
         sub = c_mat.shape[1] // PQ_M
         c_idx = {int(c): i for i, c in enumerate(c_ids)}
-        dec = np.broadcast_to(
-            c_mat[c_idx[cid]], (len(pdf), c_mat.shape[1])
-        ).copy()
-        codes = np.stack(pdf["codes"].to_numpy())
-        for m in range(PQ_M):
-            dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
-        vids = pdf["vec_id"].to_numpy()
-        scores = qmat[qis] @ dec.T  # RAW |q_probing| × L
-        out_q, out_v, out_s = [], [], []
-        for row, qi in enumerate(qis):
-            mask = vids != qids[qi]  # drop the self-hit
-            s, v = scores[row][mask], vids[mask]
+        base = c_mat[c_idx[cid]]
+        codes_all = np.stack(pdf["codes"].to_numpy())
+        vids_all = pdf["vec_id"].to_numpy()
+        qsub = qmat[qis]
+
+        def margin_topk(s, v):
+            # deterministic top-k under 6-dp score ties: raw-cut a
+            # superset at the kth value minus the rounding margin (see
+            # exact_topk_blas) — only the superset ever pays np.round
             k = min(PQ_SHORTLIST, len(s))
             if k < len(s):
-                # deterministic top-k under 6-dp score ties: raw-cut a
-                # superset at the kth value minus the rounding margin
-                # (see exact_topk_blas), round ONLY those, then order the
-                # tie region by (-rounded, vec_id) — partition order can
-                # never decide which tied candidate survives, and the
-                # full row never pays np.round
                 thr = np.partition(s, len(s) - k)[len(s) - k]
                 sel = np.where(s >= thr - 2e-6)[0]
-            else:
-                sel = np.arange(len(s))
-            rs = np.round(s[sel], 6)
-            order = np.lexsort((v[sel], -rs))[:k]
-            sel, rs = sel[order], rs[order]
-            out_q.append(np.full(len(sel), qids[qi]))
-            out_v.append(v[sel])
-            out_s.append(rs)
+                return s[sel], v[sel], k
+            return s, v, k
+
+        cand_s: list[list] = [[] for _ in qis]
+        cand_v: list[list] = [[] for _ in qis]
+        for start in range(0, len(vids_all), ADC_BLOCK):
+            codes = codes_all[start : start + ADC_BLOCK]
+            vids = vids_all[start : start + ADC_BLOCK]
+            dec = np.broadcast_to(base, (len(codes), len(base))).copy()
+            for m in range(PQ_M):
+                dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
+            scores = qsub @ dec.T  # RAW |q_probing| × block
+            for row, qi in enumerate(qis):
+                mask = vids != qids[qi]  # drop the self-hit
+                s, v, _ = margin_topk(scores[row][mask], vids[mask])
+                cand_s[row].append(s)
+                cand_v[row].append(v)
+        out_q, out_v, out_s = [], [], []
+        for row, qi in enumerate(qis):
+            s, v, k = margin_topk(
+                np.concatenate(cand_s[row]), np.concatenate(cand_v[row])
+            )
+            rs = np.round(s, 6)
+            order = np.lexsort((v, -rs))[:k]
+            out_q.append(np.full(len(order), qids[qi]))
+            out_v.append(v[order])
+            out_s.append(rs[order])
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),

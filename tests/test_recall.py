@@ -116,6 +116,21 @@ def test_ivf_pq_recall(spark, sf_dir):
     assert recall >= PQ_RECALL_FLOOR, f"pq recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
 
 
+def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
+    """The blockwise inverted-list decode must emit BIT-IDENTICAL rows at
+    any slab size: a tiny ADC_BLOCK forces every cluster through many
+    decode slabs (the 100 TB memory-bounding path), and the per-slab
+    top-k-with-margin supersets must reproduce the single-slab emission
+    exactly — the determinism argument in the adc_cluster docstring,
+    pinned here."""
+    import lakehouse_workshop_spark.operators.llm_ann_pq as PQ
+
+    whole = sorted(map(tuple, PQ.ivf_pq_search(spark, sf_dir).collect()))
+    monkeypatch.setattr(PQ, "ADC_BLOCK", 7)
+    sliced = sorted(map(tuple, PQ.ivf_pq_search(spark, sf_dir).collect()))
+    assert whole == sliced
+
+
 def test_pca_spectrum_matches_numpy(spark, sf_dir):
     """The emitted contract row agrees with a direct numpy PCA on the collected
     corpus: total variance equals the covariance trace, and the internal
