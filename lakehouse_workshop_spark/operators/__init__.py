@@ -60,6 +60,10 @@ DRIVER_ORDER: list[str] = [
     "daily_value_anomalies",
     "ivf_pq_topk",
     "embedding_pca_spectrum",
+    # -- registered in round 8 (atomic windowing: verified at birth) ----
+    "exact_topk",
+    # -- round-8 source changes (hash drift re-verifies) ----------------
+    "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
     "count_distinct_customers",
     "count_distinct_customers_approx",
@@ -90,8 +94,6 @@ DRIVER_ORDER: list[str] = [
     "corpus_clean",
     "train_val_test_split",
     "stratified_sample",
-    "shard_assignments",
-    "pseudonymize_users",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -28,10 +28,12 @@ from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.operators import query
 from lakehouse_workshop_spark.operators.llm_similarity import (
+    _DUCK_COS,
     _DUCK_PREP,
     _emb_view,
     _SPARK_COS,
     _SPARK_PREP,
+    _topk_sql,
     EMB_DIM,
     IVF_NLIST_MIN,
     QUERY_FILTER,
@@ -381,6 +383,26 @@ def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rnk <= {TOP_K}
         """
     )
+
+
+@query("exact_topk", tier=2, oracle=_topk_sql(_DUCK_COS, _DUCK_PREP),
+       scale_path="ivf_topk")
+def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS exact search as a first-class registered query: identical
+    emission to ``cosine_topk`` (proven row-identical by the shared
+    oracle and pinned by tests/test_recall.py), but scored by one matmul
+    per Arrow batch instead of one interpreted 64-element fold per
+    (query, vector) pair — at the 100× probe that is the difference
+    between seconds of BLAS and minutes of lambda dispatch.
+
+    Scale-path chain: ``cosine_topk`` (labeled fold baseline) names this
+    query as its production form; this query in turn names ``ivf_topk``
+    for consumers who can trade exactness for sub-linear candidate
+    scans. Still O(|Q|·n) — exact search cannot beat a full scan — but
+    every byte moves through vectorized kernels and the emission is
+    bounded by |Q|·(k + ties) per batch.
+    """
+    return exact_topk_blas(spark, sf_dir)
 
 
 @query(

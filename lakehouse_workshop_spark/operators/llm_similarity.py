@@ -177,12 +177,17 @@ def _topk_sql(cos: str, prep: str) -> str:
     """
 
 
-@query("cosine_topk", oracle=_topk_sql(_DUCK_COS, _DUCK_PREP), scale_path="ivf_topk")
+@query(
+    "cosine_topk", oracle=_topk_sql(_DUCK_COS, _DUCK_PREP), scale_path="exact_topk"
+)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector (brute force).
 
     Spark plans this as BroadcastNestedLoopJoin (query side is tiny) →
-    per-row fold → windowed top-k; the fact side is scanned once.
+    per-row fold → windowed top-k; the fact side is scanned once. The
+    registered scale path is ``exact_topk`` (same rows, BLAS-batched —
+    never schedule this fold plan on a real corpus); ``exact_topk``
+    chains on to ``ivf_topk`` where approximate recall is acceptable.
     """
     _emb_view(spark, sf_dir)
     return spark.sql(_topk_sql(_SPARK_COS, _SPARK_PREP))
