@@ -293,6 +293,50 @@ PROBE100X_QUERIES = [
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"
 
+# SCD2 growth probe (r7 verdict ask #8): both history builds are
+# driver-green but had no growth-path measurement. 10× the change-stream
+# volume (every customer gets 10× versions — the per-key window's worst
+# axis) and re-run the batch build and the streaming incremental
+# maintenance; both should grow ≤ ~3× (one shuffle of the change stream
+# on the dimension key + a per-key LEAD is near-linear in stream volume).
+PROBE_SCD2_QUERIES = [
+    "scd2_customer_history",
+    "streaming_scd2_history",
+]
+
+
+def _probe_orders_dir(
+    spark, sf_dir: str, replicas: int = PROBE_REPLICAS, tag: str = "probe10x_orders"
+) -> str:
+    """Materialize (once, cached in /tmp) a replicas× orders change
+    stream: replica r of each order keeps its customer (so per-key
+    version chains really are replicas× longer) under a fresh orderkey,
+    with the order date staggered +r days so versions interleave rather
+    than tie."""
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_{tag}_v1_{base}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        orders.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") * replicas + F.col("rep")).alias("o_orderkey"),
+            F.date_add(F.col("o_orderdate"), F.col("rep")).alias("o_orderdate"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_orderdate")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
 # Replica perturbation: rep 0 keeps the original text; each other replica
 # drops ~5% of tokens (deterministic in (doc_id, rep, position)) and
 # carries a replica-tag token. Exact replicas would make every near-dup
@@ -410,6 +454,12 @@ def main() -> None:
         for name in PROBE_QUERIES:
             timings[f"probe10x_{name}"] = _timed_median(
                 lambda: _force(queries[name](spark, probe_sf))
+            )
+
+        probe_orders = _probe_orders_dir(spark, sf_dir)
+        for name in PROBE_SCD2_QUERIES:
+            timings[f"probe10x_{name}"] = _timed_median(
+                lambda: _force(queries[name](spark, probe_orders))
             )
 
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
