@@ -806,3 +806,69 @@ def media_phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)
+
+
+# --- MJPEG-AVI video corpus (round 8) ---------------------------------------
+# Video's container (``llm.avi``) is now a REAL parser and the frames are
+# real baseline JPEGs, so the synthesized corpus exercises the full path:
+# RIFF walk -> idx1 validation -> per-frame DCT/Huffman decode. Frame
+# pixels derive from md5(text + frame index), so the Python side can
+# recompute each frame's lossless original for the reconstruction-error
+# contract while SQL pins the container-structural facts (frame counts,
+# dimensions, duration) exactly.
+
+AVI_FRAMES_BASE = 2  # n_frames = AVI_FRAMES_BASE + doc_id % AVI_FRAMES_MOD
+AVI_FRAMES_MOD = 3
+
+
+def video_n_frames(doc_id: int) -> int:
+    return AVI_FRAMES_BASE + int(doc_id) % AVI_FRAMES_MOD
+
+
+def video_frame_pixels(text: str, frame_no: int):
+    """The lossless original of frame ``frame_no``: the md5 digest of
+    ``text|f<frame_no>`` tiled to a PPM_SIDE² RGB raster (the same
+    digest-raster rule as the JPEG image corpus, keyed per frame)."""
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.md5(f"{text}|f{frame_no}".encode("utf-8")).digest()
+    reps = PPM_SIDE * PPM_SIDE * 3 // 16
+    return np.frombuffer(digest * reps, dtype=np.uint8).reshape(
+        PPM_SIDE, PPM_SIDE, 3
+    )
+
+
+def media_avi_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a REAL video table from ``documents``: each doc becomes
+    an MJPEG AVI of ``video_n_frames(doc_id)`` digest-raster frames. The
+    payloads are genuine RIFF-AVI files (hdrl/movi/idx1) any demuxer
+    walks."""
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.llm.avi import encode_avi
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [
+                    video_frame_pixels(text, f)
+                    for f in range(video_n_frames(doc_id))
+                ]
+                payloads.append(encode_avi(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "video/x-msvideo",
+                    "payload": payloads,
+                    "width": PPM_SIDE,
+                    "height": PPM_SIDE,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(body, schema=MEDIA_SCHEMA)

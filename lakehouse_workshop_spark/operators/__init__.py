@@ -62,6 +62,8 @@ DRIVER_ORDER: list[str] = [
     "embedding_pca_spectrum",
     # -- registered in round 8 (atomic windowing: verified at birth) ----
     "exact_topk",
+    "video_decode_stats",
+    "video_frame_sample",
     # -- round-8 source changes (hash drift re-verifies) ----------------
     "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
@@ -92,8 +94,6 @@ DRIVER_ORDER: list[str] = [
     "near_dup_clusters",
     "text_normalize",
     "corpus_clean",
-    "train_val_test_split",
-    "stratified_sample",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
