@@ -77,12 +77,45 @@ def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
     return books
 
 
-def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_centroids(prepped: DataFrame, nlist: int) -> np.ndarray:
+    """Learned coarse centroids: MLlib KMeans on the bounded deterministic
+    prefix sample (the exact trainer shape ``ivf_kmeans_search`` uses —
+    vec_id < KMEANS_TRAIN_N, fixed seed, 5 sweeps), fit in UNIT space and
+    re-normalized so downstream cosine assignment/ADC is unchanged.
+    Returns (nlist, dim); row i is centroid of cluster id i."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from lakehouse_workshop_spark.operators.llm_similarity import KMEANS_TRAIN_N
+
+    train = prepped.where(F.col("vec_id") < KMEANS_TRAIN_N).withColumn(
+        "features", array_to_vector(F.expr("transform(emb, x -> x / nrm)"))
+    )
+    model = KMeans(
+        k=nlist, seed=7, maxIter=5, featuresCol="features", predictionCol="cid"
+    ).fit(train)
+    centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    norms = np.linalg.norm(centers, axis=1)
+    norms[norms == 0.0] = 1.0  # an empty cluster's zero center stays zero
+    return centers / norms[:, None]
+
+
+def ivf_pq_search(
+    spark: SparkSession, sf_dir: str, coarse: str = "prefix"
+) -> DataFrame:
     """IVF-PQ top-k: coarse assignment (broadcast-centroid BLAS matmul,
     same prefix-centroid rule as ``ivf_topk``), residual product
     quantization to {PQ_M}×4-bit codes, ADC candidate scoring against the
     decoded approximations, shortlist of {PQ_SHORTLIST}, exact re-rank by
     id — returning (query_id, vec_id, cosine, rnk) like the exact search.
+
+    ``coarse="kmeans"`` swaps the prefix-point coarse quantizer for
+    MLlib-learned centroids — the same bounded-sample trainer
+    ``ivf_topk_kmeans`` uses (KMeans on the vec_id < KMEANS_TRAIN_N
+    prefix, fixed seed) — normalized to unit length so the identical
+    matmul-assign/ADC machinery runs downstream. Learned centroids fit
+    the data distribution, so inverted lists balance better than
+    arbitrary prefix points under skew.
 
     Scale: the quantized candidate table carries (vec_id, cid, 8 codes) —
     no vectors — and candidates never move at all: scoring is
@@ -97,9 +130,10 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample; at 100 TB that prefix becomes a hash-sample of the same
     size — the index shape is unchanged.
     """
+    tag = "pq" if coarse == "prefix" else "pqk"
     _emb_view(spark, sf_dir)
     prepped = spark.sql(_SPARK_PREP)
-    prepped.createOrReplaceTempView("pq_prepped")
+    prepped.createOrReplaceTempView(f"{tag}_prepped")
 
     # ONE prefix collect covers both the coarse centroids (the same
     # vec_id < nlist prefix rule as _matmul_assign/ivf_topk) and the PQ
@@ -124,17 +158,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
     unit /= np.array([r["nrm"] for r in prefix])[:, None]
-    is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
-    if not is_cent.any():
-        raise ValueError(
-            f"IVF-PQ coarse-centroid prefix (vec_id < {nlist}) is empty — "
-            "dense-from-0 vec_ids required"
+    if coarse == "kmeans":
+        cent_mat = _kmeans_centroids(prepped, nlist)
+        cent_ids = np.arange(nlist, dtype=np.int64)
+    else:
+        is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
+        if not is_cent.any():
+            raise ValueError(
+                f"IVF-PQ coarse-centroid prefix (vec_id < {nlist}) is empty "
+                "— dense-from-0 vec_ids required"
+            )
+        cent_mat = unit[is_cent]
+        cent_ids = np.array(
+            [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
+            dtype=np.int64,
         )
-    cent_mat = unit[is_cent]
-    cent_ids = np.array(
-        [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
-        dtype=np.int64,
-    )
     # Sample assignment mirrors the distributed rule exactly: 6-dp
     # rounding BEFORE the argmax, first maximum over cid-ascending axis.
     s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
@@ -178,7 +216,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_df = prepped.mapInPandas(
         assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
     ).localCheckpoint(eager=True)
-    codes_df.createOrReplaceTempView("pq_codes")
+    codes_df.createOrReplaceTempView(f"{tag}_codes")
 
     # Probe ranking runs DRIVER-SIDE on the collected query matrix: the
     # query set must broadcast for scoring anyway (the same 51 MB-at-10^5-
@@ -279,7 +317,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes_df.groupBy("cid").applyInPandas(
         adc_cluster, "query_id BIGINT, vec_id BIGINT, approx DOUBLE"
-    ).createOrReplaceTempView("pq_scored")
+    ).createOrReplaceTempView(f"{tag}_scored")
 
     # Shortlist on the quantized score, then exact re-rank by id.
     return spark.sql(
@@ -289,15 +327,15 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT query_id, vec_id,
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY approx DESC, vec_id) AS srn
-                FROM pq_scored
+                FROM {tag}_scored
             ) WHERE srn <= {PQ_SHORTLIST}
         ),
         exact AS (
             SELECT s.query_id, s.vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
             FROM shortlist s
-            JOIN pq_prepped a ON s.query_id = a.vec_id
-            JOIN pq_prepped b ON s.vec_id = b.vec_id
+            JOIN {tag}_prepped a ON s.query_id = a.vec_id
+            JOIN {tag}_prepped b ON s.vec_id = b.vec_id
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
             SELECT query_id, vec_id, cosine,
@@ -433,6 +471,47 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(a.vec_id) AS n_hit, COUNT(*) AS n_exact
             FROM pq_exact_topk e
             LEFT JOIN ivf_pq_topk_result a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
+        )
+        SELECT COUNT(*) AS n_queries,
+               AVG(n_hit / n_exact) >= {PQ_RECALL_FLOOR}D AS recall_ok
+        FROM hits
+        """
+    )
+
+
+@query(
+    "ivf_pq_topk_kmeans",
+    tier=2,
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP})
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM e WHERE {QUERY_FILTER}
+    """,
+)
+def ivf_pq_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the LEARNED-coarse-quantizer IVF-PQ
+    (``ivf_pq_search(coarse="kmeans")``): the production pairing — a
+    trained coarse quantizer balancing the inverted lists, PQ codes
+    bounding candidate bandwidth — measured against ``exact_topk_blas``
+    with the same ≥{PQ_RECALL_FLOOR} floor as ``ivf_pq_topk``
+    (tests/test_recall.py pins the measured value tighter).
+
+    Scale: identical plan to ``ivf_pq_topk`` plus one bounded-sample
+    KMeans fit (vec_id < KMEANS_TRAIN_N — never the corpus); centroids
+    leave the JVM once as a √n×{EMB_DIM} matrix, exactly what a cluster
+    would broadcast from an offline index build."""
+    approx = ivf_pq_search(spark, sf_dir, coarse="kmeans")
+    approx.createOrReplaceTempView("ivf_pqk_topk_result")
+    exact_topk_blas(spark, sf_dir).createOrReplaceTempView("pqk_exact_topk")
+    return spark.sql(
+        f"""
+        WITH hits AS (
+            SELECT e.query_id,
+                   COUNT(a.vec_id) AS n_hit, COUNT(*) AS n_exact
+            FROM pqk_exact_topk e
+            LEFT JOIN ivf_pqk_topk_result a
               ON e.query_id = a.query_id AND e.vec_id = a.vec_id
             GROUP BY e.query_id
         )

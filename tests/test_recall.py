@@ -116,6 +116,22 @@ def test_ivf_pq_recall(spark, sf_dir):
     assert recall >= PQ_RECALL_FLOOR, f"pq recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
 
 
+def test_ivf_pq_kmeans_recall(spark, sf_dir):
+    """Learned-coarse-quantizer IVF-PQ recall@10. Measured: 0.64 at both
+    test SFs (nprobe dominates on near-uniform synthetic embeddings, so
+    learned centroids land within noise of the prefix rule — their win is
+    list BALANCE under skew, not recall here)."""
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        PQ_RECALL_FLOOR,
+        ivf_pq_search,
+    )
+
+    exact = _topk_set(S.cosine_topk(spark, sf_dir))
+    pq = _topk_set(ivf_pq_search(spark, sf_dir, coarse="kmeans"))
+    recall = len(pq & exact) / len(exact)
+    assert recall >= PQ_RECALL_FLOOR, f"recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
+
+
 def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     """The blockwise inverted-list decode must emit BIT-IDENTICAL rows at
     any slab size: a tiny ADC_BLOCK forces every cluster through many
