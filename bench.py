@@ -157,6 +157,12 @@ HEADLINE = [
     "gapfill_daily_revenue",
     "gapfill_locf_revenue",
     "image_phash_dedup",
+    # round 8: BLAS exact search as a first-class query, MJPEG-AVI video
+    # decode (real RIFF demux + per-frame JPEG), learned-centroid IVF-PQ
+    "exact_topk",
+    "video_decode_stats",
+    "video_frame_sample",
+    "ivf_pq_topk_kmeans",
 ]
 
 
@@ -268,6 +274,10 @@ PROBE_QUERIES = [
     "ivf_pq_topk",
     "source_token_kl",
     "image_phash_dedup",
+    # (video_decode_stats is deliberately NOT probed: the codec family is
+    # pure map work — no shuffle, no pair structure — so 10x corpus is
+    # 10x map tasks by construction; a ~27s/rep probe row would buy no
+    # scaling evidence the headline row doesn't already give)
 ]
 PROBE_REPLICAS = 10
 
@@ -289,6 +299,10 @@ PROBE100X_QUERIES = [
     # the PQ path is the one BUILT for this scale: candidates travel as
     # 8 codes, so its 100x growth should undercut ivf_topk's
     "ivf_pq_topk",
+    # r8: isolates the BLAS exact arm that rides inside ivf_pq_topk's
+    # row — the registered scale path consumers get instead of
+    # cosine_topk's fold plan
+    "exact_topk",
 ]
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"
