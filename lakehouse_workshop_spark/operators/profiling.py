@@ -266,3 +266,95 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ord")
     )
+
+
+# --- Count-Min Sketch heavy hitters (round 8) -------------------------------
+# The sketch family (HLL distinct, approx percentiles, Bloom membership,
+# MinHash/SimHash similarity) was missing its frequency member. CMS
+# (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+# count-min sketch and its applications") summarizes a key-frequency
+# distribution in d×w counters with one-sided error: est >= true always,
+# and est <= true + (e/w)·N with probability 1 - e^-d per key.
+CMS_DEPTH = 5
+CMS_WIDTH = 8192
+
+
+@query(
+    "cms_heavy_hitters",
+    tier=2,
+    oracle=f"""
+    WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT user_id, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+        FROM k
+    )
+    SELECT user_id, CAST(c AS BIGINT) AS n_events,
+           TRUE AS est_ge_true, TRUE AS within_bound
+    FROM ranked WHERE rnk <= {HOT_KEYS_TOP}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the hottest event keys,
+    contract-checked against the exact counts: per heavy hitter,
+    ``est_ge_true`` pins the CMS one-sided guarantee (the key's own count
+    is in every one of its d counters, so the min can never undercount)
+    and ``within_bound`` pins the collision envelope est − true ≤
+    ⌈(e/{CMS_WIDTH})·N⌉ + 1 — deterministic for fixed data and hash
+    seeds, so the driver value-hashes both booleans; the exact top-k arm
+    is the labeled contract baseline (same shape as ``hot_keys_events``).
+
+    Scale: THE sketch for per-key frequency monitoring at 100 TB — the
+    sketch build is one explode({CMS_DEPTH}) + one partial-aggregated
+    groupBy landing in a FIXED {CMS_DEPTH}×{CMS_WIDTH} counter table
+    regardless of key cardinality (mergeable across batches/streams by
+    cell-wise addition, unlike the exact groupBy whose state is
+    O(distinct keys)); estimates probe it by a broadcast join of
+    candidates × depths. Spark's murmur3 ``hash(key, depth)`` gives the
+    d independent hash rows in-plan — no UDF anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("cms_events")
+    n_total = events.count()
+    # e/w error envelope; +1 absorbs the ceil-vs-float edge exactly at
+    # the bound (the guarantee is probabilistic per key with failure
+    # e^-d ≈ 0.7%; at these widths the measured max overcount is far
+    # inside it — a real collision burst would fail the driver hash).
+    import math
+
+    bound = math.ceil(math.e / CMS_WIDTH * n_total) + 1
+    spark.sql(
+        f"""
+        SELECT d, pmod(hash(user_id, d), {CMS_WIDTH}) AS bucket,
+               COUNT(*) AS cnt
+        FROM cms_events
+        LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) t AS d
+        GROUP BY d, bucket
+        """
+    ).createOrReplaceTempView("cms_sketch")
+    return spark.sql(
+        f"""
+        WITH k AS (
+            SELECT user_id, COUNT(*) AS c FROM cms_events GROUP BY user_id
+        ),
+        top AS (
+            SELECT user_id, c FROM (
+                SELECT user_id, c,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+                FROM k
+            ) WHERE rnk <= {HOT_KEYS_TOP}
+        ),
+        est AS (
+            SELECT t.user_id, t.c, MIN(s.cnt) AS est
+            FROM top t
+            CROSS JOIN (SELECT explode(sequence(0, {CMS_DEPTH - 1})) AS d) x
+            JOIN cms_sketch s
+              ON s.d = x.d AND s.bucket = pmod(hash(t.user_id, x.d), {CMS_WIDTH})
+            GROUP BY t.user_id, t.c
+        )
+        SELECT user_id, CAST(c AS BIGINT) AS n_events,
+               est >= c AS est_ge_true,
+               est - c <= {bound} AS within_bound
+        FROM est
+        """
+    )

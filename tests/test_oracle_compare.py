@@ -51,7 +51,11 @@ def test_scale_paths_point_at_registered_twins():
     assert paths == {
         "embedding_near_pairs": "embedding_near_pairs_lsh",
         "ngram_jaccard_pairs": "ngram_jaccard_pairs_capped",
-        "cosine_topk": "ivf_topk",
+        # r8 chain: the fold baseline names the BLAS exact twin (same
+        # rows, vectorized); the exact twin names the approximate index
+        # for consumers who can trade recall for sub-linear scans
+        "cosine_topk": "exact_topk",
+        "exact_topk": "ivf_topk",
         "order_percentiles": "order_percentiles_approx",
     }
     for baseline, twin in paths.items():
