@@ -163,6 +163,7 @@ HEADLINE = [
     "video_decode_stats",
     "video_frame_sample",
     "ivf_pq_topk_kmeans",
+    "cms_heavy_hitters",
 ]
 
 
