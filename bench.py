@@ -285,9 +285,15 @@ PROBE_REPLICAS = 10
 # 100× probe: timing-only extrapolation anchor — hash dedup and banded
 # minhash (500k docs) plus the ANN-family flagship (200k vectors, whose
 # perturbed-replica skew drives 22% of vectors into one cluster — exactly
-# the stress the blockwise verdict exists for). One rep (the point is the
-# order of growth, not ±5%). Tag carries "full" because this corpus now
-# includes embeddings (a cached docs-only corpus must not be reused).
+# the stress the blockwise verdict exists for). Measured as the same
+# 3-rep median as every other row since r8: the original single-shot
+# rationale ("the point is the order of growth, not ±5%") was falsified
+# by the record — unchanged code measured 8.8s (r6) / 11.5s (r7) / 15.3s
+# (r8 single-shot confirm) on semantic_dedup, a ±40% cold-state spread
+# that swamps any real growth signal; the 3-rep median lands on the
+# steady state (~9.5s quiet) and makes round-over-round deltas
+# attributable again. Tag carries "full" because this corpus includes
+# embeddings (a cached docs-only corpus must not be reused).
 PROBE100X_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -483,7 +489,7 @@ def main() -> None:
         )
         for name in PROBE100X_QUERIES:
             timings[f"probe100x_{name}"] = _timed_median(
-                lambda: _force(queries[name](spark, probe100)), reps=1
+                lambda: _force(queries[name](spark, probe100))
             )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

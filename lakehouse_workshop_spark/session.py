@@ -57,7 +57,15 @@ def get_spark(
         # Scan-side partition sizing: 128 MB splits keep tasks executor-sized
         # at 100 TB; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs driver AND all executor threads in ONE JVM, so
+        # this IS the executor heap: at 8g/32 threads each task got
+        # ~150 MB of execution memory — the 100× probes measured a
+        # +30-65% "session aging" tax (minhash_lsh_pairs 12.6s clean →
+        # 14-19s after a headline sweep) from old-gen pressure and
+        # shuffle spill. 32g removes it (11s steady after the same
+        # sweep). Cluster deployments size executors explicitly and
+        # override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
