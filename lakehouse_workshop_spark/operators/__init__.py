@@ -66,6 +66,7 @@ DRIVER_ORDER: list[str] = [
     "video_frame_sample",
     "ivf_pq_topk_kmeans",
     "cms_heavy_hitters",
+    "streaming_cms_heavy_hitters",
     # -- round-8 source changes (hash drift re-verifies) ----------------
     "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
@@ -93,7 +94,6 @@ DRIVER_ORDER: list[str] = [
     "streaming_enriched_counts",
     "streaming_click_to_purchase",
     "session_window_batch",
-    "near_dup_clusters",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -358,3 +358,54 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _streaming_cms_oracle() -> str:
+    from lakehouse_workshop_spark.operators.profiling import HOT_KEYS_TOP
+
+    return f"""
+    WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT user_id, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+        FROM k
+    )
+    SELECT user_id, CAST(c AS BIGINT) AS n_events,
+           TRUE AS est_ge_true, TRUE AS within_bound
+    FROM ranked WHERE rnk <= {HOT_KEYS_TOP}
+    """
+
+
+@query(
+    "streaming_cms_heavy_hitters",
+    tier=2,
+    oracle=_streaming_cms_oracle(),
+)
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cms_heavy_hitters``: events arrive as a 5-file
+    stream and every micro-batch appends its own fixed d×w partial sketch
+    inside foreachBatch; the merged (cell-wise summed) sketch answers the
+    same heavy-hitter probes. Because CMS counters over disjoint row sets
+    ADD, the merged sketch — hence every estimate and both contract
+    booleans — is bit-identical to the batch build for any batch
+    boundaries, so the driver value-checks the streamed path against the
+    batch oracle (tests/test_streaming.py pins streamed == batch
+    row-for-row).
+
+    Scale: per-batch state contribution is one {CMS_DEPTH}×{CMS_WIDTH}
+    counter partial regardless of batch size or key cardinality — the
+    no-per-key-state frequency monitor a 100 TB event stream needs.
+    """
+    import shutil
+    import tempfile
+
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_cms
+
+    workdir = tempfile.mkdtemp(prefix="cms_stream_")
+    out = (
+        run_streaming_cms(spark, sf_dir, workdir)
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

@@ -804,3 +804,110 @@ def run_streaming_bloom_gate(
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# --- streaming Count-Min sketch (round 8) ------------------------------------
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    n_source_files: int = 5,
+) -> DataFrame:
+    """Streaming twin of the batch ``cms_heavy_hitters``: events arrive as
+    a file stream (one micro-batch per file) and every batch contributes
+    its own partial d×w sketch to an append-only counter-parts table.
+
+    CMS is MERGEABLE — counters over disjoint row sets add cell-wise —
+    so the summed parts equal the batch-built sketch BIT-EXACTLY, for any
+    batch boundaries and any arrival order. That algebraic identity is
+    what lets the driver value-check the whole streaming path against the
+    same SQL oracle as the batch query: the final emission (exact top-k
+    contract arm + estimates probed from the merged sketch) is
+    row-identical to ``cms_heavy_hitters``, pinned by
+    tests/test_streaming.py.
+
+    Scale: per-batch state contribution is one FIXED {d×w}-row partial
+    regardless of batch size or key cardinality; the parts table grows by
+    one sketch per micro-batch and compacts by re-summing (here: the
+    read-side groupBy). This is the standard production shape for
+    frequency monitoring over a stream — no per-key state anywhere.
+    """
+    import math
+    import os
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.operators.profiling import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HOT_KEYS_TOP,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    source_dir = os.path.join(target_dir, "_incoming")
+    events.select("event_id", "user_id").repartition(n_source_files).write.mode(
+        "overwrite"
+    ).parquet(source_dir)
+    parts_dir = os.path.join(target_dir, "sketch_parts")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.createOrReplaceTempView("cms_stream_batch")
+        batch_df.sparkSession.sql(
+            f"""
+            SELECT d, pmod(hash(user_id, d), {CMS_WIDTH}) AS bucket,
+                   COUNT(*) AS cnt
+            FROM cms_stream_batch
+            LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) t AS d
+            GROUP BY d, bucket
+            """
+        ).write.mode("append").parquet(parts_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.read.parquet(parts_dir).groupBy("d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    ).createOrReplaceTempView("cms_stream_sketch")
+    events.createOrReplaceTempView("cms_stream_events")
+    bound = math.ceil(math.e / CMS_WIDTH * events.count()) + 1
+    return spark.sql(
+        f"""
+        WITH k AS (
+            SELECT user_id, COUNT(*) AS c FROM cms_stream_events
+            GROUP BY user_id
+        ),
+        top AS (
+            SELECT user_id, c FROM (
+                SELECT user_id, c,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+                FROM k
+            ) WHERE rnk <= {HOT_KEYS_TOP}
+        ),
+        est AS (
+            SELECT t.user_id, t.c, MIN(s.cnt) AS est
+            FROM top t
+            CROSS JOIN (SELECT explode(sequence(0, {CMS_DEPTH - 1})) AS d) x
+            JOIN cms_stream_sketch s
+              ON s.d = x.d AND s.bucket = pmod(hash(t.user_id, x.d), {CMS_WIDTH})
+            GROUP BY t.user_id, t.c
+        )
+        SELECT user_id, CAST(c AS BIGINT) AS n_events,
+               est >= c AS est_ge_true,
+               est - c <= {bound} AS within_bound
+        FROM est
+        """
+    )

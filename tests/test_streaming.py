@@ -345,3 +345,17 @@ def test_streaming_bloom_gate_multibatch_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert streamed, "gate emitted nothing"
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    """The merged per-micro-batch partial sketches must equal the batch
+    CMS bit-exactly (counters over disjoint row sets add), so the
+    streamed heavy-hitter emission is row-identical to the batch one."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    streamed = {tuple(r) for r in q["streaming_cms_heavy_hitters"](spark, sf_dir).collect()}
+    batch = {tuple(r) for r in q["cms_heavy_hitters"](spark, sf_dir).collect()}
+    assert streamed == batch
+    assert streamed, "streamed CMS emitted nothing"
+    assert all(r[2] and r[3] for r in streamed), "contract booleans must hold"
