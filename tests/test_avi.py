@@ -91,3 +91,31 @@ def test_empty_frame_list_rejected():
 
 def test_video_n_frames_rule():
     assert [video_n_frames(i) for i in range(6)] == [2, 3, 4, 2, 3, 4]
+
+
+def test_container_roundtrip_property():
+    """Property: for ANY frame count/size/content, the demuxed JPEG bytes
+    are exactly what the encoder wrote, in order, with consistent
+    headers — the container layer adds and removes NOTHING."""
+    from hypothesis import given, settings, strategies as st
+
+    from lakehouse_workshop_spark.llm.jpeg import encode_jpeg
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=6),
+        side=st.sampled_from([8, 16]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, side, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        meta, jpegs = parse_avi(encode_avi(frames))
+        assert meta["n_frames"] == n
+        assert (meta["width"], meta["height"]) == (side, side)
+        assert jpegs == [encode_jpeg(f) for f in frames]
+
+    check()
