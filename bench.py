@@ -164,6 +164,10 @@ HEADLINE = [
     "video_frame_sample",
     "ivf_pq_topk_kmeans",
     "cms_heavy_hitters",
+    # exact containment stays out of the headline like the other labeled
+    # quadratic baselines (ngram_jaccard_pairs, order_percentiles) — the
+    # capped scale path is the measured form
+    "ngram_containment_capped",
 ]
 
 
@@ -249,6 +253,7 @@ PROBE_QUERIES = [
     "repetition_ratio",
     "decontaminate",
     "ngram_jaccard_pairs_capped",
+    "ngram_containment_capped",
     "chunk_dedup",
     "pii_redact",
     "semantic_dedup",

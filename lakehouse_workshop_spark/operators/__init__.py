@@ -67,6 +67,8 @@ DRIVER_ORDER: list[str] = [
     "ivf_pq_topk_kmeans",
     "cms_heavy_hitters",
     "streaming_cms_heavy_hitters",
+    "ngram_containment_pairs",
+    "ngram_containment_capped",
     # -- round-8 source changes (hash drift re-verifies) ----------------
     "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
@@ -92,8 +94,6 @@ DRIVER_ORDER: list[str] = [
     "streaming_windowed_counts",
     "streaming_windowed_counts_watermarked",
     "streaming_enriched_counts",
-    "streaming_click_to_purchase",
-    "session_window_batch",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -1254,3 +1254,79 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _docs_view(spark, sf_dir)
     return spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS))
+
+
+# --- asymmetric containment (round 8) ----------------------------------------
+# Jaccard is symmetric resemblance; CONTAINMENT C(A→B) = |S(A)∩S(B)|/|S(A)|
+# (Broder 1997, "On the resemblance and containment of documents") is the
+# asymmetric signal that catches a small doc embedded in a big one —
+# quoted articles, boilerplate-wrapped pages — where Jaccard stays low
+# because the union is dominated by the big doc.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _containment_sql(shingles_cte: str, df_capped: bool) -> str:
+    prelude = (
+        f"""
+    WITH all_shingles AS ({shingles_cte}),
+    df AS (SELECT shingle, COUNT(*) AS df FROM all_shingles GROUP BY 1),
+    shingles AS (
+        SELECT s.doc_id, s.shingle
+        FROM all_shingles s JOIN df ON s.shingle = df.shingle
+        WHERE df.df <= {DF_CAP}
+    ),"""
+        if df_capped
+        else f"""
+    WITH shingles AS ({shingles_cte}),"""
+    )
+    return f"""{prelude}
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / sa.n, 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(n_shared AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@query(
+    "ngram_containment_pairs",
+    tier=2,
+    oracle=_containment_sql(_DUCK_SHINGLES, df_capped=False),
+    scale_path="ngram_containment_capped",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-dup pairs by shingle containment ≥ {threshold}:
+    ``doc_a`` is the CONTAINED document (its shingle set is mostly inside
+    ``doc_b``'s). The asymmetric complement of ``ngram_jaccard_pairs`` —
+    a 100-token quote inside a 10k-token page scores containment ≈ 1
+    while Jaccard ≈ 0.01.
+
+    Scale: same candidate structure as the Jaccard family (only pairs
+    sharing a shingle meet the join — never all-pairs), and the same
+    Σ df² fan-out hazard; the DF-capped twin is the registered scale
+    path. Exact here as the labeled ground-truth baseline.
+    """
+    _docs_view(spark, sf_dir)
+    return spark.sql(_containment_sql(_SPARK_SHINGLES, df_capped=False))
+
+
+@query(
+    "ngram_containment_capped",
+    tier=2,
+    oracle=_containment_sql(_DUCK_SHINGLES, df_capped=True),
+)
+def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment's scale path: drop shingles with document frequency
+    above {DF_CAP} before the candidate self-join (identical rationale
+    and cap as ``ngram_jaccard_pairs_capped`` — boilerplate shingles are
+    precisely the quadratic fan-out and carry no discrimination), then
+    the same directed containment score over the surviving shingles."""
+    _docs_view(spark, sf_dir)
+    return spark.sql(_containment_sql(_SPARK_SHINGLES, df_capped=True))

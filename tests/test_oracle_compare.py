@@ -51,6 +51,7 @@ def test_scale_paths_point_at_registered_twins():
     assert paths == {
         "embedding_near_pairs": "embedding_near_pairs_lsh",
         "ngram_jaccard_pairs": "ngram_jaccard_pairs_capped",
+        "ngram_containment_pairs": "ngram_containment_capped",
         # r8 chain: the fold baseline names the BLAS exact twin (same
         # rows, vectorized); the exact twin names the approximate index
         # for consumers who can trade recall for sub-linear scans
