@@ -69,6 +69,7 @@ DRIVER_ORDER: list[str] = [
     "streaming_cms_heavy_hitters",
     "ngram_containment_pairs",
     "ngram_containment_capped",
+    "salted_join_event_nations",
     # -- round-8 source changes (hash drift re-verifies) ----------------
     "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
@@ -93,7 +94,6 @@ DRIVER_ORDER: list[str] = [
     "clv_rfm_input",
     "streaming_windowed_counts",
     "streaming_windowed_counts_watermarked",
-    "streaming_enriched_counts",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

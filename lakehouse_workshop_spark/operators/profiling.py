@@ -358,3 +358,47 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est
         """
     )
+
+
+@query(
+    "salted_join_event_nations",
+    tier=2,
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew lever as a driver-value-checked query: the event fact
+    (the side ``hot_keys_events`` diagnoses as skewed) joins the customer
+    dimension through ``functions.joins.salted_join`` — hot user_ids are
+    split across 8 salt sub-keys and the dimension replicates 8× to meet
+    them — then rolls up per nation through a broadcast dim join.
+
+    Salting must be a pure execution-strategy change: the oracle is the
+    PLAIN three-way join aggregate, so any semantic leak (a salt column
+    surviving, a dropped/duplicated row from the replication) fails the
+    value hash. This is the explicit fallback for the one case AQE skew
+    splitting can't fix — a single key so hot that a split partition is
+    still one key's rows; ``tests/test_joins.py`` pins equivalence at the
+    API level, this query pins it end-to-end against DuckDB.
+    """
+    from lakehouse_workshop_spark.functions.joins import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(events, customer, "user_id", salts=8)
+    return (
+        joined.join(
+            F.broadcast(nation),
+            joined["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_events"))
+    )
