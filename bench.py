@@ -168,6 +168,9 @@ HEADLINE = [
     # quadratic baselines (ngram_jaccard_pairs, order_percentiles) — the
     # capped scale path is the measured form
     "ngram_containment_capped",
+    "salted_join_event_nations",
+    "range_join_error_purchases",
+    "hll_distinct_rollup",
 ]
 
 

@@ -70,6 +70,8 @@ DRIVER_ORDER: list[str] = [
     "ngram_containment_pairs",
     "ngram_containment_capped",
     "salted_join_event_nations",
+    "range_join_error_purchases",
+    "hll_distinct_rollup",
     # -- round-8 source changes (hash drift re-verifies) ----------------
     "cosine_topk",
     # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
@@ -92,8 +94,6 @@ DRIVER_ORDER: list[str] = [
     "multimodal_features",
     "frame_samples",
     "clv_rfm_input",
-    "streaming_windowed_counts",
-    "streaming_windowed_counts_watermarked",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

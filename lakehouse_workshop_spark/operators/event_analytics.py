@@ -144,3 +144,69 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_anomaly_sql("date_format(ts, 'yyyy-MM-dd')"))
+
+
+# --- bucketized range join (round 8) ----------------------------------------
+RANGE_JOIN_WINDOW_S = 300  # "purchases within 5 minutes after the error"
+
+
+@query(
+    "range_join_error_purchases",
+    tier=2,
+    oracle=f"""
+    SELECT e.event_id, CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases_5m
+    FROM events e
+    LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.ts > e.ts
+     AND epoch(p.ts) <= epoch(e.ts) + {RANGE_JOIN_WINDOW_S}
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platform-wide temporal range join with NO equi-key: for every
+    error event, count purchases across ALL users in the following
+    {RANGE_JOIN_WINDOW_S}s. The naive inequality join (the oracle's
+    form) has no equi-condition, so Spark would plan a
+    BroadcastNestedLoopJoin scanning every (error, purchase) pair —
+    quadratic, dead at 100 TB.
+
+    The scale form is the classic bucketization rewrite: both sides
+    bucket time into window-width buckets; a purchase in (t, t+W] lies
+    in bucket(t) or bucket(t)+1, so each error equi-joins buckets {{b,
+    b+1}} (a 2-row explode on the probe side) and the exact predicate
+    filters inside the match — an equi-shuffle join whose per-bucket
+    fan-out is bounded by traffic per window, never corpus size. Same
+    rows as the naive form, proven by the oracle.
+    """
+    from lakehouse_workshop_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    w = RANGE_JOIN_WINDOW_S
+    return spark.sql(
+        f"""
+        WITH errors AS (
+            SELECT event_id, ts,
+                   CAST(FLOOR(unix_timestamp(ts) / {w}) AS BIGINT) AS b
+            FROM events WHERE event_type = 'error'
+        ),
+        probes AS (
+            SELECT event_id, ts, explode(array(b, b + 1)) AS bucket
+            FROM errors
+        ),
+        purchases AS (
+            SELECT event_id AS p_id, ts AS p_ts,
+                   CAST(FLOOR(unix_timestamp(ts) / {w}) AS BIGINT) AS bucket
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id,
+               CAST(COUNT(CASE WHEN p.p_ts > e.ts
+                                AND unix_timestamp(p.p_ts)
+                                    <= unix_timestamp(e.ts) + {w}
+                               THEN p.p_id END) AS BIGINT) AS n_purchases_5m
+        FROM probes e
+        LEFT JOIN purchases p ON e.bucket = p.bucket
+        GROUP BY e.event_id
+        """
+    )

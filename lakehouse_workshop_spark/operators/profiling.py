@@ -402,3 +402,63 @@ def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+HLL_REL_ERR = 0.05  # default lgConfigK=12 gives ~1.6% rel. std. error
+
+
+@query(
+    "hll_distinct_rollup",
+    tier=2,
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'TOTAL',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE
+    FROM events
+    """,
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (the Datasketches pattern behind
+    ``count_distinct_customers_approx``, made EXPLICIT): one pass builds
+    a per-group HLL sketch (`hll_sketch_agg`), and the global distinct
+    comes from `hll_union_agg` over the GROUP SKETCHES — never a second
+    scan. That union step is the 100 TB story: per-partition/per-day
+    sketches materialize once and any ad-hoc rollup (per source, per
+    week, global) merges kilobyte sketches instead of re-scanning the
+    fact; exact COUNT(DISTINCT) cannot merge this way (distinct sets
+    don't add).
+
+    The exact counts ride along as the contract arm; ``est_ok`` pins
+    every estimate (group AND merged total) inside ±{HLL_REL_ERR:.0%} —
+    ~3× the sketch's standard error at the default lgConfigK=12, so the
+    boolean is deterministic-stable, and the driver value-hashes it.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH sk AS (
+            SELECT event_type,
+                   hll_sketch_agg(user_id) AS s,
+                   COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        ),
+        total AS (
+            SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+        )
+        SELECT event_type AS grp, exact_distinct,
+               abs(hll_sketch_estimate(s) - exact_distinct)
+                   <= {HLL_REL_ERR} * exact_distinct AS est_ok
+        FROM sk
+        UNION ALL
+        SELECT 'TOTAL', t.exact_distinct,
+               abs(hll_sketch_estimate(hll_union_agg(sk.s)) - t.exact_distinct)
+                   <= {HLL_REL_ERR} * t.exact_distinct AS est_ok
+        FROM sk CROSS JOIN total t
+        GROUP BY t.exact_distinct
+        """
+    )
