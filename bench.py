@@ -180,11 +180,17 @@ def _force(df) -> None:
 
 # Single-shot timings made round-over-round deltas half noise (r01→r02
 # showed a ±20%-ish spread on sub-second queries, and one 1.8× "regression"
-# no commit explained). Per-query median-of-N is the fix: each query builds
-# and forces its plan N times; the median discards the one-off GC pause /
-# codegen-cache-miss outliers while staying cheap (~3× wall on a
-# seconds-scale suite). Override with SPARK_GRAFT_BENCH_REPS=1 for a quick
-# smoke.
+# no commit explained). Per-query N-rep MINIMUM is the fix: each query
+# builds and forces its plan N times and the fastest rep is recorded.
+# Median-of-3 (rounds 8) was still poisonable — when the recording run
+# shares the box with anything (the r8 artifact recorded 15.5s on a query
+# whose quiet median is ~3s, with 2 of 3 reps contended), the median IS a
+# contended rep. Contention and GC can only ADD time, never remove it, so
+# min-of-N is the robust estimator of the operator's quiet cost and the
+# only aggregate a loaded box cannot inflate into a phantom regression;
+# real regressions (a plan change, a new shuffle) slow every rep including
+# the fastest, so they still show. Override with SPARK_GRAFT_BENCH_REPS=1
+# for a quick smoke.
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
@@ -210,9 +216,9 @@ def _reclaim() -> None:
         rdd.unpersist(False)
 
 
-def _timed_median(fn, reps: int = BENCH_REPS) -> float:
+def _timed(fn, reps: int = BENCH_REPS) -> float:
     # Each rep must pay the query's full cost: the CLV memo would
-    # otherwise hand reps 2..N a checkpointed result and the median
+    # otherwise hand reps 2..N a checkpointed result and the timing
     # would measure a cache read, not the operator.
     from lakehouse_workshop_spark.clv import pipeline as _clv
 
@@ -223,14 +229,7 @@ def _timed_median(fn, reps: int = BENCH_REPS) -> float:
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
-    samples.sort()
-    mid = len(samples) // 2
-    med = (
-        samples[mid]
-        if len(samples) % 2
-        else (samples[mid - 1] + samples[mid]) / 2
-    )
-    return round(med, 3)
+    return round(min(samples), 3)
 
 
 # --- 10× corpus probe ------------------------------------------------------
@@ -322,6 +321,22 @@ PROBE100X_QUERIES = [
 PROBE100X_REPLICAS = 100
 PROBE100X_TAG = "probe100x_full"
 
+# Events growth probe (r8 verdict ask #4): the round-8 sketch/join family
+# runs on the events fact and was registered sub-second at sf0.1 with no
+# growth row. 10× the event stream with +rep-second staggered timestamps —
+# which densifies traffic-per-window 10×, the exact axis the range join's
+# fan-out and the salted join's hot keys stress — and re-run the family.
+# Expected growth: range join ≤ ~3× (interior cells are pre-aggregated, so
+# only the 2 boundary cells see 10× rows per error against 10× errors);
+# CMS/HLL near-linear (fixed-size sketch state); salted join near-linear
+# (8-way salt splits the 10×-hotter keys).
+PROBE_EVENTS_QUERIES = [
+    "range_join_error_purchases",
+    "cms_heavy_hitters",
+    "hll_distinct_rollup",
+    "salted_join_event_nations",
+]
+
 # SCD2 growth probe (r7 verdict ask #8): both history builds are
 # driver-green but had no growth-path measurement. 10× the change-stream
 # volume (every customer gets 10× versions — the per-key window's worst
@@ -365,6 +380,44 @@ def _probe_orders_dir(
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
+
+def _probe_events_dir(
+    spark, sf_dir: str, replicas: int = PROBE_REPLICAS, tag: str = "probe10x_events"
+) -> str:
+    """Materialize (once, cached in /tmp) a replicas× event stream:
+    replica r of each event fires r seconds later under a fresh event_id,
+    keeping its user — so windows carry replicas× the traffic and hot
+    users get replicas× hotter, while the overall time span is unchanged.
+    The dimension tables the family's joins need (customer, nation) copy
+    through unmodified."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_{tag}_v1_{base}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (
+        events.crossJoin(rep)
+        .select(
+            (F.col("event_id") * replicas + F.col("rep")).alias("event_id"),
+            (F.col("ts") + F.make_dt_interval(secs=F.col("rep"))).alias("ts"),
+            *[c for c in events.columns if c not in ("event_id", "ts")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    for dim in ("customer", "nation"):
+        shutil.copy(f"{sf_dir}/{dim}.parquet", f"{out}/{dim}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
 
 # Replica perturbation: rep 0 keeps the original text; each other replica
 # drops ~5% of tokens (deterministic in (doc_id, rep, position)) and
@@ -476,19 +529,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = _timed_median(lambda: _force(queries[name](spark, sf_dir)))
+        timings[name] = _timed(lambda: _force(queries[name](spark, sf_dir)))
 
     if os.environ.get("SPARK_GRAFT_PROBE10X", "1") != "0":
         probe_sf = _probe_dir(spark, sf_dir)
         for name in PROBE_QUERIES:
-            timings[f"probe10x_{name}"] = _timed_median(
+            timings[f"probe10x_{name}"] = _timed(
                 lambda: _force(queries[name](spark, probe_sf))
             )
 
         probe_orders = _probe_orders_dir(spark, sf_dir)
         for name in PROBE_SCD2_QUERIES:
-            timings[f"probe10x_{name}"] = _timed_median(
+            timings[f"probe10x_{name}"] = _timed(
                 lambda: _force(queries[name](spark, probe_orders))
+            )
+
+        probe_events = _probe_events_dir(spark, sf_dir)
+        for name in PROBE_EVENTS_QUERIES:
+            timings[f"probe10x_{name}"] = _timed(
+                lambda: _force(queries[name](spark, probe_events))
             )
 
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
@@ -496,7 +555,7 @@ def main() -> None:
             spark, sf_dir, PROBE100X_REPLICAS, tag=PROBE100X_TAG, embeddings=True
         )
         for name in PROBE100X_QUERIES:
-            timings[f"probe100x_{name}"] = _timed_median(
+            timings[f"probe100x_{name}"] = _timed(
                 lambda: _force(queries[name](spark, probe100))
             )
 

@@ -17,83 +17,77 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 8. The driver's correctness pass
+# Explicit driver-pass order for round 9. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Every query never yet driver-verified leads the window. That is
-#      positions 1-20 here: the 20 queries registered in round 7 (the
-#      mixture/curriculum/bloom family, event analytics, IVF-PQ, PCA
-#      spectrum, perceptual-hash image dedup, streaming bloom gate, the
-#      two gap-fill spines, the Q12 analog and triangle counting). Their
-#      one-round grace expired when CORRECTNESS_r07.json landed.
-#   2. Positions 21-26: the 6 queries whose latest row is r04 (deferred
-#      from the round-7 pre-rotation) — they go stale at r09 under the
-#      self-scaling period P = max(3, ceil(registry/window)+1) (= 5 at
-#      170 queries), so refresh them now.
-#   3. Positions 27-50: r05-latest rows pre-rotated ahead of their r10
-#      staleness (44 of them exist — more than a window minus the other
-#      demand — so spreading them across r08/r09 keeps every future
-#      window satisfiable). These slots are the swap budget for round-8
-#      registrations: a new query takes the slot of an (unedited) r05
-#      entry, which simply returns to the r09/r10 rotation pool.
-#      Names absent from this list keep registration order.
+#   1. Positions 1-32: the full cohort whose latest row is r05 — they go
+#      stale at r10 under the self-scaling period P = max(3,
+#      ceil(registry/window)+1) (= 5 at 181 queries); rotating all 32 now
+#      (one round early) leaves r10's window nearly free for new
+#      registrations instead of hitting exact capacity.
+#   2. Round-9 source changes (hash drift re-verifies): the range join's
+#      exact-microsecond sub-cell rewrite and the CMS in-plan bound.
+#   3. Remaining slots: r06-latest rows pre-rotated ahead of their r11
+#      staleness (50 exist — a full window — so spreading them across
+#      r09/r10 keeps every future window satisfiable). These slots are
+#      the swap budget for round-9 registrations: a new query takes the
+#      slot of an (unedited) r06 entry, which returns to the rotation
+#      pool. Names absent from this list keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-20: never driver-verified, registered in round 7 (grace up) --
-    "domain_mixture_weights",
-    "lang_source_mix",
-    "token_entropy",
-    "zipf_slope",
-    "curriculum_stages",
-    "bloom_dedup",
-    "contamination_by_benchmark",
-    "source_token_kl",
-    "dedup_cluster_sizes",
-    "streaming_bloom_dedup",
-    "image_phash_dedup",
-    "gapfill_daily_revenue",
-    "gapfill_locf_revenue",
-    "linestatus_priority_mix",
-    "copurchase_triangles",
-    "user_path_trigrams",
-    "hourly_seasonality",
-    "daily_value_anomalies",
-    "ivf_pq_topk",
-    "embedding_pca_spectrum",
-    # -- registered in round 8 (atomic windowing: verified at birth) ----
-    "exact_topk",
-    "video_decode_stats",
-    "video_frame_sample",
-    "ivf_pq_topk_kmeans",
-    "cms_heavy_hitters",
-    "streaming_cms_heavy_hitters",
-    "ngram_containment_pairs",
-    "ngram_containment_capped",
-    "salted_join_event_nations",
+    # -- 1-32: latest row r05, stale at r10 — the full cohort ------------
+    "cohort_retention",
+    "conversion_funnel",
+    "corpus_clean",
+    "customer_order_gaps",
+    "customer_spend_quartiles",
+    "doc_chunks",
+    "embedding_label_centroids",
+    "embedding_normalized",
+    "hot_keys_events",
+    "integrity_orphans",
+    "local_supplier_volume",
+    "merge_upsert_orders",
+    "near_dup_clusters",
+    "order_percentiles",
+    "order_price_histogram",
+    "pseudonymize_users",
+    "repetition_ratio",
+    "rolling_revenue_7d",
+    "sales_cube",
+    "session_window_batch",
+    "shard_assignments",
+    "shipping_priority",
+    "stratified_sample",
+    "streaming_click_to_purchase",
+    "streaming_dedup",
+    "streaming_enriched_counts",
+    "streaming_sessionize_flushed",
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "text_normalize",
+    "train_val_test_split",
+    "unigram_lm_score",
+    # -- round-9 source changes (hash drift re-verifies) -----------------
     "range_join_error_purchases",
-    "hll_distinct_rollup",
-    # -- round-8 source changes (hash drift re-verifies) ----------------
-    "cosine_topk",
-    # -- 21-26: latest row r04, stale at r09 — refresh now ---------------
-    "count_distinct_customers",
-    "count_distinct_customers_approx",
-    "customers_by_status",
-    "distinct_parts",
-    "orders_in_1995",
-    "customer_recast",
-    # -- 27-50: latest row r05, pre-rotated before their r10 staleness --
-    "monthly_sales",
-    "profit_by_returnflag",
-    "rfm_summary_grouped",
-    "customers_ranked_by_spend",
-    "latest_order_asof_event",
-    "embedding_near_pairs",
-    "lsh_buckets",
-    "embedding_near_pairs_lsh",
-    "ivf_topk",
-    "multimodal_features",
-    "frame_samples",
-    "clv_rfm_input",
+    "cms_heavy_hitters",
+    # -- r06-latest rows pre-rotated before their r11 staleness ----------
+    "ann_topk_lsh",
+    "basket_part_pairs",
+    "big_quantity_orders",
+    "bigram_lm_score",
+    "bpe_merge_candidates",
+    "chunk_dedup",
+    "click_attribution",
+    "clv_temporal_holdout",
+    "corpus_quality_funnel",
+    "cross_source_dup_matrix",
+    "customer_ltv_deciles",
+    "customer_order_distribution",
+    "decontaminate",
+    "dedup_incremental",
+    "disjunctive_part_revenue",
+    "docs_length_outliers",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

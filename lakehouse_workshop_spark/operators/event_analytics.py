@@ -146,8 +146,9 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_anomaly_sql("date_format(ts, 'yyyy-MM-dd')"))
 
 
-# --- bucketized range join (round 8) ----------------------------------------
+# --- bucketized range join (round 8; sub-cell rewrite round 9) ---------------
 RANGE_JOIN_WINDOW_S = 300  # "purchases within 5 minutes after the error"
+RANGE_JOIN_CELL_S = 5  # pre-aggregation grain; must divide the window
 
 
 @query(
@@ -159,7 +160,7 @@ RANGE_JOIN_WINDOW_S = 300  # "purchases within 5 minutes after the error"
     LEFT JOIN events p
       ON p.event_type = 'purchase'
      AND p.ts > e.ts
-     AND epoch(p.ts) <= epoch(e.ts) + {RANGE_JOIN_WINDOW_S}
+     AND p.ts <= e.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
     WHERE e.event_type = 'error'
     GROUP BY e.event_id
     """,
@@ -172,41 +173,74 @@ def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin scanning every (error, purchase) pair —
     quadratic, dead at 100 TB.
 
-    The scale form is the classic bucketization rewrite: both sides
-    bucket time into window-width buckets; a purchase in (t, t+W] lies
-    in bucket(t) or bucket(t)+1, so each error equi-joins buckets {{b,
-    b+1}} (a 2-row explode on the probe side) and the exact predicate
-    filters inside the match — an equi-shuffle join whose per-bucket
-    fan-out is bounded by traffic per window, never corpus size. Same
-    rows as the naive form, proven by the oracle.
+    Because the output is only a COUNT per error, the purchase side
+    pre-aggregates to {RANGE_JOIN_CELL_S}s cells before any join: the
+    window (t, t+W] spans exactly W/{RANGE_JOIN_CELL_S} cell boundaries,
+    every cell strictly inside the span is counted from the aggregated
+    (cell, cnt) table — a {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1}-row
+    explode per error joining a table that is already corpus-reduced —
+    and only the TWO boundary cells (the one containing t and the one
+    containing t+W) join at row grain with the exact timestamp
+    predicate. Per-error fan-out is therefore a constant ~{
+    RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} cells plus traffic in
+    2·{RANGE_JOIN_CELL_S}s — bounded even when platform-wide
+    traffic-per-window is not (the r8 window-width bucketization probed
+    the full window's rows per error, a fan-out that grows with event
+    rate).
+
+    Exactness: timestamps compare at full microsecond precision
+    (``unix_micros`` cell math, ``INTERVAL`` predicate — the floored
+    whole-second ``unix_timestamp`` form over-counted purchases up to
+    ~1s past the window). A purchase in cell k has micros in
+    [k·C, (k+1)·C); for lo = unix_micros(t) and cells lo DIV C + 1 ..
+    lo DIV C + {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} every row
+    satisfies lo < micros < lo + W exactly, so interior cells need no
+    row filter; the two boundary cells cover the remaining candidates.
+    Event times are post-epoch (DIV truncation = floor for
+    non-negative micros).
     """
     from lakehouse_workshop_spark.catalog import load_table
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     w = RANGE_JOIN_WINDOW_S
+    cell_us = RANGE_JOIN_CELL_S * 1_000_000
+    ncells = w // RANGE_JOIN_CELL_S
+    assert w % RANGE_JOIN_CELL_S == 0, "cell grain must divide the window"
     return spark.sql(
         f"""
         WITH errors AS (
-            SELECT event_id, ts,
-                   CAST(FLOOR(unix_timestamp(ts) / {w}) AS BIGINT) AS b
+            SELECT event_id, ts, unix_micros(ts) DIV {cell_us} AS c0
             FROM events WHERE event_type = 'error'
-        ),
-        probes AS (
-            SELECT event_id, ts, explode(array(b, b + 1)) AS bucket
-            FROM errors
         ),
         purchases AS (
             SELECT event_id AS p_id, ts AS p_ts,
-                   CAST(FLOOR(unix_timestamp(ts) / {w}) AS BIGINT) AS bucket
+                   unix_micros(ts) DIV {cell_us} AS cell
             FROM events WHERE event_type = 'purchase'
+        ),
+        cell_counts AS (
+            SELECT cell, COUNT(*) AS cnt FROM purchases GROUP BY cell
+        ),
+        interior AS (
+            SELECT e.event_id, SUM(c.cnt) AS n
+            FROM (SELECT event_id,
+                         explode(sequence(c0 + 1, c0 + {ncells - 1})) AS cell
+                  FROM errors) e
+            JOIN cell_counts c ON e.cell = c.cell
+            GROUP BY e.event_id
+        ),
+        boundary AS (
+            SELECT e.event_id, COUNT(p.p_id) AS n
+            FROM (SELECT event_id, ts,
+                         explode(array(c0, c0 + {ncells})) AS cell
+                  FROM errors) e
+            LEFT JOIN purchases p
+              ON e.cell = p.cell
+             AND p.p_ts > e.ts
+             AND p.p_ts <= e.ts + INTERVAL {w} SECOND
+            GROUP BY e.event_id
         )
-        SELECT e.event_id,
-               CAST(COUNT(CASE WHEN p.p_ts > e.ts
-                                AND unix_timestamp(p.p_ts)
-                                    <= unix_timestamp(e.ts) + {w}
-                               THEN p.p_id END) AS BIGINT) AS n_purchases_5m
-        FROM probes e
-        LEFT JOIN purchases p ON e.bucket = p.bucket
-        GROUP BY e.event_id
+        SELECT b.event_id,
+               CAST(b.n + COALESCE(i.n, 0) AS BIGINT) AS n_purchases_5m
+        FROM boundary b LEFT JOIN interior i ON b.event_id = i.event_id
         """
     )

@@ -88,7 +88,13 @@ def _kmeans_centroids(prepped: DataFrame, nlist: int) -> np.ndarray:
 
     from lakehouse_workshop_spark.operators.llm_similarity import KMEANS_TRAIN_N
 
-    train = prepped.where(F.col("vec_id") < KMEANS_TRAIN_N).withColumn(
+    train = prepped.where(F.col("vec_id") < KMEANS_TRAIN_N)
+    if not train.take(1):
+        # Sparse / non-zero-based vec_ids leave the prefix empty; fall
+        # back to the full relation rather than crash KMeans.fit with an
+        # opaque MLlib error (same fallback as ivf_kmeans_search).
+        train = prepped
+    train = train.withColumn(
         "features", array_to_vector(F.expr("transform(emb, x -> x / nrm)"))
     )
     model = KMeans(

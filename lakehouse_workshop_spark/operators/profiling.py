@@ -315,14 +315,6 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("cms_events")
-    n_total = events.count()
-    # e/w error envelope; +1 absorbs the ceil-vs-float edge exactly at
-    # the bound (the guarantee is probabilistic per key with failure
-    # e^-d ≈ 0.7%; at these widths the measured max overcount is far
-    # inside it — a real collision burst would fail the driver hash).
-    import math
-
-    bound = math.ceil(math.e / CMS_WIDTH * n_total) + 1
     spark.sql(
         f"""
         SELECT d, pmod(hash(user_id, d), {CMS_WIDTH}) AS bucket,
@@ -351,11 +343,23 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN cms_sketch s
               ON s.d = x.d AND s.bucket = pmod(hash(t.user_id, x.d), {CMS_WIDTH})
             GROUP BY t.user_id, t.c
+        ),
+        -- N derives from the sketch itself: every event lands in exactly
+        -- one bucket per depth, so one depth's counter sum IS the stream
+        -- length — no second scan of the fact. e/w error envelope; +1
+        -- absorbs the ceil-vs-float edge exactly at the bound (the
+        -- guarantee is probabilistic per key with failure e^-d ≈ 0.7%;
+        -- at these widths the measured max overcount is far inside it —
+        -- a real collision burst would fail the driver hash).
+        n AS (
+            SELECT CAST(CEIL(EXP(1) / {CMS_WIDTH} * SUM(cnt)) AS BIGINT) + 1
+                       AS bound
+            FROM cms_sketch WHERE d = 0
         )
         SELECT user_id, CAST(c AS BIGINT) AS n_events,
                est >= c AS est_ge_true,
-               est - c <= {bound} AS within_bound
-        FROM est
+               est - c <= n.bound AS within_bound
+        FROM est CROSS JOIN n
         """
     )
 

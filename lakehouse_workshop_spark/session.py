@@ -24,6 +24,22 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """min(32g, ~60% of physical RAM), floored at 2g.
+
+    Local mode runs driver AND all executor threads in ONE JVM, so this
+    IS the executor heap (see the 32g rationale below) — but a blanket
+    32g default made the JVM unstartable (or swap-bound) on hosts with
+    less than ~32 GB RAM. Hosts that can afford 32 GiB still get it;
+    smaller hosts get a heap that fits. SPARK_GRAFT_DRIVER_MEM overrides.
+    """
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (AttributeError, OSError, ValueError):
+        return "32g"
+    return f"{max(2, min(32, int(total * 0.6 / (1 << 30))))}g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -65,7 +81,10 @@ def get_spark(
         # shuffle spill. 32g removes it (11s steady after the same
         # sweep). Cluster deployments size executors explicitly and
         # override via SPARK_GRAFT_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")

@@ -53,10 +53,19 @@ def test_roundtrip_pixel_level_within_jpeg_bound():
 def test_odd_length_frame_padding():
     """RIFF chunks pad to even length; an odd-sized JPEG must not shift
     the walk off the following chunks."""
+    from lakehouse_workshop_spark.llm.jpeg import encode_jpeg
+
     frames = _frames(5)
-    payload = encode_avi(frames)
-    _, jpegs = parse_avi(payload)
-    assert any(len(j) & 1 for j in jpegs) or True  # walk stays aligned
+    # The property needs an odd-length chunk mid-stream to exercise the
+    # pad byte: frame 1 of this set encodes odd (pinned here so a codec
+    # change that evens every length turns this test into a loud failure
+    # instead of silently dropping the coverage).
+    encoded = [encode_jpeg(f) for f in frames]
+    assert any(len(j) & 1 for j in encoded[:-1]), (
+        "no odd-length JPEG mid-stream — padding walk not exercised"
+    )
+    _, jpegs = parse_avi(encode_avi(frames))
+    assert jpegs == encoded  # walk stays aligned across the pad bytes
     assert len(jpegs) == 5
 
 
