@@ -17,77 +17,74 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 9. The driver's correctness pass
+# Explicit driver-pass order for round 10. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-32: the full cohort whose latest row is r05 — they go
-#      stale at r10 under the self-scaling period P = max(3,
-#      ceil(registry/window)+1) (= 5 at 181 queries); rotating all 32 now
-#      (one round early) leaves r10's window nearly free for new
-#      registrations instead of hitting exact capacity.
-#   2. Round-9 source changes (hash drift re-verifies): the range join's
-#      exact-microsecond sub-cell rewrite and the CMS in-plan bound.
-#   3. Remaining slots: r06-latest rows pre-rotated ahead of their r11
-#      staleness (50 exist — a full window — so spreading them across
-#      r09/r10 keeps every future window satisfiable). These slots are
-#      the swap budget for round-9 registrations: a new query takes the
-#      slot of an (unedited) r06 entry, which returns to the rotation
-#      pool. Names absent from this list keep registration order.
+#   1. Positions 1-34: the full cohort whose latest row is r06 — they go
+#      stale at r11 under the self-scaling period P = max(3,
+#      ceil(registry/window)+1) (= 5 at 181 queries); rotating all 34 now
+#      (one round early, per the r9 verdict's ask #1) keeps r11 free for
+#      the 49-row r07 cohort, which fills it exactly.
+#   2. Remaining 16 slots: swap budget. Seeded with r07-latest rows from
+#      the LLM-pipeline/ANN families this round touches (they'd otherwise
+#      wait for r11/r12); each round-10 registration or source edit takes
+#      one of these slots (the displaced r07 entry returns to the
+#      rotation pool — it is not yet stale). Names absent from this list
+#      keep registration order.
 DRIVER_ORDER: list[str] = [
-    # -- 1-32: latest row r05, stale at r10 — the full cohort ------------
-    "cohort_retention",
-    "conversion_funnel",
-    "corpus_clean",
-    "customer_order_gaps",
-    "customer_spend_quartiles",
-    "doc_chunks",
-    "embedding_label_centroids",
-    "embedding_normalized",
-    "hot_keys_events",
-    "integrity_orphans",
-    "local_supplier_volume",
-    "merge_upsert_orders",
-    "near_dup_clusters",
-    "order_percentiles",
-    "order_price_histogram",
-    "pseudonymize_users",
-    "repetition_ratio",
-    "rolling_revenue_7d",
-    "sales_cube",
-    "session_window_batch",
-    "shard_assignments",
-    "shipping_priority",
-    "stratified_sample",
-    "streaming_click_to_purchase",
-    "streaming_dedup",
-    "streaming_enriched_counts",
-    "streaming_sessionize_flushed",
-    "streaming_windowed_counts",
-    "streaming_windowed_counts_watermarked",
-    "text_normalize",
-    "train_val_test_split",
-    "unigram_lm_score",
-    # -- round-9 source changes (hash drift re-verifies) -----------------
-    "range_join_error_purchases",
-    "cms_heavy_hitters",
-    # -- r06-latest rows pre-rotated before their r11 staleness ----------
-    "ann_topk_lsh",
-    "basket_part_pairs",
-    "big_quantity_orders",
-    "bigram_lm_score",
-    "bpe_merge_candidates",
-    "chunk_dedup",
-    "click_attribution",
-    "clv_temporal_holdout",
-    "corpus_quality_funnel",
-    "cross_source_dup_matrix",
-    "customer_ltv_deciles",
-    "customer_order_distribution",
-    "decontaminate",
-    "dedup_incremental",
-    "disjunctive_part_revenue",
-    "docs_length_outliers",
+    # -- 1-34: latest row r06, pre-rotated before their r11 staleness ----
+    "dormant_rich_customers",
+    "dsir_importance_weights",
+    "embedding_component_variance",
+    "embedding_norm_outliers",
+    "event_transitions",
+    "forecast_revenue_discount",
+    "lang_id_confusion",
+    "late_shipment_priority",
+    "market_share",
+    "min_cost_supplier",
+    "minhash_band_stats",
+    "minhash_lsh_incremental",
+    "minhash_lsh_pairs",
+    "monthly_sales_1997",
+    "nation_revenue_share",
+    "ngram_jaccard_pairs_capped",
+    "ngram_novelty",
+    "promo_revenue_monthly",
+    "quality_classifier_score",
+    "semantic_dedup",
+    "simhash_near_pairs",
+    "small_quantity_avg_yearly",
+    "source_balanced_sample",
+    "streaming_event_transitions",
+    "supplier_concentration",
+    "table_expectations",
+    "tfidf_top_terms",
+    "token_dist_shift",
+    "top_returned_customers",
+    "top_revenue_supplier",
+    "topic_assign",
+    "vocab_coverage",
+    "volume_shipping",
+    "weighted_sample_topk",
+    # -- swap budget: r07 pre-rotations / round-10 registrations ---------
+    "dup_span_stats",
+    "sequence_packing",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "blocklist_scrub",
+    "pii_redact",
+    "token_counts",
+    "text_stats",
+    "doc_quality",
+    "lang_id",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "doc_fingerprint",
+    "embedding_quantize_int8",
+    "ivf_topk_kmeans",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
