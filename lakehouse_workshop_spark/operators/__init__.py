@@ -82,7 +82,7 @@ DRIVER_ORDER: list[str] = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
-    "doc_fingerprint",
+    "dup_span_scrub",
     "embedding_quantize_int8",
     "ivf_topk_kmeans",
 ]

@@ -77,19 +77,27 @@ def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
     return books
 
 
-def _kmeans_centroids(prepped: DataFrame, nlist: int) -> np.ndarray:
+def _kmeans_centroids(
+    prepped: DataFrame, nlist: int, prefix_nonempty: bool | None = None
+) -> np.ndarray:
     """Learned coarse centroids: MLlib KMeans on the bounded deterministic
     prefix sample (the exact trainer shape ``ivf_kmeans_search`` uses —
     vec_id < KMEANS_TRAIN_N, fixed seed, 5 sweeps), fit in UNIT space and
     re-normalized so downstream cosine assignment/ADC is unchanged.
-    Returns (nlist, dim); row i is centroid of cluster id i."""
+    ``prefix_nonempty`` lets a caller that already knows whether rows with
+    vec_id < KMEANS_TRAIN_N exist (ivf_pq_search collects a superset
+    prefix anyway) skip the guard's take(1) — one fewer Spark job per
+    index build (r9 verdict ask #5). Returns (nlist, dim); row i is
+    centroid of cluster id i."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from lakehouse_workshop_spark.operators.llm_similarity import KMEANS_TRAIN_N
 
     train = prepped.where(F.col("vec_id") < KMEANS_TRAIN_N)
-    if not train.take(1):
+    if prefix_nonempty is None:
+        prefix_nonempty = bool(train.take(1))
+    if not prefix_nonempty:
         # Sparse / non-zero-based vec_ids leave the prefix empty; fall
         # back to the full relation rather than crash KMeans.fit with an
         # opaque MLlib error (same fallback as ivf_kmeans_search).
@@ -165,7 +173,22 @@ def ivf_pq_search(
     unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
     unit /= np.array([r["nrm"] for r in prefix])[:, None]
     if coarse == "kmeans":
-        cent_mat = _kmeans_centroids(prepped, nlist)
+        from lakehouse_workshop_spark.operators.llm_similarity import (
+            KMEANS_TRAIN_N,
+        )
+
+        # The collected prefix (vec_id < max(nlist, PQ_TRAIN_N), which at
+        # our SFs is a subset of the KMeans prefix) already answers the
+        # trainer's emptiness guard — no extra take(1) job. A corpus big
+        # enough that max(nlist, PQ_TRAIN_N) > KMEANS_TRAIN_N still
+        # answers exactly: the any() just scans more collected rows.
+        cent_mat = _kmeans_centroids(
+            prepped,
+            nlist,
+            prefix_nonempty=any(
+                int(r["vec_id"]) < KMEANS_TRAIN_N for r in prefix
+            ),
+        )
         cent_ids = np.arange(nlist, dtype=np.int64)
     else:
         is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])

@@ -1256,6 +1256,131 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dup_span_sql(_SPARK_SHINGLE_POS))
 
 
+# --- duplicate-span SCRUB (round 10) ----------------------------------------
+# dup_span_stats REPORTS the Lee et al. substring-duplication signal; this
+# operator ACTS on it: every token position covered by a cross-document
+# duplicated shingle occurrence is removed UNLESS that occurrence is the
+# shingle's first corpus occurrence (min (doc_id, pos) lexicographically —
+# the same keep-first-canonical rule dedup_keep_canonical uses at document
+# grain), and each document is reassembled from its surviving tokens in
+# position order (chunk_dedup's reassembly shape at token grain).
+
+_SPARK_TOKEN_POS = """
+    SELECT doc_id, i - 1 AS tpos, element_at(t, i) AS tok
+    FROM (SELECT doc_id, t, explode(sequence(1, size(t))) AS i
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM documents))
+"""
+
+_DUCK_TOKEN_POS = """
+    SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+
+def _span_scrub_sql(
+    shingle_pos: str, token_pos: str, mkstruct: str, explode_fn: str,
+    seq_fn: str,
+) -> str:
+    """Dialect-shared span-scrub plan. ``mkstruct`` is the dialect's
+    two-field struct constructor with ``{a}``/``{b}`` slots (Spark
+    ``struct(a, b)``, DuckDB ``{{'doc_id': a, 'pos': b}}``) — structs
+    order lexicographically in BOTH engines, so MIN(struct) is the
+    canonical first-corpus-occurrence without a window over the
+    Zipf-skewed shingle key.
+
+    Determinism: the canonical occurrence is an aggregate MIN, token
+    positions are exact integers, and reassembly orders by position —
+    no floats, no partition-order dependence anywhere.
+    """
+    w = SHINGLE_WIDTH
+    return f"""
+    WITH sh AS ({shingle_pos}),
+    dupsh AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    docc AS (
+        SELECT s.doc_id, s.pos, s.shingle FROM sh s JOIN dupsh USING (shingle)
+    ),
+    canon AS (
+        SELECT shingle,
+               MIN({mkstruct.format(a="doc_id", b="pos")}) AS first_occ
+        FROM docc GROUP BY shingle
+    ),
+    scrubpos AS (
+        SELECT DISTINCT doc_id, pos + off AS tpos
+        FROM (
+            SELECT d.doc_id, d.pos,
+                   {explode_fn}({seq_fn}(0, {w - 1})) AS off
+            FROM docc d JOIN canon c ON d.shingle = c.shingle
+            WHERE {mkstruct.format(a="d.doc_id", b="d.pos")} <> c.first_occ
+        )
+    ),
+    toks AS ({token_pos}),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.tok
+        FROM toks t LEFT JOIN scrubpos s
+          ON t.doc_id = s.doc_id AND t.tpos = s.tpos
+        WHERE s.doc_id IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT z.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(z.n_tokens AS BIGINT) AS n_tokens,
+           CAST(z.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_removed_tokens
+    FROM sizes z LEFT JOIN rebuilt r ON z.doc_id = r.doc_id
+    """
+
+
+@query(
+    "dup_span_scrub",
+    tier=2,
+    oracle=_span_scrub_sql(
+        _DUCK_SHINGLE_POS, _DUCK_TOKEN_POS,
+        "{{'doc_id': {a}, 'pos': {b}}}", "unnest", "generate_series",
+    ),
+)
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication SCRUB (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    covered by a cross-document duplicated {SHINGLE_WIDTH}-gram
+    occurrence — keeping the shingle's FIRST corpus occurrence, so
+    exactly one copy of each duplicated span survives corpus-wide — and
+    reassemble each document from its surviving tokens. Emits per doc
+    the rebuilt text, total tokens, and removed-token count; a fully
+    duplicated later copy collapses to ''. This is the ACTION for
+    ``dup_span_stats``' report: span-grain removal instead of whole-doc
+    dropping, the right call for a doc that is 90% novel but embeds one
+    verbatim block.
+
+    Scale: the canonical occurrence per shingle is an aggregate
+    MIN(struct(doc_id, pos)) — map-side combinable and skew-safe, never
+    a window over the Zipf-skewed shingle key; the scrub-position
+    explode fans out ≤{SHINGLE_WIDTH} rows per duplicated occurrence;
+    the token anti-join and the reassembly both key on (doc_id, ...) —
+    uniform by construction, bounded by doc length. Every stage moves
+    the corpus a constant number of times; nothing is pairwise.
+    """
+    _docs_view(spark, sf_dir)
+    spark_sql = _span_scrub_sql(
+        _SPARK_SHINGLE_POS, _SPARK_TOKEN_POS,
+        "struct({a}, {b})", "explode", "sequence",
+    ).replace(
+        "string_agg(tok, ' ' ORDER BY tpos)",
+        "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"
+        " x -> x.tok), ' ')",
+    )
+    return spark.sql(spark_sql)
+
+
 # --- asymmetric containment (round 8) ----------------------------------------
 # Jaccard is symmetric resemblance; CONTAINMENT C(A→B) = |S(A)∩S(B)|/|S(A)|
 # (Broder 1997, "On the resemblance and containment of documents") is the

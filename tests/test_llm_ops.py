@@ -838,6 +838,96 @@ def test_dup_span_stats_matches_pure_python_reference(spark, seed):
     assert got == expect
 
 
+def _run_span_scrub_spark(spark):
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _SPARK_SHINGLE_POS,
+        _SPARK_TOKEN_POS,
+        _span_scrub_sql,
+    )
+
+    sql = _span_scrub_sql(
+        _SPARK_SHINGLE_POS, _SPARK_TOKEN_POS,
+        "struct({a}, {b})", "explode", "sequence",
+    ).replace(
+        "string_agg(tok, ' ' ORDER BY tpos)",
+        "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"
+        " x -> x.tok), ' ')",
+    )
+    return {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens)
+        for r in spark.sql(sql).collect()
+    }
+
+
+def _span_scrub_reference(docs):
+    """Independent pure-Python keep-first span scrub."""
+    from lakehouse_workshop_spark.operators.llm_dedup import SHINGLE_WIDTH
+
+    toks = {d: text.split(" ") for d, text in docs}
+    occs = {}  # shingle -> [(doc, pos), ...]
+    for d, t in toks.items():
+        for i in range(len(t) - SHINGLE_WIDTH + 1):
+            occs.setdefault(" ".join(t[i : i + SHINGLE_WIDTH]), []).append((d, i))
+    scrub = {d: set() for d in toks}
+    for sh, lst in occs.items():
+        if len({d for d, _ in lst}) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            if (d, p) != first:
+                scrub[d].update(range(p, p + SHINGLE_WIDTH))
+    return {
+        d: (
+            " ".join(t[i] for i in range(len(t)) if i not in scrub[d]),
+            len(t),
+            len([i for i in scrub[d] if i < len(t)]),
+        )
+        for d, t in toks.items()
+    }
+
+
+def test_dup_span_scrub_planted(spark):
+    """Doc 1 is the first corpus occurrence of the shared block and keeps
+    it; doc 2's copy is scrubbed; doc 3 (novel) and doc 4 (too short to
+    shingle) pass through untouched."""
+    block = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, f"u1a u1b u1c {block} w1a w1b"),
+        (2, f"u2a u2b u2c {block} w2a w2b"),
+        (3, "totally novel text with no shared shingles at all here ok"),
+        (4, "tiny doc"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    got = _run_span_scrub_spark(spark)
+    assert got[1] == (docs[0][1], 13, 0)
+    assert got[2] == ("u2a u2b u2c w2a w2b", 13, 8)
+    assert got[3] == (docs[2][1], 11, 0)
+    assert got[4] == ("tiny doc", 2, 0)
+
+
+@pytest.mark.parametrize("seed", [7, 101, 20260814])
+def test_dup_span_scrub_matches_pure_python_reference(spark, seed):
+    """Randomized tiny-vocabulary corpora (forcing heavy shingle
+    collisions, including full-duplicate docs) against an independent
+    pure-Python keep-first scrub."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(5)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for d in range(8)
+    ]
+    docs.append((8, docs[0][1]))  # verbatim full duplicate
+
+    spark.createDataFrame(docs, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    assert _run_span_scrub_spark(spark) == _span_scrub_reference(docs)
+
+
 def test_doc_fingerprint_short_docs_null_shingle(spark, tmp_path):
     """Docs shorter than the 5-token shingle width must yield a NULL
     min_shingle_hash (matching DuckDB's empty generate_series), not a
