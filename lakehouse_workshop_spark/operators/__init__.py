@@ -81,7 +81,7 @@ DRIVER_ORDER: list[str] = [
     "lang_id",
     "minhash_signatures",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
+    "ivf_pq_incremental",
     "dup_span_scrub",
     "embedding_quantize_int8",
     "ivf_topk_kmeans",

@@ -114,6 +114,50 @@ def _kmeans_centroids(
     return centers / norms[:, None]
 
 
+def _assign_encode_fn(bc):
+    """Arrow-batched coarse-assign + PQ-encode pass over prepped vectors,
+    parameterized by a broadcast (cent_mat, cent_ids, books) index. Shared
+    by the index build (``ivf_pq_search``) and the incremental ingest
+    (``ivf_pq_incremental``) so both encode bit-identically."""
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        c_mat, c_ids, bks = bc.value
+        sub = c_mat.shape[1] // PQ_M
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["emb"].to_numpy())
+            vecs /= pdf["nrm"].to_numpy()[:, None]
+            # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
+            # index whose rounded sim equals the rounded max has raw sim
+            # within 1e-6 of the raw max), without np.round over the
+            # full b×nlist similarity block
+            s = vecs @ c_mat.T
+            best = s.argmax(axis=1)
+            mx = s[np.arange(len(s)), best]
+            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
+            for i in np.nonzero(close)[0]:
+                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
+                best[i] = cand[np.round(s[i][cand], 6).argmax()]
+            res = vecs - c_mat[best]
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                x = res[:, m * sub : (m + 1) * sub]
+                d2 = ((x[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": c_ids[best],
+                    "codes": list(codes),
+                }
+            )
+
+    return assign_encode
+
+
 def ivf_pq_search(
     spark: SparkSession, sf_dir: str, coarse: str = "prefix"
 ) -> DataFrame:
@@ -208,39 +252,7 @@ def ivf_pq_search(
     books = _train_codebooks(unit - cent_mat[s_best])
 
     bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
-
-    def assign_encode(batches):
-        import pandas as pd
-
-        c_mat, c_ids, bks = bc.value
-        sub = c_mat.shape[1] // PQ_M
-        for pdf in batches:
-            vecs = np.stack(pdf["emb"].to_numpy())
-            vecs /= pdf["nrm"].to_numpy()[:, None]
-            # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
-            # index whose rounded sim equals the rounded max has raw sim
-            # within 1e-6 of the raw max), without np.round over the
-            # full b×nlist similarity block
-            s = vecs @ c_mat.T
-            best = s.argmax(axis=1)
-            mx = s[np.arange(len(s)), best]
-            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
-            for i in np.nonzero(close)[0]:
-                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
-                best[i] = cand[np.round(s[i][cand], 6).argmax()]
-            res = vecs - c_mat[best]
-            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
-            for m in range(PQ_M):
-                x = res[:, m * sub : (m + 1) * sub]
-                d2 = ((x[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": c_ids[best],
-                    "codes": list(codes),
-                }
-            )
+    assign_encode = _assign_encode_fn(bc)
 
     codes_df = prepped.mapInPandas(
         assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
@@ -547,6 +559,128 @@ def ivf_pq_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n_queries,
                AVG(n_hit / n_exact) >= {PQ_RECALL_FLOOR}D AS recall_ok
         FROM hits
+        """
+    )
+
+
+# --- incremental ingest (round 10) -------------------------------------------
+# The dedup family has per-ingest shapes (dedup_incremental,
+# minhash_lsh_incremental); this is the vector-family mirror: assign a NEW
+# batch to the EXISTING coarse centroids + codebooks — broadcast both, one
+# Arrow-batched assign-and-encode pass over the batch only — instead of
+# rebuilding the index from scratch. Split rule mirrors the dedup twins:
+# corpus = vec_id % 10 != 9 (the standing index), batch = vec_id % 10 = 9
+# (tonight's ingest).
+
+_PQ_INCR_SPLIT = "vec_id % 10 = 9"  # batch predicate; corpus is its negation
+
+
+@query(
+    "ivf_pq_incremental",
+    tier=2,
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP}),
+    corpus AS (SELECT * FROM e WHERE NOT ({_PQ_INCR_SPLIT})),
+    cent AS (
+        SELECT vec_id AS cid, emb, nrm FROM corpus
+        WHERE vec_id < (SELECT GREATEST({IVF_NLIST_MIN},
+                            CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                        FROM corpus)
+    ),
+    assign AS (
+        SELECT a.vec_id, a.vec_id % 10 = 9 AS is_batch, b.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_DUCK_COS}, 6) DESC,
+                                           b.cid) AS rn
+        FROM e a JOIN cent b ON 1 = 1
+    )
+    SELECT cid,
+           CAST(COUNT(CASE WHEN NOT is_batch THEN 1 END) AS BIGINT)
+               AS n_corpus,
+           CAST(COUNT(CASE WHEN is_batch THEN 1 END) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """,
+)
+def ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ ingest: build the index (prefix coarse
+    centroids + PQ codebooks, both trained on the CORPUS partition only,
+    same deterministic rules as ``ivf_pq_search``), then ingest the batch
+    partition with ONE broadcast assign-and-encode pass — no retraining,
+    no touching the standing corpus codes. Emits the updated inverted
+    lists: per cid, the standing count, the ingested count, and the
+    total. Nightly at 100 TB this is the difference between re-encoding
+    a petabyte and encoding a terabyte.
+
+    The coarse assignment (6-dp-rounded argmax, cid-ascending ties) is
+    SQL-expressible, so — unlike the recall-contract PQ queries — the
+    emission is value-checked exactly: the oracle recomputes every
+    vector's nearest corpus-prefix centroid and both inverted-list
+    counts. The PQ codes ride along in the same pass (the encode the
+    contract queries exercise end-to-end); tests/test_recall.py pins the
+    batch codes bit-equal to a full-rebuild encode of the same vectors.
+
+    Scale: the batch pass reads ONLY the batch partition (filter pushed
+    to the scan); centroids + codebooks broadcast (√n·{EMB_DIM} +
+    {PQ_M}·{PQ_K} doubles); the count rollup keys on cid (≤√n groups,
+    map-side combined). The corpus side here re-derives its counts for
+    the emission — a real deployment reads them from the standing index's
+    stats, making ingest cost O(batch) end-to-end.
+    """
+    _emb_view(spark, sf_dir)
+    prepped = spark.sql(_SPARK_PREP)
+    corpus = prepped.where(f"NOT ({_PQ_INCR_SPLIT})")
+    batch = prepped.where(_PQ_INCR_SPLIT)
+
+    n = (
+        spark.table("embeddings_raw")
+        .where(f"NOT ({_PQ_INCR_SPLIT})")
+        .select("vec_id")
+        .count()
+    )
+    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    prefix = (
+        corpus.where(F.col("vec_id") < max(nlist, PQ_TRAIN_N))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not prefix:
+        raise ValueError(
+            "ivf_pq_incremental corpus prefix (vec_id < "
+            f"{max(nlist, PQ_TRAIN_N)}) is empty — dense-from-0 vec_ids "
+            "required"
+        )
+    unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
+    unit /= np.array([r["nrm"] for r in prefix])[:, None]
+    is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
+    cent_mat = unit[is_cent]
+    cent_ids = np.array(
+        [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
+        dtype=np.int64,
+    )
+    s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
+    books = _train_codebooks(unit - cent_mat[s_best])
+
+    bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
+    assign_encode = _assign_encode_fn(bc)
+    schema = "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
+    corpus.mapInPandas(assign_encode, schema).createOrReplaceTempView(
+        "pqi_corpus_codes"
+    )
+    batch.mapInPandas(assign_encode, schema).createOrReplaceTempView(
+        "pqi_batch_codes"
+    )
+    return spark.sql(
+        """
+        WITH c AS (SELECT cid, COUNT(*) AS n FROM pqi_corpus_codes
+                   GROUP BY cid),
+        b AS (SELECT cid, COUNT(*) AS n FROM pqi_batch_codes GROUP BY cid)
+        SELECT COALESCE(c.cid, b.cid) AS cid,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_batch,
+               CAST(COALESCE(c.n, 0) + COALESCE(b.n, 0) AS BIGINT)
+                   AS n_total
+        FROM c FULL OUTER JOIN b ON c.cid = b.cid
         """
     )
 

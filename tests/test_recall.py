@@ -147,6 +147,66 @@ def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     assert whole == sliced
 
 
+def test_ivf_pq_incremental_batch_encode_matches_reference(spark, sf_dir):
+    """The incremental ingest's distributed Arrow-batched encode must be
+    BIT-IDENTICAL to a driver-side numpy re-derivation of the same
+    corpus-trained index applied to the same batch vectors — pinning
+    that 'assign to the EXISTING index' drifts from neither the training
+    rules nor the 6-dp-first-max assignment semantics."""
+    import numpy as np
+
+    import lakehouse_workshop_spark.operators.llm_ann_pq as PQ
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        PQ_M,
+        PQ_TRAIN_N,
+        _train_codebooks,
+    )
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _SPARK_PREP,
+        IVF_NLIST_MIN,
+    )
+
+    out = PQ.ivf_pq_incremental(spark, sf_dir).collect()
+    assert out and all(r.n_total == r.n_corpus + r.n_batch for r in out)
+    assert sum(r.n_batch for r in out) > 0
+    got = {
+        int(r.vec_id): (int(r.cid), list(r.codes))
+        for r in spark.table("pqi_batch_codes").collect()
+    }
+    assert got and all(v % 10 == 9 for v in got)
+
+    prepped = spark.sql(_SPARK_PREP)
+    n = prepped.where("vec_id % 10 <> 9").count()
+    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    pre = (
+        prepped.where(f"vec_id % 10 <> 9 AND vec_id < {max(nlist, PQ_TRAIN_N)}")
+        .orderBy("vec_id")
+        .collect()
+    )
+    unit = np.array([r["emb"] for r in pre], dtype=np.float64)
+    unit /= np.array([r["nrm"] for r in pre])[:, None]
+    ids = np.array([int(r["vec_id"]) for r in pre])
+    cent = unit[ids < nlist]
+    cent_ids = ids[ids < nlist]
+    s_best = np.round(unit @ cent.T, 6).argmax(axis=1)
+    books = _train_codebooks(unit - cent[s_best])
+
+    brows = prepped.where("vec_id % 10 = 9").orderBy("vec_id").collect()
+    bmat = np.array([r["emb"] for r in brows], dtype=np.float64)
+    bmat /= np.array([r["nrm"] for r in brows])[:, None]
+    best = np.round(bmat @ cent.T, 6).argmax(axis=1)
+    res = bmat - cent[best]
+    sub = cent.shape[1] // PQ_M
+    expect = {}
+    for i, r in enumerate(brows):
+        codes = []
+        for m in range(PQ_M):
+            x = res[i, m * sub : (m + 1) * sub]
+            codes.append(int(((x - books[m]) ** 2).sum(axis=1).argmin()))
+        expect[int(r["vec_id"])] = (int(cent_ids[best[i]]), codes)
+    assert got == expect
+
+
 def test_pca_spectrum_matches_numpy(spark, sf_dir):
     """The emitted contract row agrees with a direct numpy PCA on the collected
     corpus: total variance equals the covariance trace, and the internal
