@@ -171,6 +171,11 @@ HEADLINE = [
     "salted_join_event_nations",
     "range_join_error_purchases",
     "hll_distinct_rollup",
+    # round 10: substring-grain scrub action, incremental ANN ingest, and
+    # the end-to-end clean->dedup->decontaminate->BPE->pack composition
+    "dup_span_scrub",
+    "ivf_pq_incremental",
+    "materialize_training_set",
 ]
 
 
@@ -345,6 +350,18 @@ PROBE_EVENTS_QUERIES = [
     "cms_heavy_hitters",
     "hll_distinct_rollup",
     "salted_join_event_nations",
+]
+
+# 100× events probe (r9 verdict stretch #8): the range join's headline
+# claim is CONSTANT per-error fan-out even when traffic-per-window is
+# unbounded — the 10× row (3.6× growth, sublinear) supports it one
+# decade out; this anchors the next decade (100× errors × 100×
+# traffic-per-window: interior cells stay pre-aggregated, only the two
+# boundary cells see 100× rows per error). Only the query the claim is
+# about — the sketch/salt families are already near-linear by
+# construction and not worth 100× bench minutes each round.
+PROBE100X_EVENTS_QUERIES = [
+    "range_join_error_purchases",
 ]
 
 # SCD2 growth probe (r7 verdict ask #8): both history builds are
@@ -577,6 +594,14 @@ def main() -> None:
         for name in PROBE100X_QUERIES:
             timings[f"probe100x_{name}"], raw[f"probe100x_{name}"] = _timed(
                 lambda: _force(queries[name](spark, probe100))
+            )
+
+        probe_events100 = _probe_events_dir(
+            spark, sf_dir, PROBE100X_REPLICAS, tag="probe100x_events"
+        )
+        for name in PROBE100X_EVENTS_QUERIES:
+            timings[f"probe100x_{name}"], raw[f"probe100x_{name}"] = _timed(
+                lambda: _force(queries[name](spark, probe_events100))
             )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -79,11 +79,11 @@ DRIVER_ORDER: list[str] = [
     "text_stats",
     "doc_quality",
     "lang_id",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
+    "materialize_training_set",
+    "range_join_error_purchases",
     "ivf_pq_incremental",
     "dup_span_scrub",
-    "embedding_quantize_int8",
+    "cms_heavy_hitters",
     "ivf_topk_kmeans",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact

@@ -196,8 +196,10 @@ def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo DIV C + {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} every row
     satisfies lo < micros < lo + W exactly, so interior cells need no
     row filter; the two boundary cells cover the remaining candidates.
-    Event times are post-epoch (DIV truncation = floor for
-    non-negative micros).
+    DIV truncates toward zero, which equals floor only for non-negative
+    micros — so the cell expression asserts post-epoch in-plan
+    (``assert_true``): a pre-1970 fixture fails LOUDLY instead of
+    silently mis-bucketing (r9 ADVICE).
     """
     from lakehouse_workshop_spark.catalog import load_table
 
@@ -206,15 +208,20 @@ def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_us = RANGE_JOIN_CELL_S * 1_000_000
     ncells = w // RANGE_JOIN_CELL_S
     assert w % RANGE_JOIN_CELL_S == 0, "cell grain must divide the window"
+    cell_of = (
+        "(unix_micros({c}) + IFNULL(assert_true(unix_micros({c}) >= 0, "
+        "'range_join_error_purchases: pre-epoch timestamp — DIV "
+        f"truncation would mis-bucket'), 0)) DIV {cell_us}"
+    )
     return spark.sql(
         f"""
         WITH errors AS (
-            SELECT event_id, ts, unix_micros(ts) DIV {cell_us} AS c0
+            SELECT event_id, ts, {cell_of.format(c="ts")} AS c0
             FROM events WHERE event_type = 'error'
         ),
         purchases AS (
             SELECT event_id AS p_id, ts AS p_ts,
-                   unix_micros(ts) DIV {cell_us} AS cell
+                   {cell_of.format(c="ts")} AS cell
             FROM events WHERE event_type = 'purchase'
         ),
         cell_counts AS (

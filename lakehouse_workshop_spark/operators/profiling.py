@@ -315,6 +315,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("cms_events")
+    # The sketch is referenced twice below (the est probe join and the n
+    # bound CTE); an unmaterialized view would recompute the events
+    # aggregation per reference (verified: no ReusedExchange in the r9
+    # plan — 3 fact scans, r9 ADVICE). The sketch is a FIXED
+    # {CMS_DEPTH}×{CMS_WIDTH} table, so materializing it pins the fact to
+    # exactly two scans: one sketch build + the exact-count contract arm.
     spark.sql(
         f"""
         SELECT d, pmod(hash(user_id, d), {CMS_WIDTH}) AS bucket,
@@ -323,7 +329,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) t AS d
         GROUP BY d, bucket
         """
-    ).createOrReplaceTempView("cms_sketch")
+    ).localCheckpoint(eager=True).createOrReplaceTempView("cms_sketch")
     return spark.sql(
         f"""
         WITH k AS (
@@ -344,9 +350,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON s.d = x.d AND s.bucket = pmod(hash(t.user_id, x.d), {CMS_WIDTH})
             GROUP BY t.user_id, t.c
         ),
-        -- N derives from the sketch itself: every event lands in exactly
-        -- one bucket per depth, so one depth's counter sum IS the stream
-        -- length — no second scan of the fact. e/w error envelope; +1
+        -- N derives from the MATERIALIZED sketch: every event lands in
+        -- exactly one bucket per depth, so one depth's counter sum IS
+        -- the stream length — read from the checkpointed d×w table, not
+        -- a rescan of the fact. e/w error envelope; +1
         -- absorbs the ceil-vs-float edge exactly at the bound (the
         -- guarantee is probabilistic per key with failure e^-d ≈ 0.7%;
         -- at these widths the measured max overcount is far inside it —

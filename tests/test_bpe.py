@@ -74,3 +74,51 @@ def test_roundtrip_token_concatenation_recovers_text(spark):
     for doc_id, toks in out.items():
         rebuilt = "".join(toks).replace(END_OF_WORD, " ").rstrip()
         assert rebuilt == " ".join(w for w in texts[doc_id].split(" ") if w)
+
+
+def test_frozen_merge_table_is_consistent_and_chain_equivalent():
+    """materialize_training_set's SQL oracle tokenizes with a literal
+    replace-chain in merge-rank order; that equals the greedy
+    lowest-rank-first encoder ONLY for a consistent table (every
+    multi-char part formed by an earlier merge). Pin both: the
+    consistency property itself, and chain == encode_word on the corpus
+    vocabulary plus 20k random words over the corpus alphabet."""
+    import random
+
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        BPE_CHAIN_REPS,
+        BPE_FROZEN_MERGES,
+    )
+
+    formed: set[str] = set()
+    for a, b in BPE_FROZEN_MERGES:
+        for part in (a, b):
+            assert len(part) == 1 or part == END_OF_WORD or part in formed, (
+                f"inconsistent merge part {part!r} — the replace-chain "
+                "equivalence no longer holds; retrain or reorder the table"
+            )
+        formed.add(a + b)
+
+    ranks = {p: i for i, p in enumerate(BPE_FROZEN_MERGES)}
+
+    def chain(word: str) -> list[str]:
+        s = "|" + "|".join(list(word) + [END_OF_WORD]) + "|"
+        for a, b in BPE_FROZEN_MERGES:
+            for _ in range(BPE_CHAIN_REPS):
+                s = s.replace(f"|{a}|{b}|", f"|{a}{b}|")
+        return s.strip("|").split("|")
+
+    vocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    ]
+    for w in vocab:
+        assert chain(w) == encode_word(w, ranks), w
+    rng = random.Random(7)
+    for _ in range(20000):
+        w = "".join(
+            rng.choice("aeorstwinluh") for _ in range(rng.randint(1, 12))
+        )
+        assert chain(w) == encode_word(w, ranks), w

@@ -113,3 +113,26 @@ def test_user_path_trigrams_matches_pure_python(spark):
     ).createOrReplaceTempView("events")
     got = [(r.path, r.n) for r in spark.sql(_path_sql()).collect()]
     assert got == top
+
+
+def test_range_join_pre_epoch_timestamp_fails_loudly(spark, tmp_path):
+    """DIV truncates toward zero, so a pre-1970 timestamp would silently
+    land in the wrong cell; the in-plan assert_true must turn that into a
+    loud failure instead of wrong counts (r9 ADVICE)."""
+    import pytest
+
+    from lakehouse_workshop_spark.operators.event_analytics import (
+        range_join_error_purchases,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "error", "1969-12-31 23:59:59"),
+            (2, "purchase", "1970-01-01 00:00:30"),
+        ],
+        ["event_id", "event_type", "ts_s"],
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="pre-epoch"):
+        range_join_error_purchases(spark, str(tmp_path)).collect()

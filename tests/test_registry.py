@@ -262,3 +262,32 @@ def test_scale_path_targets_resolve():
     registered = set(ops.all_queries())
     assert set(paths).issubset(registered)
     assert set(paths.values()).issubset(registered)
+
+
+def test_plans_md_current():
+    """Plan-audit atomicity (since round 10, r9 verdict ask #2): every
+    audited (non-streaming) query's registered source must hash-match
+    the footer PLANS.md recorded at generation — a query rewrite cannot
+    ship without regenerating its plan row (both r9 plan rewrites did,
+    leaving PLANS.md stale for a full round)."""
+    import hashlib
+    import inspect
+    import re
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    txt = open(plans).read()
+    recorded = dict(re.findall(r"<!-- hash (\S+) ([0-9a-f]{16}) -->", txt))
+    assert recorded, "PLANS.md has no source-hash footer — rerun tools/plan_audit.py"
+    stale, missing = [], []
+    for name, fn in ops.all_queries().items():
+        if name.startswith("streaming_"):
+            continue
+        h = hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+        if name not in recorded:
+            missing.append(name)
+        elif recorded[name] != h:
+            stale.append(name)
+    assert not missing and not stale, (
+        f"PLANS.md out of date — missing: {missing}, stale: {stale}; "
+        "rerun tools/plan_audit.py"
+    )
