@@ -1280,14 +1280,23 @@ _DUCK_TOKEN_POS = """
 
 def _span_scrub_sql(
     shingle_pos: str, token_pos: str, mkstruct: str, explode_fn: str,
-    seq_fn: str,
+    seq_fn: str, size_expr: str,
 ) -> str:
     """Dialect-shared span-scrub plan. ``mkstruct`` is the dialect's
     two-field struct constructor with ``{a}``/``{b}`` slots (Spark
     ``struct(a, b)``, DuckDB ``{{'doc_id': a, 'pos': b}}``) — structs
     order lexicographically in BOTH engines, so MIN(struct) is the
     canonical first-corpus-occurrence without a window over the
-    Zipf-skewed shingle key.
+    Zipf-skewed shingle key. ``size_expr`` is the dialect's
+    token-count-of-text expression (per-doc sizes come from a scalar
+    over ``documents``, never a second token explode).
+
+    ONE aggregation pass over the exploded shingles computes both the
+    cross-doc flag (COUNT(DISTINCT doc_id)) and the canonical occurrence
+    (MIN(struct)); the occurrence table joins that stats table once.
+    (The first cut staged dupsh → docc → canon: two aggregations and two
+    joins over shingle-keyed data — 14 exchanges, and the shingle
+    explode fed two separate consumers.)
 
     Determinism: the canonical occurrence is an aggregate MIN, token
     positions are exact integers, and reassembly orders by position —
@@ -1296,25 +1305,19 @@ def _span_scrub_sql(
     w = SHINGLE_WIDTH
     return f"""
     WITH sh AS ({shingle_pos}),
-    dupsh AS (
-        SELECT shingle FROM sh GROUP BY shingle
-        HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
-    docc AS (
-        SELECT s.doc_id, s.pos, s.shingle FROM sh s JOIN dupsh USING (shingle)
-    ),
-    canon AS (
-        SELECT shingle,
+    stats AS (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs,
                MIN({mkstruct.format(a="doc_id", b="pos")}) AS first_occ
-        FROM docc GROUP BY shingle
+        FROM sh GROUP BY shingle
     ),
     scrubpos AS (
         SELECT DISTINCT doc_id, pos + off AS tpos
         FROM (
-            SELECT d.doc_id, d.pos,
+            SELECT s.doc_id, s.pos,
                    {explode_fn}({seq_fn}(0, {w - 1})) AS off
-            FROM docc d JOIN canon c ON d.shingle = c.shingle
-            WHERE {mkstruct.format(a="d.doc_id", b="d.pos")} <> c.first_occ
+            FROM sh s JOIN stats t ON s.shingle = t.shingle
+            WHERE t.n_docs >= 2
+              AND {mkstruct.format(a="s.doc_id", b="s.pos")} <> t.first_occ
         )
     ),
     toks AS ({token_pos}),
@@ -1330,7 +1333,7 @@ def _span_scrub_sql(
                COUNT(*) AS n_kept
         FROM kept GROUP BY doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    sizes AS (SELECT doc_id, {size_expr} AS n_tokens FROM documents)
     SELECT z.doc_id,
            COALESCE(r.clean_text, '') AS clean_text,
            CAST(z.n_tokens AS BIGINT) AS n_tokens,
@@ -1346,6 +1349,7 @@ def _span_scrub_sql(
     oracle=_span_scrub_sql(
         _DUCK_SHINGLE_POS, _DUCK_TOKEN_POS,
         "{{'doc_id': {a}, 'pos': {b}}}", "unnest", "generate_series",
+        "len(string_split(text, ' '))",
     ),
 )
 def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,18 +1365,23 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping, the right call for a doc that is 90% novel but embeds one
     verbatim block.
 
-    Scale: the canonical occurrence per shingle is an aggregate
+    Scale: ONE aggregation pass over the exploded shingles yields both
+    the cross-doc flag and the canonical occurrence (COUNT DISTINCT +
     MIN(struct(doc_id, pos)) — map-side combinable and skew-safe, never
-    a window over the Zipf-skewed shingle key; the scrub-position
-    explode fans out ≤{SHINGLE_WIDTH} rows per duplicated occurrence;
-    the token anti-join and the reassembly both key on (doc_id, ...) —
-    uniform by construction, bounded by doc length. Every stage moves
-    the corpus a constant number of times; nothing is pairwise.
+    a window over the Zipf-skewed shingle key), and one join back marks
+    scrubbed occurrences; the scrub-position explode fans out
+    ≤{SHINGLE_WIDTH} rows per duplicated occurrence; per-doc sizes come
+    from a scalar size(split()) over the raw table, not a second token
+    explode; the token anti-join and the reassembly both key on
+    (doc_id, ...) — uniform by construction, bounded by doc length.
+    Every stage moves the corpus a constant number of times; nothing is
+    pairwise.
     """
     _docs_view(spark, sf_dir)
     spark_sql = _span_scrub_sql(
         _SPARK_SHINGLE_POS, _SPARK_TOKEN_POS,
         "struct({a}, {b})", "explode", "sequence",
+        "size(split(text, ' '))",
     ).replace(
         "string_agg(tok, ' ' ORDER BY tpos)",
         "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"

@@ -848,6 +848,7 @@ def _run_span_scrub_spark(spark):
     sql = _span_scrub_sql(
         _SPARK_SHINGLE_POS, _SPARK_TOKEN_POS,
         "struct({a}, {b})", "explode", "sequence",
+        "size(split(text, ' '))",
     ).replace(
         "string_agg(tok, ' ' ORDER BY tpos)",
         "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"
