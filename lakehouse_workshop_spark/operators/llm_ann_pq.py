@@ -618,7 +618,8 @@ def ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's nearest corpus-prefix centroid and both inverted-list
     counts. The PQ codes ride along in the same pass (the encode the
     contract queries exercise end-to-end); tests/test_recall.py pins the
-    batch codes bit-equal to a full-rebuild encode of the same vectors.
+    batch codes bit-equal to a driver-side numpy re-derivation of the
+    same corpus-trained index applied to the same vectors.
 
     Scale: the batch pass reads ONLY the batch partition (filter pushed
     to the scan); centroids + codebooks broadcast (√n·{EMB_DIM} +
