@@ -547,18 +547,26 @@ def main() -> None:
 
     # Warm the JVM/codegen AND the Python worker pool once so timings
     # measure steady-state throughput (first pandas-UDF use otherwise pays
-    # one fork+import per worker).
+    # one fork+import per worker, and the first BLAS dgemm per worker
+    # pays OpenBLAS's DYNAMIC_ARCH kernel init — measured ~10s across the
+    # 32-worker pool at the 100× probe, dwarfing the matmul itself; a
+    # long-lived executor amortizes both to zero, so neither belongs in a
+    # steady-state rep).
     _force(queries[names[0]](spark, sf_dir))
     import pandas as _pd  # noqa: F401
 
-    def _noop_batch(it):
+    def _blas_warm_batch(it):
+        import numpy as _np
+
+        w = _np.ones((64, 64))
         for pdf in it:
+            (w @ w).sum()
             yield pdf
 
     _force(
         spark.range(0, 256, 1, 32)
         .withColumnRenamed("id", "n")
-        .mapInPandas(_noop_batch, schema="n long")
+        .mapInPandas(_blas_warm_batch, schema="n long")
     )
 
     timings: dict[str, float] = {}

@@ -78,7 +78,7 @@ DRIVER_ORDER: list[str] = [
     "token_counts",
     "text_stats",
     "doc_quality",
-    "lang_id",
+    "streaming_pq_ingest",
     "materialize_training_set",
     "range_join_error_purchases",
     "ivf_pq_incremental",

@@ -49,6 +49,27 @@ PQ_SHORTLIST = 100
 PQ_RECALL_FLOOR = 0.6
 ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
+# Per-worker-process reusable numpy scratch buffers, keyed by (tag, shape,
+# dtype). Root cause (measured at the 100× probe, r10): every Arrow batch
+# allocated fresh 20-100 MB intermediates (score matrices, partition
+# copies, residual diffs); numpy mmaps blocks that size and munmaps them
+# on free, so EVERY batch re-faulted and re-zeroed its pages — with 32
+# concurrent workers the kernel spent 96% of 32 CPUs in page management
+# (a 2000×6250 dgemm measured 10-16s against a 0.13s steady state).
+# Reusing one buffer per worker faults its pages exactly once per worker
+# lifetime — precisely what a long-lived executor does at 100 TB. The
+# cache is bounded: shapes recur (uniform Arrow batches + one partial
+# tail), so entries stay in the single digits per worker.
+_WORKER_BUFS: dict = {}
+
+
+def _worker_buf(tag: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+    key = (tag, shape, np.dtype(dtype).str)
+    buf = _WORKER_BUFS.get(key)
+    if buf is None:
+        buf = _WORKER_BUFS[key] = np.empty(shape, dtype=dtype)
+    return buf
+
 
 def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
     """Deterministic per-subspace Lloyd k-means: init = first PQ_K sample
@@ -130,11 +151,17 @@ def _assign_encode_fn(bc):
                 continue
             vecs = np.stack(pdf["emb"].to_numpy())
             vecs /= pdf["nrm"].to_numpy()[:, None]
+            n = len(vecs)
             # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
             # index whose rounded sim equals the rounded max has raw sim
             # within 1e-6 of the raw max), without np.round over the
-            # full b×nlist similarity block
-            s = vecs @ c_mat.T
+            # full b×nlist similarity block. Score and residual-diff
+            # intermediates land in reused worker buffers (_WORKER_BUFS:
+            # fresh per-batch allocations of this size were the dominant
+            # 100×-probe cost).
+            s = np.matmul(
+                vecs, c_mat.T, out=_worker_buf("enc_s", (n, len(c_mat)))
+            )
             best = s.argmax(axis=1)
             mx = s[np.arange(len(s)), best]
             close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
@@ -143,10 +170,12 @@ def _assign_encode_fn(bc):
                 best[i] = cand[np.round(s[i][cand], 6).argmax()]
             res = vecs - c_mat[best]
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            diff = _worker_buf("enc_diff", (n, PQ_K, sub))
             for m in range(PQ_M):
                 x = res[:, m * sub : (m + 1) * sub]
-                d2 = ((x[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
+                np.subtract(x[:, None, :], bks[m][None, :, :], out=diff)
+                np.square(diff, out=diff)
+                codes[:, m] = diff.sum(axis=2).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -329,7 +358,11 @@ def ivf_pq_search(
         for start in range(0, len(vids_all), ADC_BLOCK):
             codes = codes_all[start : start + ADC_BLOCK]
             vids = vids_all[start : start + ADC_BLOCK]
-            dec = np.broadcast_to(base, (len(codes), len(base))).copy()
+            # decoded slab reuses a worker buffer (row-prefix views stay
+            # contiguous); the broadcast-copy form re-allocated the slab
+            # per iteration — see _WORKER_BUFS
+            dec = _worker_buf("adc_dec", (ADC_BLOCK, len(base)))[: len(codes)]
+            np.copyto(dec, base)
             for m in range(PQ_M):
                 dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
             scores = qsub @ dec.T  # RAW |q_probing| × block
@@ -400,13 +433,30 @@ def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition order), and the global window keeps the top of those tops,
     which is exactly the global top-{TOP_K}. Self-hits are masked to -2
     (below any cosine) before the cut.
+
+    The scan ships RAW float32 vectors and the cast + L2 norm run in
+    numpy inside the UDF: the SQL-prep form paid an interpreted
+    64-element lambda fold per row JVM-side AND doubled the Arrow bytes
+    (float64) — at the 100× probe that prep alone cost more than the
+    whole matmul. Numerics: the numpy float64 norm differs from the SQL
+    left fold only in final-ulp summation order, the same measure-zero
+    class as matmul-vs-fold scoring, which the 6-dp round absorbs
+    (oracle parity stays bit-green at both driver SFs).
     """
     _emb_view(spark, sf_dir)
-    prepped = spark.sql(_SPARK_PREP)
-    q_rows = prepped.where(F.expr(QUERY_FILTER)).orderBy("vec_id").collect()
-    q_ids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.array([r["nrm"] for r in q_rows])[:, None]
+    raw = spark.table("embeddings").select("vec_id", "embedding")
+
+    def unit_rows(rows):
+        ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r["embedding"]) for r in rows]).astype(
+            np.float64
+        )
+        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+        return ids, mat
+
+    q_ids, q_mat = unit_rows(
+        raw.where(F.expr(QUERY_FILTER)).orderBy("vec_id").collect()
+    )
     bcq = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def score(batches):
@@ -414,17 +464,24 @@ def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         qids, qmat = bcq.value
         qpos = {int(v): i for i, v in enumerate(qids)}
+        nq = len(qids)
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.stack(pdf["emb"].to_numpy())
-            vecs /= pdf["nrm"].to_numpy()[:, None]
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vecs /= np.sqrt((vecs * vecs).sum(axis=1))[:, None]
             vids = pdf["vec_id"].to_numpy()
-            s = qmat @ vecs.T  # RAW scores — see rounding note below
+            n = len(vids)
+            # Scores land (candidates × queries) in a REUSED worker
+            # buffer (row-major, so per-query ops run down contiguous
+            # columns and reused row-prefix views stay contiguous) — see
+            # _WORKER_BUFS for why fresh allocations here were the
+            # dominant cost at the 100× probe.
+            s = np.matmul(vecs, qmat.T, out=_worker_buf("exact_s", (n, nq)))
             for col, vid in enumerate(vids):  # mask self-hits
                 qi = qpos.get(int(vid))
                 if qi is not None:
-                    s[qi, col] = -2.0
+                    s[col, qi] = -2.0
             # Emit every cell that could round to at least the query's
             # kth ROUNDED score — the top-k plus its 6-dp ties, a
             # (k + ties)-bounded superset the global window cuts
@@ -432,24 +489,30 @@ def exact_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ≤ 5e-7, so round(x) ≥ round(thr) implies x ≥ thr − 1e-6:
             # the raw threshold with a 2e-6 margin is a strict superset,
             # and only the emitted cells get rounded — np.round over the
-            # full |Q|×batch matrix measured ~2× the matmul itself.
-            k = min(TOP_K, s.shape[1])
-            thr = np.partition(s, s.shape[1] - k, axis=1)[:, s.shape[1] - k]
+            # full batch×|Q| matrix measured ~2× the matmul itself.
+            k = min(TOP_K, n)
+            p = _worker_buf("exact_p", (n, nq))
+            np.copyto(p, s)
+            p.partition(n - k, axis=0)  # in-place: no per-batch copy alloc
+            thr = p[n - k]  # per-query kth-largest raw score
             # s > -1.5 drops the -2.0 self-hit sentinels: in a batch with
-            # <= k columns the threshold falls to the sentinel itself and
+            # <= k rows the threshold falls to the sentinel itself and
             # the masked cell would otherwise pollute the final top-k.
-            qi_idx, col_idx = np.nonzero(
-                (s >= (thr - 2e-6)[:, None]) & (s > -1.5)
-            )
+            sel = _worker_buf("exact_sel", (n, nq), np.bool_)
+            np.greater_equal(s, thr - 2e-6, out=sel)
+            live = _worker_buf("exact_live", (n, nq), np.bool_)
+            np.greater(s, -1.5, out=live)
+            sel &= live
+            col_idx, qi_idx = np.nonzero(sel)
             yield pd.DataFrame(
                 {
                     "query_id": qids[qi_idx],
                     "vec_id": vids[col_idx],
-                    "cosine": np.round(s[qi_idx, col_idx], 6),
+                    "cosine": np.round(s[col_idx, qi_idx], 6),
                 }
             )
 
-    prepped.mapInPandas(
+    raw.mapInPandas(
         score, "query_id BIGINT, vec_id BIGINT, cosine DOUBLE"
     ).createOrReplaceTempView("exact_blas_partial")
     return spark.sql(
@@ -574,11 +637,10 @@ def ivf_pq_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_INCR_SPLIT = "vec_id % 10 = 9"  # batch predicate; corpus is its negation
 
-
-@query(
-    "ivf_pq_incremental",
-    tier=2,
-    oracle=f"""
+# Shared by the batch query below and its streaming twin
+# (streaming_pq_ingest): both emit the identical inverted-list counts, so
+# both value-check against this one exact recomputation.
+_PQ_INCR_ORACLE = f"""
     WITH e AS ({_DUCK_PREP}),
     corpus AS (SELECT * FROM e WHERE NOT ({_PQ_INCR_SPLIT})),
     cent AS (
@@ -600,8 +662,42 @@ _PQ_INCR_SPLIT = "vec_id % 10 = 9"  # batch predicate; corpus is its negation
            CAST(COUNT(CASE WHEN is_batch THEN 1 END) AS BIGINT) AS n_batch,
            CAST(COUNT(*) AS BIGINT) AS n_total
     FROM assign WHERE rn = 1 GROUP BY cid
-    """,
-)
+    """
+
+
+def _corpus_pq_index(corpus: DataFrame, n: int):
+    """Deterministic prefix-coarse IVF-PQ index over the given corpus
+    relation (nlist = max({IVF_NLIST_MIN}, ⌊√n⌋) prefix centroids, PQ
+    codebooks trained on the vec_id-prefix sample — the exact rules
+    ``ivf_pq_search`` uses). Returns the broadcastable
+    (cent_mat, cent_ids, books) triple; shared by the batch incremental
+    ingest and its streaming twin so both encode bit-identically."""
+    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    prefix = (
+        corpus.where(F.col("vec_id") < max(nlist, PQ_TRAIN_N))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not prefix:
+        raise ValueError(
+            "PQ corpus prefix (vec_id < "
+            f"{max(nlist, PQ_TRAIN_N)}) is empty — dense-from-0 vec_ids "
+            "required"
+        )
+    unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
+    unit /= np.array([r["nrm"] for r in prefix])[:, None]
+    is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
+    cent_mat = unit[is_cent]
+    cent_ids = np.array(
+        [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
+        dtype=np.int64,
+    )
+    s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
+    books = _train_codebooks(unit - cent_mat[s_best])
+    return cent_mat, cent_ids, books
+
+
+@query("ivf_pq_incremental", tier=2, oracle=_PQ_INCR_ORACLE)
 def ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ ingest: build the index (prefix coarse
     centroids + PQ codebooks, both trained on the CORPUS partition only,
@@ -639,30 +735,7 @@ def ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .count()
     )
-    nlist = max(IVF_NLIST_MIN, int(n**0.5))
-    prefix = (
-        corpus.where(F.col("vec_id") < max(nlist, PQ_TRAIN_N))
-        .orderBy("vec_id")
-        .collect()
-    )
-    if not prefix:
-        raise ValueError(
-            "ivf_pq_incremental corpus prefix (vec_id < "
-            f"{max(nlist, PQ_TRAIN_N)}) is empty — dense-from-0 vec_ids "
-            "required"
-        )
-    unit = np.array([r["emb"] for r in prefix], dtype=np.float64)
-    unit /= np.array([r["nrm"] for r in prefix])[:, None]
-    is_cent = np.array([int(r["vec_id"]) < nlist for r in prefix])
-    cent_mat = unit[is_cent]
-    cent_ids = np.array(
-        [int(r["vec_id"]) for r in prefix if int(r["vec_id"]) < nlist],
-        dtype=np.int64,
-    )
-    s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
-    books = _train_codebooks(unit - cent_mat[s_best])
-
-    bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
+    bc = spark.sparkContext.broadcast(_corpus_pq_index(corpus, n))
     assign_encode = _assign_encode_fn(bc)
     schema = "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
     corpus.mapInPandas(assign_encode, schema).createOrReplaceTempView(

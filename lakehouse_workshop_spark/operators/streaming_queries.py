@@ -409,3 +409,44 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _streaming_pq_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_ann_pq import _PQ_INCR_ORACLE
+
+    return _PQ_INCR_ORACLE
+
+
+@query(
+    "streaming_pq_ingest",
+    tier=2,
+    oracle=_streaming_pq_oracle(),
+)
+def streaming_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ivf_pq_incremental``: the ingest partition
+    arrives as a 5-file stream and every micro-batch is assigned +
+    PQ-encoded inside foreachBatch against the once-built corpus index
+    (broadcast centroids + codebooks, never retrained). Per-vector
+    assignment is batch-independent and counts over disjoint row sets
+    add, so the merged inverted-list counts are bit-identical to the
+    batch ingest for any batch boundaries — the driver value-checks the
+    whole streamed path against the same exact SQL oracle
+    (tests/test_streaming.py pins streamed == batch row-for-row).
+
+    Scale: per micro-batch cost is one Arrow assign-encode pass over
+    that batch only; state is the append-only code parts table — the
+    nightly vector-store ingest shape.
+    """
+    import shutil
+    import tempfile
+
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_pq_ingest
+
+    workdir = tempfile.mkdtemp(prefix="pq_stream_")
+    out = (
+        run_streaming_pq_ingest(spark, sf_dir, workdir)
+        .orderBy("cid")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

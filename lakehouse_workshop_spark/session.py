@@ -53,6 +53,15 @@ def get_spark(
     SQL configs hold.
     """
     cpus = _default_parallelism()
+    # Single-threaded BLAS in the Python workers: local[N] already
+    # saturates the cores with N worker processes, so N workers × M
+    # spinning OpenBLAS threads only adds sched_yield contention —
+    # measured 5× slower on concurrent first-dgemm at the 100× probe.
+    # Set via env BEFORE the JVM launches so workers (forked from it)
+    # inherit; setdefault keeps any explicit operator override. A real
+    # cluster sets the same via spark.executorEnv.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)

@@ -911,3 +911,114 @@ def run_streaming_cms(
         FROM est
         """
     )
+
+
+def run_streaming_pq_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    n_source_files: int = 5,
+) -> DataFrame:
+    """Streaming twin of the batch ``ivf_pq_incremental``: the ingest
+    partition (vec_id % 10 = 9) arrives as a file stream (one micro-batch
+    per file) and every batch is assigned + PQ-encoded inside foreachBatch
+    against the ONCE-BUILT corpus index (broadcast centroids + codebooks —
+    the frozen-index shape a production vector store ingests against),
+    appending (vec_id, cid, codes) rows to a parts table.
+
+    Per-vector assignment is deterministic and batch-independent, and
+    inverted-list counts over disjoint row sets ADD — so the merged parts
+    equal the batch ingest BIT-EXACTLY for any batch boundaries or
+    arrival order, and the driver value-checks this streamed path against
+    the same exact SQL oracle as ``ivf_pq_incremental``
+    (tests/test_streaming.py pins streamed == batch row-for-row).
+
+    Scale: per micro-batch cost is one Arrow assign-encode pass over that
+    batch only (the index never retrains, the corpus never rereads);
+    state is the append-only code parts table — exactly what a nightly
+    100 TB embedding ingest job does, minus the object-store plumbing.
+    """
+    import os
+
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        _assign_encode_fn,
+        _corpus_pq_index,
+        _PQ_INCR_SPLIT,
+    )
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _emb_view,
+        _SPARK_PREP,
+    )
+
+    _emb_view(spark, sf_dir)
+    prepped = spark.sql(_SPARK_PREP)
+    corpus = prepped.where(f"NOT ({_PQ_INCR_SPLIT})")
+    n = (
+        spark.table("embeddings_raw")
+        .where(f"NOT ({_PQ_INCR_SPLIT})")
+        .select("vec_id")
+        .count()
+    )
+    bc = spark.sparkContext.broadcast(_corpus_pq_index(corpus, n))
+    assign_encode = _assign_encode_fn(bc)
+    schema = "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
+
+    # The standing index's counts (a real deployment reads these from the
+    # index's stats; re-derived here so the emission is self-contained).
+    corpus.mapInPandas(assign_encode, schema).createOrReplaceTempView(
+        "pq_stream_corpus_codes"
+    )
+
+    source_dir = os.path.join(target_dir, "_incoming")
+    (
+        spark.table("embeddings_raw")
+        .where(_PQ_INCR_SPLIT)
+        .select("vec_id", "embedding")
+        .repartition(n_source_files)
+        .write.mode("overwrite")
+        .parquet(source_dir)
+    )
+    parts_dir = os.path.join(target_dir, "code_parts")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.createOrReplaceTempView("pq_stream_batch")
+        prepped_b = batch_df.sparkSession.sql(
+            _SPARK_PREP.replace("FROM embeddings", "FROM pq_stream_batch")
+        )
+        prepped_b.mapInPandas(assign_encode, schema).write.mode(
+            "append"
+        ).parquet(parts_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(encode_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.read.parquet(parts_dir).createOrReplaceTempView(
+        "pq_stream_batch_codes"
+    )
+    return spark.sql(
+        """
+        WITH c AS (SELECT cid, COUNT(*) AS n FROM pq_stream_corpus_codes
+                   GROUP BY cid),
+        b AS (SELECT cid, COUNT(*) AS n FROM pq_stream_batch_codes
+              GROUP BY cid)
+        SELECT COALESCE(c.cid, b.cid) AS cid,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_batch,
+               CAST(COALESCE(c.n, 0) + COALESCE(b.n, 0) AS BIGINT)
+                   AS n_total
+        FROM c FULL OUTER JOIN b ON c.cid = b.cid
+        """
+    )

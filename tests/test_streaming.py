@@ -359,3 +359,18 @@ def test_streaming_cms_equals_batch(spark, sf_dir):
     assert streamed == batch
     assert streamed, "streamed CMS emitted nothing"
     assert all(r[2] and r[3] for r in streamed), "contract booleans must hold"
+
+
+def test_streaming_pq_ingest_equals_batch(spark, sf_dir):
+    """Per-vector assignment against the frozen corpus index is
+    batch-independent and inverted-list counts add, so the streamed
+    ingest's emission must equal the batch ``ivf_pq_incremental``
+    row-for-row, for any micro-batch boundaries."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    streamed = {tuple(r) for r in q["streaming_pq_ingest"](spark, sf_dir).collect()}
+    batch = {tuple(r) for r in q["ivf_pq_incremental"](spark, sf_dir).collect()}
+    assert streamed == batch
+    assert streamed, "streamed PQ ingest emitted nothing"
+    assert sum(r[2] for r in streamed) > 0, "no batch vectors were ingested"
