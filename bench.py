@@ -297,6 +297,13 @@ PROBE_QUERIES = [
     # grow near-linearly in corpus size (one assign-encode pass + cid
     # rollup), well under the full-rebuild contract queries above
     "ivf_pq_incremental",
+    # r10: span scrub (shingle-stats agg + token anti-join — near-linear;
+    # the perturbed replicas change WHICH spans duplicate, so this also
+    # guards the keep-first join's candidate growth) and the
+    # clean→dedup→decontaminate→BPE→pack composition (every stage
+    # near-linear; the probe pins that composing them stays so)
+    "dup_span_scrub",
+    "materialize_training_set",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no

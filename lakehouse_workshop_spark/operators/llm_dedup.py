@@ -1298,6 +1298,17 @@ def _span_scrub_sql(
     joins over shingle-keyed data — 14 exchanges, and the shingle
     explode fed two separate consumers.)
 
+    Scrubbed token positions derive from gaps-and-islands SPANS of
+    consecutive scrubbed shingle positions (the dup_span_stats island
+    rewrite), each island exploding once into its covered token range —
+    NOT from a per-occurrence ×{SHINGLE_WIDTH} offset explode: on a
+    duplicate-heavy corpus (the 10× probe's perturbed replicas, or any
+    crawl with boilerplate) nearly every occurrence is scrubbed and the
+    offset explode emitted ~{SHINGLE_WIDTH}× the corpus before its
+    DISTINCT (measured 17× growth at the 10× probe). Islands are
+    disjoint, so no DISTINCT is needed — the anti-join tolerates the
+    ≤{SHINGLE_WIDTH - 1}-token overlap between nearby islands.
+
     Determinism: the canonical occurrence is an aggregate MIN, token
     positions are exact integers, and reassembly orders by position —
     no floats, no partition-order dependence anywhere.
@@ -1310,15 +1321,24 @@ def _span_scrub_sql(
                MIN({mkstruct.format(a="doc_id", b="pos")}) AS first_occ
         FROM sh GROUP BY shingle
     ),
+    scrubocc AS (
+        SELECT s.doc_id, s.pos
+        FROM sh s JOIN stats t ON s.shingle = t.shingle
+        WHERE t.n_docs >= 2
+          AND {mkstruct.format(a="s.doc_id", b="s.pos")} <> t.first_occ
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM scrubocc
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS p0, MAX(pos) + {w - 1} AS p1
+        FROM isl GROUP BY doc_id, grp
+    ),
     scrubpos AS (
-        SELECT DISTINCT doc_id, pos + off AS tpos
-        FROM (
-            SELECT s.doc_id, s.pos,
-                   {explode_fn}({seq_fn}(0, {w - 1})) AS off
-            FROM sh s JOIN stats t ON s.shingle = t.shingle
-            WHERE t.n_docs >= 2
-              AND {mkstruct.format(a="s.doc_id", b="s.pos")} <> t.first_occ
-        )
+        SELECT doc_id, {explode_fn}({seq_fn}(p0, p1)) AS tpos FROM spans
     ),
     toks AS ({token_pos}),
     kept AS (
@@ -1369,10 +1389,14 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-doc flag and the canonical occurrence (COUNT DISTINCT +
     MIN(struct(doc_id, pos)) — map-side combinable and skew-safe, never
     a window over the Zipf-skewed shingle key), and one join back marks
-    scrubbed occurrences; the scrub-position explode fans out
-    ≤{SHINGLE_WIDTH} rows per duplicated occurrence; per-doc sizes come
-    from a scalar size(split()) over the raw table, not a second token
-    explode; the token anti-join and the reassembly both key on
+    scrubbed occurrences; scrubbed occurrences collapse to
+    gaps-and-islands SPANS (per-doc window, bounded by doc length)
+    before any token-grain explode, so scrub-position volume is bounded
+    by covered tokens even when nearly the whole corpus is duplicated —
+    the per-occurrence ×{SHINGLE_WIDTH} offset explode this replaces
+    measured 17× growth at the duplicate-heavy 10× probe; per-doc sizes
+    come from a scalar size(split()) over the raw table, not a second
+    token explode; the token anti-join and the reassembly both key on
     (doc_id, ...) — uniform by construction, bounded by doc length.
     Every stage moves the corpus a constant number of times; nothing is
     pairwise.
