@@ -34,6 +34,7 @@ from lakehouse_workshop_spark.operators.llm_similarity import (
     _SPARK_COS,
     _SPARK_PREP,
     _topk_sql,
+    _worker_buf,
     EMB_DIM,
     IVF_NLIST_MIN,
     QUERY_FILTER,
@@ -48,27 +49,6 @@ PQ_NPROBE = 8
 PQ_SHORTLIST = 100
 PQ_RECALL_FLOOR = 0.6
 ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
-
-# Per-worker-process reusable numpy scratch buffers, keyed by (tag, shape,
-# dtype). Root cause (measured at the 100× probe, r10): every Arrow batch
-# allocated fresh 20-100 MB intermediates (score matrices, partition
-# copies, residual diffs); numpy mmaps blocks that size and munmaps them
-# on free, so EVERY batch re-faulted and re-zeroed its pages — with 32
-# concurrent workers the kernel spent 96% of 32 CPUs in page management
-# (a 2000×6250 dgemm measured 10-16s against a 0.13s steady state).
-# Reusing one buffer per worker faults its pages exactly once per worker
-# lifetime — precisely what a long-lived executor does at 100 TB. The
-# cache is bounded: shapes recur (uniform Arrow batches + one partial
-# tail), so entries stay in the single digits per worker.
-_WORKER_BUFS: dict = {}
-
-
-def _worker_buf(tag: str, shape: tuple, dtype=np.float64) -> np.ndarray:
-    key = (tag, shape, np.dtype(dtype).str)
-    buf = _WORKER_BUFS.get(key)
-    if buf is None:
-        buf = _WORKER_BUFS[key] = np.empty(shape, dtype=dtype)
-    return buf
 
 
 def _train_codebooks(residuals: np.ndarray) -> np.ndarray:

@@ -69,6 +69,32 @@ _SPARK_COS = """
 _DUCK_COS = "list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)"
 
 
+# Per-worker-process reusable numpy scratch buffers, keyed by (tag, shape,
+# dtype). Root cause (measured at the 100× probe, r10): every Arrow batch
+# allocated fresh 20-100 MB intermediates (score matrices, partition
+# copies, residual diffs); numpy mmaps blocks that size and munmaps them
+# on free, so EVERY batch re-faulted and re-zeroed its pages — and this
+# VM first-faults guest memory at ~0.1-0.3 GB/s serialized (96% of 32
+# CPUs in kernel page management; a 2000×6250 dgemm measured 10-16s
+# against a 0.13s steady state). Reusing one live buffer per worker
+# faults its pages exactly once per worker lifetime — precisely what a
+# long-lived executor does at 100 TB. The cache is bounded: shapes recur
+# (uniform Arrow batches + one partial tail), so entries stay in the
+# single digits per worker.
+_WORKER_BUFS: dict = {}
+
+
+def _worker_buf(tag: str, shape: tuple, dtype=None) -> "np.ndarray":
+    import numpy as np
+
+    dt = np.dtype(dtype or np.float64)
+    key = (tag, shape, dt.str)
+    buf = _WORKER_BUFS.get(key)
+    if buf is None:
+        buf = _WORKER_BUFS[key] = np.empty(shape, dtype=dt)
+    return buf
+
+
 def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     # Single-row-group parquet → single-task scan; spread vectors so the
     # fold-heavy scoring parallelizes (see llm_dedup._docs_view). The raw
@@ -94,13 +120,15 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
     ``ivf_topk_kmeans`` already ships as literal cluster centers), and
     each Arrow batch scores against them with BLAS.
 
-    Semantics pin to the SQL argmax: cosines round to 6 dp BEFORE the
-    argmax, and ``np.argmax`` returns the FIRST maximum over the
-    cid-ascending centroid axis — the oracle's ``ORDER BY ccos DESC,
-    cid``. (One caveat: np.round is half-to-even while SQL ROUND is
-    half-away-from-zero, so an exact .5 tie at the 6th decimal could
-    diverge — measure-zero for real cosines; parity has stayed
-    bit-green.) Returns (vec_id, emb, nrm, cid, ccos).
+    Semantics pin to the SQL argmax — round to 6 dp, then FIRST maximum
+    over the cid-ascending centroid axis (the oracle's ``ORDER BY ccos
+    DESC, cid``) — implemented as raw argmax with a 2e-6-margin tie
+    repair, which is equivalent without rounding the full n×nlist block
+    (any index whose rounded sim ties the rounded max has raw sim within
+    1e-6 of the raw max). (One caveat: np.round is half-to-even while
+    SQL ROUND is half-away-from-zero, so an exact .5 tie at the 6th
+    decimal could diverge — measure-zero for real cosines; parity has
+    stayed bit-green.) Returns (vec_id, emb, nrm, cid, ccos).
     """
     import numpy as np
 
@@ -126,15 +154,28 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
         c_mat, c_ids = bc.value
         for pdf in batches:
             m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
-            sims = np.round(m @ c_mat.T, 6)
-            best = sims.argmax(axis=1)
+            n = len(m)
+            # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
+            # index whose rounded sim equals the rounded max has raw sim
+            # within 1e-6 of the raw max) — same rule as the PQ encoder;
+            # avoids np.round over the full n×nlist block, and the score
+            # block lands in a reused worker buffer (_WORKER_BUFS).
+            s = np.matmul(
+                m, c_mat.T, out=_worker_buf("ivf_assign_s", (n, len(c_mat)))
+            )
+            best = s.argmax(axis=1)
+            mx = s[np.arange(n), best]
+            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
+            for i in np.nonzero(close)[0]:
+                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
+                best[i] = cand[np.round(s[i][cand], 6).argmax()]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "emb": pdf["emb"],
                     "nrm": pdf["nrm"].to_numpy(),
                     "cid": c_ids[best],
-                    "ccos": sims[np.arange(len(best)), best],
+                    "ccos": np.round(s[np.arange(n), best], 6),
                 }
             )
 
