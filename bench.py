@@ -176,6 +176,9 @@ HEADLINE = [
     "dup_span_scrub",
     "ivf_pq_incremental",
     "materialize_training_set",
+    # round 10 stretch: OPQ-rotated IVF-PQ (expect ≈ ivf_pq_topk's row —
+    # the rotation is one broadcast 64×64 matrix + in-buffer matmuls)
+    "ivf_opq_topk",
 ]
 
 

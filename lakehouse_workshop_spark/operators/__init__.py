@@ -76,7 +76,7 @@ DRIVER_ORDER: list[str] = [
     "blocklist_scrub",
     "pii_redact",
     "token_counts",
-    "text_stats",
+    "ivf_opq_topk",
     "doc_quality",
     "streaming_pq_ingest",
     "materialize_training_set",

@@ -48,13 +48,19 @@ PQ_ITERS = 10
 PQ_NPROBE = 8
 PQ_SHORTLIST = 100
 PQ_RECALL_FLOOR = 0.6
+OPQ_ITERS = 5  # rotation/codebook alternation sweeps (Ge et al. 2013)
 ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
 
-def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
+def _train_codebooks(
+    residuals: np.ndarray, init: np.ndarray | None = None
+) -> np.ndarray:
     """Deterministic per-subspace Lloyd k-means: init = first PQ_K sample
-    rows, PQ_ITERS sweeps, empty clusters keep their previous center,
-    ties take the first (lowest-index) code. Returns (M, K, dim/M)."""
+    rows (or the given (M, K, dim/M) warm-start centers — the OPQ
+    alternation passes the previous sweep's books so its objective is
+    provably non-increasing), PQ_ITERS sweeps, empty clusters keep their
+    previous center, ties take the first (lowest-index) code. Returns
+    (M, K, dim/M)."""
     n, dim = residuals.shape
     if n < PQ_K:
         raise ValueError(
@@ -66,7 +72,7 @@ def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
     books = np.empty((PQ_M, PQ_K, sub), dtype=np.float64)
     for m in range(PQ_M):
         x = residuals[:, m * sub : (m + 1) * sub]
-        centers = x[:PQ_K].copy()
+        centers = x[:PQ_K].copy() if init is None else init[m].copy()
         for _ in range(PQ_ITERS):
             d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
             code = d2.argmin(axis=1)
@@ -76,6 +82,63 @@ def _train_codebooks(residuals: np.ndarray) -> np.ndarray:
                     centers[k] = x[mask].mean(axis=0)
         books[m] = centers
     return books
+
+
+def _encode_decode(y: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """PQ-reconstruct each row of ``y`` through the codebooks (nearest
+    center per subspace, first-minimum ties — the exact assignment rule
+    ``_assign_encode_fn`` applies). Driver-side, training-sample sized."""
+    sub = y.shape[1] // PQ_M
+    recon = np.empty_like(y)
+    for m in range(PQ_M):
+        x = y[:, m * sub : (m + 1) * sub]
+        d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        recon[:, m * sub : (m + 1) * sub] = books[m][d2.argmin(axis=1)]
+    return recon
+
+
+def _train_opq(
+    residuals: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Optimized Product Quantization (Ge et al., "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013,
+    non-parametric solution): learn an orthonormal rotation R so the
+    PQ subspace split lands on axes that share the variance, alternating
+    (a) codebook training on the rotated residuals (warm-started from the
+    previous sweep's books, so Lloyd can only lower the objective) with
+    (b) the orthogonal-Procrustes update R = UVᵀ from
+    SVD(residualsᵀ·recon), the closed-form minimizer of
+    ‖residuals·R − recon‖² over rotations. Both half-steps are
+    non-increasing, and the sweep-0 objective (R = I, cold init) IS plain
+    PQ's training error — so the returned error pair certifies
+    ``err_opq <= err_pq`` by construction (pinned in tests/test_recall.py).
+
+    Deterministic: fixed iteration counts, first-K init, first-minimum
+    ties, and LAPACK SVD on a fixed matrix. Returns (R, books, err_pq,
+    err_opq); books quantize ROTATED residuals — encode applies R before
+    the subspace split, ADC rotates the query side instead of un-rotating
+    every decoded candidate (inner products are rotation-invariant)."""
+    dim = residuals.shape[1]
+    R = np.eye(dim)
+    books = None
+    err_pq = err_opq = float("inf")
+    for it in range(OPQ_ITERS):
+        y = residuals @ R
+        books = _train_codebooks(y, init=books)
+        recon = _encode_decode(y, books)
+        err = float(((y - recon) ** 2).sum())
+        if it == 0:
+            err_pq = err  # R = I, cold init: exactly plain PQ's training fit
+        err_opq = err
+        u, _, vt = np.linalg.svd(residuals.T @ recon)
+        R = u @ vt
+    # The loop ends on a Procrustes step; refit the books under the final
+    # rotation (warm-started — still non-increasing) so the returned pair
+    # is consistent.
+    y = residuals @ R
+    books = _train_codebooks(y, init=books)
+    err_opq = float(((y - _encode_decode(y, books)) ** 2).sum())
+    return R, books, err_pq, err_opq
 
 
 def _kmeans_centroids(
@@ -117,14 +180,18 @@ def _kmeans_centroids(
 
 def _assign_encode_fn(bc):
     """Arrow-batched coarse-assign + PQ-encode pass over prepped vectors,
-    parameterized by a broadcast (cent_mat, cent_ids, books) index. Shared
-    by the index build (``ivf_pq_search``) and the incremental ingest
-    (``ivf_pq_incremental``) so both encode bit-identically."""
+    parameterized by a broadcast (cent_mat, cent_ids, books[, R]) index.
+    Shared by the index build (``ivf_pq_search``), the incremental ingest
+    (``ivf_pq_incremental``) and the OPQ variant so all encode
+    bit-identically; the optional orthonormal R rotates residuals before
+    the subspace split (OPQ) — absent, the pass is byte-identical to the
+    plain-PQ encode."""
 
     def assign_encode(batches):
         import pandas as pd
 
-        c_mat, c_ids, bks = bc.value
+        c_mat, c_ids, bks, *rest = bc.value
+        rot = rest[0] if rest else None
         sub = c_mat.shape[1] // PQ_M
         for pdf in batches:
             if not len(pdf):
@@ -149,6 +216,10 @@ def _assign_encode_fn(bc):
                 cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
                 best[i] = cand[np.round(s[i][cand], 6).argmax()]
             res = vecs - c_mat[best]
+            if rot is not None:
+                res = np.matmul(
+                    res, rot, out=_worker_buf("enc_rot", res.shape)
+                )
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             diff = _worker_buf("enc_diff", (n, PQ_K, sub))
             for m in range(PQ_M):
@@ -168,7 +239,8 @@ def _assign_encode_fn(bc):
 
 
 def ivf_pq_search(
-    spark: SparkSession, sf_dir: str, coarse: str = "prefix"
+    spark: SparkSession, sf_dir: str, coarse: str = "prefix",
+    rotate: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse assignment (broadcast-centroid BLAS matmul,
     same prefix-centroid rule as ``ivf_topk``), residual product
@@ -184,6 +256,13 @@ def ivf_pq_search(
     the data distribution, so inverted lists balance better than
     arbitrary prefix points under skew.
 
+    ``rotate=True`` learns an OPQ rotation (Ge et al. 2013; see
+    :func:`_train_opq`) on the training residuals and encodes rotated
+    residuals — same codes-only candidate table, same ADC machinery (the
+    query side rotates instead of un-rotating every candidate, since
+    inner products are rotation-invariant), strictly lower training
+    quantization error by construction.
+
     Scale: the quantized candidate table carries (vec_id, cid, 8 codes) —
     no vectors — and candidates never move at all: scoring is
     per-cluster (applyInPandas grouped on cid), one decode per inverted
@@ -197,7 +276,7 @@ def ivf_pq_search(
     sample; at 100 TB that prefix becomes a hash-sample of the same
     size — the index shape is unchanged.
     """
-    tag = "pq" if coarse == "prefix" else "pqk"
+    tag = "opq" if rotate else ("pq" if coarse == "prefix" else "pqk")
     _emb_view(spark, sf_dir)
     prepped = spark.sql(_SPARK_PREP)
     prepped.createOrReplaceTempView(f"{tag}_prepped")
@@ -258,9 +337,12 @@ def ivf_pq_search(
     # Sample assignment mirrors the distributed rule exactly: 6-dp
     # rounding BEFORE the argmax, first maximum over cid-ascending axis.
     s_best = np.round(unit @ cent_mat.T, 6).argmax(axis=1)
-    books = _train_codebooks(unit - cent_mat[s_best])
-
-    bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
+    if rotate:
+        R, books, _, _ = _train_opq(unit - cent_mat[s_best])
+        bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books, R))
+    else:
+        books = _train_codebooks(unit - cent_mat[s_best])
+        bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
     assign_encode = _assign_encode_fn(bc)
 
     codes_df = prepped.mapInPandas(
@@ -307,7 +389,8 @@ def ivf_pq_search(
     def adc_cluster(key, pdf):
         import pandas as pd
 
-        c_mat, c_ids, bks = bc.value
+        c_mat, c_ids, bks, *rest = bc.value
+        rot = rest[0] if rest else None
         qids, qmat, probes = bc_q.value
         cid = int(key[0])
         qis = probes.get(cid)
@@ -321,6 +404,13 @@ def ivf_pq_search(
         codes_all = np.stack(pdf["codes"].to_numpy())
         vids_all = pdf["vec_id"].to_numpy()
         qsub = qmat[qis]
+        if rot is not None:
+            # OPQ: codes live in rotated-residual space. Rotating the
+            # query side and the centroid once per cluster scores q·x̂
+            # exactly — q·(c + ŷRᵀ) = (qR)·(cR + ŷ) — without un-rotating
+            # ADC_BLOCK decoded rows per slab.
+            base = base @ rot
+            qsub = qsub @ rot
 
         def margin_topk(s, v):
             # deterministic top-k under 6-dp score ties: raw-cut a
@@ -596,6 +686,53 @@ def ivf_pq_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(a.vec_id) AS n_hit, COUNT(*) AS n_exact
             FROM pqk_exact_topk e
             LEFT JOIN ivf_pqk_topk_result a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
+        )
+        SELECT COUNT(*) AS n_queries,
+               AVG(n_hit / n_exact) >= {PQ_RECALL_FLOOR}D AS recall_ok
+        FROM hits
+        """
+    )
+
+
+@query(
+    "ivf_opq_topk",
+    tier=2,
+    oracle=f"""
+    WITH e AS ({_DUCK_PREP})
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM e WHERE {QUERY_FILTER}
+    """,
+)
+def ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for OPQ-rotated IVF-PQ
+    (``ivf_pq_search(rotate=True)``): the learned orthonormal rotation
+    (Ge et al. 2013, non-parametric OPQ — see :func:`_train_opq`)
+    re-axes residual space before the subspace split so the {PQ_M}
+    codebooks share the variance instead of inheriting whatever the raw
+    coordinate order happened to put in each block; training quantization
+    error is ≤ plain PQ's by construction (each alternation half-step is
+    non-increasing and sweep 0 IS the plain-PQ fit — the inequality is
+    pinned in tests/test_recall.py). Same ≥{PQ_RECALL_FLOOR} floor and
+    emission as ``ivf_pq_topk``.
+
+    Scale: identical plan to ``ivf_pq_topk`` — the rotation adds one
+    {EMB_DIM}×{EMB_DIM} matrix to the broadcast, one in-buffer matmul to
+    the encode pass, and a per-cluster query-side rotation to ADC
+    (q·(c + ŷRᵀ) = (qR)·(cR + ŷ), so decoded candidates are never
+    un-rotated); training cost is {OPQ_ITERS} extra Lloyd/Procrustes
+    sweeps over the bounded driver-side sample."""
+    approx = ivf_pq_search(spark, sf_dir, rotate=True)
+    approx.createOrReplaceTempView("ivf_opq_topk_result")
+    exact_topk_blas(spark, sf_dir).createOrReplaceTempView("opq_exact_topk")
+    return spark.sql(
+        f"""
+        WITH hits AS (
+            SELECT e.query_id,
+                   COUNT(a.vec_id) AS n_hit, COUNT(*) AS n_exact
+            FROM opq_exact_topk e
+            LEFT JOIN ivf_opq_topk_result a
               ON e.query_id = a.query_id AND e.vec_id = a.vec_id
             GROUP BY e.query_id
         )

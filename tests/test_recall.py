@@ -132,6 +132,55 @@ def test_ivf_pq_kmeans_recall(spark, sf_dir):
     assert recall >= PQ_RECALL_FLOOR, f"recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
 
 
+def test_opq_training_properties():
+    """The OPQ alternation's paper-level guarantees, pinned on a seeded
+    ANISOTROPIC sample (correlated dims — the case rotation exists for):
+    R orthonormal, training quantization error ≤ plain PQ's (sweep 0 IS
+    the plain fit, every half-step non-increasing), err_pq bit-equal to
+    an independent cold plain-PQ fit, and the whole train deterministic."""
+    import numpy as np
+
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        _encode_decode,
+        _train_codebooks,
+        _train_opq,
+    )
+
+    rng = np.random.default_rng(42)
+    mix = rng.normal(size=(64, 64))
+    res = rng.normal(size=(500, 64)) @ mix * 0.1
+
+    R, books, err_pq, err_opq = _train_opq(res)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-10
+    assert err_opq <= err_pq + 1e-9
+    cold = _train_codebooks(res)
+    assert err_pq == float(((res - _encode_decode(res, cold)) ** 2).sum())
+    R2, books2, p2, o2 = _train_opq(res)
+    assert np.array_equal(R, R2) and np.array_equal(books, books2)
+    assert (p2, o2) == (err_pq, err_opq)
+    # measured on this sample: ~29% error reduction — assert a loose
+    # floor so a rotation that silently degrades to identity fails
+    assert err_opq < 0.9 * err_pq
+
+
+def test_ivf_opq_recall(spark, sf_dir):
+    """OPQ-rotated IVF-PQ recall@10. Measured: 0.70 (sf0.001) / 0.62
+    (sf0.01), vs plain PQ's 0.68 / 0.66 — on these near-isotropic
+    synthetic embeddings the rotation moves recall within noise (its win
+    is anisotropic real embeddings, pinned numerically in
+    test_opq_training_properties); the contract here is that the rotated
+    encode/ADC path scores exactly and clears the family floor."""
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        PQ_RECALL_FLOOR,
+        ivf_pq_search,
+    )
+
+    exact = _topk_set(S.cosine_topk(spark, sf_dir))
+    opq = _topk_set(ivf_pq_search(spark, sf_dir, rotate=True))
+    recall = len(opq & exact) / len(exact)
+    assert recall >= PQ_RECALL_FLOOR, f"opq recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
+
+
 def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     """The blockwise inverted-list decode must emit BIT-IDENTICAL rows at
     any slab size: a tiny ADC_BLOCK forces every cluster through many
