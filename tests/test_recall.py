@@ -191,9 +191,18 @@ def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     import lakehouse_workshop_spark.operators.llm_ann_pq as PQ
 
     whole = sorted(map(tuple, PQ.ivf_pq_search(spark, sf_dir).collect()))
+    whole_opq = sorted(
+        map(tuple, PQ.ivf_pq_search(spark, sf_dir, rotate=True).collect())
+    )
     monkeypatch.setattr(PQ, "ADC_BLOCK", 7)
     sliced = sorted(map(tuple, PQ.ivf_pq_search(spark, sf_dir).collect()))
     assert whole == sliced
+    # the slab argument is rotation-independent — pin that OPQ's rotated
+    # scoring path reproduces its single-slab emission bit-identically too
+    sliced_opq = sorted(
+        map(tuple, PQ.ivf_pq_search(spark, sf_dir, rotate=True).collect())
+    )
+    assert whole_opq == sliced_opq
 
 
 def test_ivf_pq_incremental_batch_encode_matches_reference(spark, sf_dir):
