@@ -45,10 +45,34 @@ PQ_M = 8  # subspaces
 PQ_K = 16  # codes per subspace (4-bit codes)
 PQ_TRAIN_N = 4096  # deterministic training-sample prefix (vec_id bound)
 PQ_ITERS = 10
-PQ_NPROBE = 8
-PQ_SHORTLIST = 100
+PQ_NPROBE = 8  # FLOOR — effective nprobe scales as 3·√nlist (see below)
+PQ_SHORTLIST = 100  # FLOOR — effective shortlist scales with candidates
+PQ_SHORTLIST_CAP = 2000  # bounds the exact re-rank fetch per query
 PQ_RECALL_FLOOR = 0.6
 OPQ_ITERS = 5  # rotation/codebook alternation sweeps (Ge et al. 2013)
+
+
+def _pq_knobs(n: int, nlist: int) -> tuple[int, int]:
+    """Scale-derived search knobs (round 10: the full-parity sweep at
+    sf0.1 caught the constant knobs failing the recall contract the
+    driver's smaller SF never stressed — coverage was 0.43 at nprobe=8/44
+    lists, and even full coverage put only 40% of true neighbors in a
+    top-100 shortlist of the 32-bit codes on this near-iid corpus).
+
+    nprobe = max(floor, ⌈3·√nlist⌉): probed-candidate volume is
+    n·nprobe/nlist = 3n/√nlist = 3·n^(3/4) — still sublinear (fixed
+    nprobe gives n^(1/2) coverage decay; probing a fixed FRACTION would
+    give back linear scans), and with nlist = √n the probe ranking stays
+    a |Q|×√n matmul. shortlist = half the expected candidates, floored
+    at {PQ_SHORTLIST} and capped at {PQ_SHORTLIST_CAP} so the exact
+    re-rank fetch is bounded per query at any corpus size. Measured
+    recall@10 with these rules: 0.84 / 0.82 / 0.695 at sf0.001/0.01/0.1
+    (constant knobs: 0.66 at sf0.01 but 0.32 at sf0.1)."""
+    nprobe = max(PQ_NPROBE, int(np.ceil(3 * nlist**0.5)))
+    shortlist = max(
+        PQ_SHORTLIST, min(PQ_SHORTLIST_CAP, (n * nprobe // max(nlist, 1)) // 2)
+    )
+    return nprobe, shortlist
 ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
 
@@ -245,8 +269,11 @@ def ivf_pq_search(
     """IVF-PQ top-k: coarse assignment (broadcast-centroid BLAS matmul,
     same prefix-centroid rule as ``ivf_topk``), residual product
     quantization to {PQ_M}×4-bit codes, ADC candidate scoring against the
-    decoded approximations, shortlist of {PQ_SHORTLIST}, exact re-rank by
-    id — returning (query_id, vec_id, cosine, rnk) like the exact search.
+    decoded approximations, shortlist, exact re-rank by id — returning
+    (query_id, vec_id, cosine, rnk) like the exact search. nprobe and the
+    shortlist are DERIVED from the index geometry (:func:`_pq_knobs`,
+    round 10): constant knobs pass the contract at the driver's SF while
+    coverage decays as n^(-1/2) — the sf0.1 full-parity sweep caught it.
 
     ``coarse="kmeans"`` swaps the prefix-point coarse quantizer for
     MLlib-learned centroids — the same bounded-sample trainer
@@ -267,9 +294,11 @@ def ivf_pq_search(
     no vectors — and candidates never move at all: scoring is
     per-cluster (applyInPandas grouped on cid), one decode per inverted
     list + one BLAS matmul per probing query set, with only per-(query,
-    cluster) top-{PQ_SHORTLIST} rows leaving the worker. The only
-    full-width reads are the one assign-and-encode pass and the
-    shortlist re-rank (|queries|·{PQ_SHORTLIST} rows fetched by key).
+    cluster) top-shortlist rows leaving the worker. The only full-width
+    reads are the one assign-and-encode pass and the shortlist re-rank
+    (|queries|·shortlist rows fetched by key, shortlist capped at
+    {PQ_SHORTLIST_CAP}). Probed candidates grow as 3·n^(3/4) — sublinear
+    (see :func:`_pq_knobs`).
     Queries, codebooks and centroids broadcast (|Q|·{EMB_DIM} +
     √n·{EMB_DIM} + {PQ_M}·{PQ_K} doubles — the same query broadcast the
     exact search's BNLJ already ships). Training reads a bounded prefix
@@ -291,6 +320,7 @@ def ivf_pq_search(
     # twice).
     n = spark.table("embeddings_raw").select("vec_id").count()
     nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    nprobe, shortlist = _pq_knobs(n, nlist)
     prefix = (
         prepped.where(F.col("vec_id") < max(nlist, PQ_TRAIN_N))
         .orderBy("vec_id")
@@ -365,7 +395,7 @@ def ivf_pq_search(
     sims = np.round(q_mat @ cent_mat.T, 6)
     # top-nprobe per query, ties by ascending cid (stable mergesort on
     # (-sim, cid-order) — matches the SQL ORDER BY sim DESC, cid)
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :PQ_NPROBE]
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     probed_by_cid: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         for ci in order[qi]:
@@ -373,10 +403,10 @@ def ivf_pq_search(
     bc_q = spark.sparkContext.broadcast((q_ids, q_mat, probed_by_cid))
 
     # Per-cluster ADC: every query probing a list scores it by one BLAS
-    # matmul, and only the per-(query, cluster) top-{PQ_SHORTLIST} rows
+    # matmul, and only the per-(query, cluster) top-shortlist rows
     # leave the worker — the global shortlist is the top of these
     # per-group tops, so emission is exact while output shrinks from
-    # |Q|·nprobe·L to |Q|·nprobe·{PQ_SHORTLIST}. The inverted list
+    # |Q|·nprobe·L to |Q|·nprobe·shortlist. The inverted list
     # decodes in ADC_BLOCK-row slabs, so peak task memory is
     # ADC_BLOCK×dim + the accumulated candidate lists (≤ blocks×k per
     # query) REGARDLESS of cluster size — the same slab fix that saved
@@ -416,7 +446,7 @@ def ivf_pq_search(
             # deterministic top-k under 6-dp score ties: raw-cut a
             # superset at the kth value minus the rounding margin (see
             # exact_topk_blas) — only the superset ever pays np.round
-            k = min(PQ_SHORTLIST, len(s))
+            k = min(shortlist, len(s))
             if k < len(s):
                 thr = np.partition(s, len(s) - k)[len(s) - k]
                 sel = np.where(s >= thr - 2e-6)[0]
@@ -472,7 +502,7 @@ def ivf_pq_search(
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY approx DESC, vec_id) AS srn
                 FROM {tag}_scored
-            ) WHERE srn <= {PQ_SHORTLIST}
+            ) WHERE srn <= {shortlist}
         ),
         exact AS (
             SELECT s.query_id, s.vec_id,

@@ -103,8 +103,11 @@ def test_ann_topk_lsh_recall_holds_at_10x_scale(spark):
 
 def test_ivf_pq_recall(spark, sf_dir):
     """IVF-PQ (residual codes + ADC shortlist + exact re-rank) recall@10.
-    Measured: 0.68 (sf0.001) / 0.66 (sf0.01) — deterministic index, so
-    the floor has no run-to-run variance to absorb."""
+    Measured: 0.84 (sf0.001) / 0.82 (sf0.01) / 0.695 (sf0.1) with the
+    r10 scale-derived knobs (constant nprobe=8/shortlist=100 measured
+    0.68 / 0.66 / 0.32 — the sf0.1 collapse is what forced _pq_knobs);
+    deterministic index, so the floor has no run-to-run variance to
+    absorb."""
     from lakehouse_workshop_spark.operators.llm_ann_pq import (
         PQ_RECALL_FLOOR,
         ivf_pq_search,
@@ -117,10 +120,11 @@ def test_ivf_pq_recall(spark, sf_dir):
 
 
 def test_ivf_pq_kmeans_recall(spark, sf_dir):
-    """Learned-coarse-quantizer IVF-PQ recall@10. Measured: 0.64 at both
-    test SFs (nprobe dominates on near-uniform synthetic embeddings, so
-    learned centroids land within noise of the prefix rule — their win is
-    list BALANCE under skew, not recall here)."""
+    """Learned-coarse-quantizer IVF-PQ recall@10. Measured: 0.84
+    (sf0.001) / 0.90 (sf0.01) / 0.83 (sf0.1) with the r10 scale-derived
+    knobs — once probing covers enough lists, the learned centroids'
+    tighter residuals show through (constant knobs measured 0.64 at both
+    driver SFs, within noise of the prefix rule)."""
     from lakehouse_workshop_spark.operators.llm_ann_pq import (
         PQ_RECALL_FLOOR,
         ivf_pq_search,
@@ -164,10 +168,11 @@ def test_opq_training_properties():
 
 
 def test_ivf_opq_recall(spark, sf_dir):
-    """OPQ-rotated IVF-PQ recall@10. Measured: 0.70 (sf0.001) / 0.62
-    (sf0.01), vs plain PQ's 0.68 / 0.66 — on these near-isotropic
-    synthetic embeddings the rotation moves recall within noise (its win
-    is anisotropic real embeddings, pinned numerically in
+    """OPQ-rotated IVF-PQ recall@10. Measured: 0.90 (sf0.001) / 0.82
+    (sf0.01) / 0.735 (sf0.1) with the r10 scale-derived knobs, vs plain
+    PQ's 0.84 / 0.82 / 0.695 — the tighter codes show through at the SF
+    where ADC ranking binds (at sf0.1 OPQ beats plain PQ by 4 points;
+    the anisotropic-sample error reduction is pinned numerically in
     test_opq_training_properties); the contract here is that the rotated
     encode/ADC path scores exactly and clears the family floor."""
     from lakehouse_workshop_spark.operators.llm_ann_pq import (
