@@ -5,8 +5,8 @@ RNG, within-group sort in ``clv_score_group``), so the rounded scored
 output is a stable artifact: materialize it once, and the driver's DuckDB
 oracle reads it back while Spark recomputes it live.
 
-The fixture is the UNION of the scored outputs at sf0.001 and sf0.01,
-each tagged with that sf's ``customer`` row count (``sf_tag``). The
+The fixture is the UNION of the scored outputs at sf0.001, sf0.01 and
+sf0.1, each tagged with that sf's ``customer`` row count (``sf_tag``). The
 oracle SQL filters ``sf_tag = (SELECT COUNT(*) FROM customer)`` against
 the pre-registered views, so one static SQL string serves both the local
 parity pytest (sf0.001) and the driver (sf0.01).
@@ -27,7 +27,14 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    # r10: the full-parity sweep now runs at sf0.1 too — tagging the
+    # fixture with its subset as well makes the CLV pair green at every
+    # SF the sweep visits (the tag mechanism already adapts).
+    "/root/testdata/sf0.1",
+)
 
 
 def main() -> None:
