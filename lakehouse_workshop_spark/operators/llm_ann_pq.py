@@ -50,6 +50,7 @@ PQ_SHORTLIST = 100  # FLOOR — effective shortlist scales with candidates
 PQ_SHORTLIST_CAP = 2000  # bounds the exact re-rank fetch per query
 PQ_RECALL_FLOOR = 0.6
 OPQ_ITERS = 5  # rotation/codebook alternation sweeps (Ge et al. 2013)
+ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
 
 def _pq_knobs(n: int, nlist: int) -> tuple[int, int]:
@@ -73,7 +74,6 @@ def _pq_knobs(n: int, nlist: int) -> tuple[int, int]:
         PQ_SHORTLIST, min(PQ_SHORTLIST_CAP, (n * nprobe // max(nlist, 1)) // 2)
     )
     return nprobe, shortlist
-ADC_BLOCK = 4096  # decoded-slab rows: peak ADC task memory = ADC_BLOCK×dim
 
 
 def _train_codebooks(
