@@ -186,6 +186,31 @@ def test_ivf_opq_recall(spark, sf_dir):
     assert recall >= PQ_RECALL_FLOOR, f"opq recall@10 {recall:.3f} < {PQ_RECALL_FLOOR}"
 
 
+def test_pq_family_recall_holds_at_sf01(spark):
+    """The r10 defect class, pinned where it actually bit: constant
+    nprobe/shortlist cleared the 0.6 floor at the driver's sf0.01 while
+    collapsing to 0.32 at sf0.1 (coverage decays n^(-1/2) when nprobe is
+    fixed over nlist=√n). The scale-derived knobs (_pq_knobs) measured
+    0.695 (pq) / 0.735 (opq) at sf0.1 — this test fails if a future knob
+    or encode change re-introduces the decay at the one SF the driver
+    never checks. Deterministic index → no variance to absorb."""
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        exact_topk_blas,
+        PQ_RECALL_FLOOR,
+        ivf_pq_search,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    exact = _topk_set(exact_topk_blas(spark, sf01))
+    for kw, label in (({}, "pq"), ({"rotate": True}, "opq")):
+        got = _topk_set(ivf_pq_search(spark, sf01, **kw))
+        recall = len(got & exact) / len(exact)
+        assert recall >= PQ_RECALL_FLOOR, (
+            f"{label} recall@10 {recall:.3f} < {PQ_RECALL_FLOOR} at sf0.1 "
+            "— the at-scale coverage/shortlist decay is back"
+        )
+
+
 def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     """The blockwise inverted-list decode must emit BIT-IDENTICAL rows at
     any slab size: a tiny ADC_BLOCK forces every cluster through many
