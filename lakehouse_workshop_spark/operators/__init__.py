@@ -17,74 +17,80 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 10. The driver's correctness pass
+# Explicit driver-pass order for round 11. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-34: the full cohort whose latest row is r06 — they go
-#      stale at r11 under the self-scaling period P = max(3,
-#      ceil(registry/window)+1) (= 5 at 181 queries); rotating all 34 now
-#      (one round early, per the r9 verdict's ask #1) keeps r11 free for
-#      the 49-row r07 cohort, which fills it exactly.
-#   2. Remaining 16 slots: swap budget. Seeded with r07-latest rows from
-#      the LLM-pipeline/ANN families this round touches (they'd otherwise
-#      wait for r11/r12); each round-10 registration or source edit takes
-#      one of these slots (the displaced r07 entry returns to the
-#      rotation pool — it is not yet stale). Names absent from this list
-#      keep registration order.
+#   1. Positions 1-40: the full cohort whose latest row is r07 — they go
+#      stale at r12 under the self-scaling period P = max(3,
+#      ceil(registry/window)+1) (= 5 at 186 queries); rotating all 40 now
+#      keeps r12 free for the 48-row r08 cohort.
+#   2. Positions 41-45: the r10 helper-edit blind spot (r10 verdict
+#      "What's wrong #1" / ADVICE): `_pq_knobs`, the exact_topk BLAS norm
+#      move, and `_assign_encode_fn` changed the behavior of ivf_pq_topk /
+#      ivf_pq_topk_kmeans / exact_topk while their r08 rows vouched for
+#      the superseded code, and ivf_topk gets the same geometry-derived
+#      nprobe fix this round — all re-verify under the driver now.
+#   3. Positions 46-47: round-11 source edits (ivf_topk_kmeans nprobe,
+#      dsir_importance_weights integerized emission).
+#   4. Positions 48-50: swap budget, seeded with r08 pre-rotations; each
+#      round-11 registration displaces one (the displaced entry returns
+#      to the rotation pool — it is not yet stale).
 DRIVER_ORDER: list[str] = [
-    # -- 1-34: latest row r06, pre-rotated before their r11 staleness ----
-    "dormant_rich_customers",
-    "dsir_importance_weights",
-    "embedding_component_variance",
-    "embedding_norm_outliers",
-    "event_transitions",
-    "forecast_revenue_discount",
-    "lang_id_confusion",
-    "late_shipment_priority",
-    "market_share",
-    "min_cost_supplier",
-    "minhash_band_stats",
-    "minhash_lsh_incremental",
-    "minhash_lsh_pairs",
-    "monthly_sales_1997",
-    "nation_revenue_share",
-    "ngram_jaccard_pairs_capped",
-    "ngram_novelty",
-    "promo_revenue_monthly",
-    "quality_classifier_score",
-    "semantic_dedup",
-    "simhash_near_pairs",
-    "small_quantity_avg_yearly",
-    "source_balanced_sample",
-    "streaming_event_transitions",
-    "supplier_concentration",
-    "table_expectations",
-    "tfidf_top_terms",
-    "token_dist_shift",
-    "top_returned_customers",
-    "top_revenue_supplier",
-    "topic_assign",
-    "vocab_coverage",
-    "volume_shipping",
-    "weighted_sample_topk",
-    # -- swap budget: r07 pre-rotations / round-10 registrations ---------
-    "dup_span_stats",
-    "sequence_packing",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "blocklist_scrub",
-    "pii_redact",
-    "token_counts",
-    "ivf_opq_topk",
-    "doc_quality",
-    "streaming_pq_ingest",
-    "materialize_training_set",
-    "range_join_error_purchases",
-    "ivf_pq_incremental",
-    "dup_span_scrub",
-    "cms_heavy_hitters",
+    # -- 1-40: latest row r07, pre-rotated before their r12 staleness ----
+    "active_or_rich_customers",
+    "audio_decode_stats",
+    "churned_customers",
+    "clv_distributed",
+    "clv_segment_rollup",
+    "corr_frequency_monetary",
+    "cumulative_monthly_revenue",
+    "customer_value_bands",
+    "doc_fingerprint",
+    "embedding_quantize_int8",
+    "event_props_agg",
+    "excess_shipped_suppliers",
+    "frequency_bands",
+    "image_decode_stats",
+    "image_resize_stats",
+    "jpeg_decode_stats",
+    "lang_id",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "order_percentiles_approx",
+    "order_value_buckets",
+    "orders_pivot_status",
+    "part_copurchase_pagerank",
+    "png_decode_stats",
+    "pricing_summary",
+    "product_type_profit",
+    "revenue_by_nation",
+    "rfm_summary",
+    "sales_rollup",
+    "scd2_asof_lookup",
+    "scd2_customer_history",
+    "sessionize_events",
+    "simhash_fingerprints",
+    "snapshot_diff_orders",
+    "streaming_scd2_history",
+    "supplier_part_variety",
+    "text_stats",
+    "top10_orders",
+    "top_customer_per_nation",
+    "waiting_orders_blame",
+    # -- 41-45: r10 helper-drift re-verifies + this round's nprobe fix ---
+    "ivf_topk",
+    "ivf_pq_topk",
+    "ivf_pq_topk_kmeans",
+    "exact_topk",
+    "cosine_topk",
+    # -- 46-47: round-11 source edits -------------------------------------
     "ivf_topk_kmeans",
+    "dsir_importance_weights",
+    # -- 48-50: swap budget (r08 pre-rotations / round-11 registrations) --
+    "embedding_near_pairs_lsh",
+    "monthly_sales",
+    "profit_by_returnflag",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
