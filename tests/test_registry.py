@@ -193,23 +193,27 @@ def test_manifest_rebuilt_after_artifact():
 
 
 def test_changed_source_is_in_window():
-    """Changed-source rule: a query whose registered source (function body +
-    @query block, hence oracle SQL) differs from the hash recorded at its
-    last window entry must re-enter the window — its old driver row
-    vouches for code that no longer exists."""
-    import hashlib
-    import inspect
+    """Changed-source rule: a query whose governed source — the transitive
+    package closure of the registered function (shared module helpers,
+    constants, nested lambdas) plus the expanded oracle SQL — differs from
+    the hash recorded at its last window entry must re-enter the window:
+    its old driver row vouches for code that no longer runs. (Until round
+    11 this hashed only the function body, which is how the r10
+    ``_pq_knobs`` helper edit changed ivf_pq_topk's behavior with zero
+    hash drift — r10 verdict "What's wrong #1".)"""
+    from lakehouse_workshop_spark.srchash import governed_source_hash
 
     manifest_path = "/root/repo/tools/driver_manifest.json"
     if not os.path.exists(manifest_path):
         return
     manifest = json.load(open(manifest_path))
     queries = ops.all_queries()
+    oracles = ops.all_oracles()
     names = list(queries)
     window = set(names[:DRIVER_WINDOW])
     drifted = []
     for n, fn in queries.items():
-        cur = hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+        cur = governed_source_hash(fn, oracles.get(n))
         if (
             n in manifest
             # pending entries (window_round None) were never verified —
@@ -269,20 +273,24 @@ def test_plans_md_current():
     audited (non-streaming) query's registered source must hash-match
     the footer PLANS.md recorded at generation — a query rewrite cannot
     ship without regenerating its plan row (both r9 plan rewrites did,
-    leaving PLANS.md stale for a full round)."""
-    import hashlib
-    import inspect
+    leaving PLANS.md stale for a full round). Since round 11 the hash is
+    the governed transitive hash (srchash.py): a helper edit that could
+    change a dependent query's physical plan forces that query's plan row
+    to regenerate too."""
     import re
+
+    from lakehouse_workshop_spark.srchash import governed_source_hash
 
     plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
     txt = open(plans).read()
     recorded = dict(re.findall(r"<!-- hash (\S+) ([0-9a-f]{16}) -->", txt))
     assert recorded, "PLANS.md has no source-hash footer — rerun tools/plan_audit.py"
+    oracles = ops.all_oracles()
     stale, missing = [], []
     for name, fn in ops.all_queries().items():
         if name.startswith("streaming_"):
             continue
-        h = hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
+        h = governed_source_hash(fn, oracles.get(name))
         if name not in recorded:
             missing.append(name)
         elif recorded[name] != h:

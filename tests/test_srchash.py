@@ -1,0 +1,123 @@
+"""Pins for the transitive governance hash (srchash.py, round 11).
+
+Round 10's helper edits (``_pq_knobs``, the exact_topk BLAS norm move,
+``_assign_encode_fn``) changed registered-query behavior with zero hash
+drift because governance hashed only ``inspect.getsource(fn)``. These
+tests pin the closed hole two ways: the real registry closures must
+contain the exact helpers that slipped through, and a synthetic
+helper-only edit must drift the new hash while provably NOT drifting the
+old function-body hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import inspect
+import sys
+
+from lakehouse_workshop_spark.srchash import (
+    collect_sources,
+    governed_source_hash,
+)
+from lakehouse_workshop_spark.operators import all_oracles, all_queries
+
+
+def _closure_keys(name: str) -> set[str]:
+    return set(collect_sources(all_queries()[name]))
+
+
+def test_r10_blind_spot_helpers_are_in_the_closures():
+    """The exact r10 escapes: each dependent query's governed closure must
+    include the shared helper whose edit changed its behavior."""
+    pq = _closure_keys("ivf_pq_topk")
+    assert any(k.endswith("._pq_knobs") for k in pq)
+    assert any(k.endswith(".ivf_pq_search") for k in pq)
+    pqk = _closure_keys("ivf_pq_topk_kmeans")
+    assert any(k.endswith("._pq_knobs") for k in pqk)
+    ex = _closure_keys("exact_topk")
+    assert any(k.endswith(".exact_topk_blas") for k in ex)
+    # constants referenced from function bodies are governed too
+    ivf = _closure_keys("ivf_topk")
+    assert any(".IVF_NPROBE" in k for k in ivf)
+
+
+def test_oracle_string_is_governed():
+    fn = all_queries()["ivf_topk"]
+    assert governed_source_hash(fn, "SELECT 1") != governed_source_hash(
+        fn, "SELECT 2"
+    )
+    # and the registered oracle participates (hash with vs without differs)
+    oracle = all_oracles()["ivf_topk"]
+    assert governed_source_hash(fn, oracle) != governed_source_hash(fn, None)
+
+
+_MOD_V1 = '''
+KNOB = 8
+
+def helper(x):
+    return x + KNOB
+
+def query_fn(y):
+    return helper(y)
+'''
+
+# helper body and a constant change; query_fn's own source is IDENTICAL
+_MOD_V2 = '''
+KNOB = 64
+
+def helper(x):
+    return x * KNOB
+
+def query_fn(y):
+    return helper(y)
+'''
+
+
+def _load_scratch(tmp_path, text: str, stamp: str):
+    """Import scratch source as a module inside the package namespace
+    (the hasher only follows package-level objects)."""
+    mod_name = f"lakehouse_workshop_spark._scratch_srchash_{stamp}"
+    path = tmp_path / f"scratch_{stamp}.py"
+    path.write_text(text)
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_helper_only_edit_drifts_new_hash_but_not_old(tmp_path):
+    """The scratch mutation the r10 verdict asked for, pinned forever:
+    editing ONLY a shared helper (and a module constant) drifts the
+    governed hash, while the pre-r11 function-body hash stays identical —
+    i.e. the old rule really was blind and the new one really isn't."""
+    m1 = _load_scratch(tmp_path, _MOD_V1, "v1")
+    m2 = _load_scratch(tmp_path, _MOD_V2, "v2")
+    try:
+        old_style = lambda fn: hashlib.sha256(  # noqa: E731
+            inspect.getsource(fn).encode()
+        ).hexdigest()[:16]
+        assert old_style(m1.query_fn) == old_style(m2.query_fn)
+        assert governed_source_hash(m1.query_fn) != governed_source_hash(
+            m2.query_fn
+        )
+        # the closure names both the helper source and the constant value
+        keys = collect_sources(m1.query_fn)
+        assert any(k.endswith(".helper") for k in keys)
+        assert any(k.endswith(".KNOB") for k in keys)
+    finally:
+        for stamp in ("v1", "v2"):
+            sys.modules.pop(
+                f"lakehouse_workshop_spark._scratch_srchash_{stamp}", None
+            )
+
+
+def test_registry_hashes_are_deterministic_and_distinct():
+    from lakehouse_workshop_spark.srchash import registry_hash
+
+    names = list(all_queries())
+    h1 = {n: registry_hash(n) for n in names}
+    h2 = {n: registry_hash(n) for n in names}
+    assert h1 == h2
+    assert len(set(h1.values())) == len(names)

@@ -13,10 +13,13 @@ rules decide who must be in the upcoming window (both enforced by
    relaxed to a fixed 3-round rotation, which itself hit exact capacity
    at 144 queries the same round; the ceil() form is the principled
    fix — at 144 queries P = 4, capacity 200.)
-2. **Changed source re-verifies**: any query whose registered source
-   (``inspect.getsource`` of the decorated function, which includes the
-   ``@query(...)`` block and therefore the oracle SQL) changed since the
-   hash recorded at its last window entry must be in the window.
+2. **Changed source re-verifies**: any query whose governed source
+   (transitive package closure of the registered function — module
+   helpers, constants, nested lambdas — plus the expanded oracle SQL;
+   see ``lakehouse_workshop_spark/srchash.py``) changed since the hash
+   recorded at its last window entry must be in the window. Until round
+   11 this hashed only ``inspect.getsource(fn)``, which is how the r10
+   ``_pq_knobs`` helper edit shipped without re-verifying its dependents.
 
 This tool (a) prints the stale and changed lists so DRIVER_ORDER can be
 rebuilt by hand at round start, and (b) writes
@@ -32,8 +35,6 @@ Run at each round start AFTER updating DRIVER_ORDER:
 
 from __future__ import annotations
 
-import hashlib
-import inspect
 import json
 import sys
 from glob import glob
@@ -44,10 +45,6 @@ sys.path.insert(0, str(REPO))
 
 MANIFEST = REPO / "tools" / "driver_manifest.json"
 DRIVER_WINDOW = 50
-
-
-def source_hash(fn) -> str:
-    return hashlib.sha256(inspect.getsource(fn).encode()).hexdigest()[:16]
 
 
 def latest_rows() -> tuple[dict[str, int], int]:
@@ -63,6 +60,7 @@ def latest_rows() -> tuple[dict[str, int], int]:
 
 def main() -> None:
     from lakehouse_workshop_spark.operators import all_queries
+    from lakehouse_workshop_spark.srchash import registry_hash
 
     queries = all_queries()
     names = list(queries)
@@ -102,7 +100,7 @@ def main() -> None:
         for n in names
         if n in prev
         and prev[n].get("window_round") is not None
-        and prev[n]["hash"] != source_hash(queries[n])
+        and prev[n]["hash"] != registry_hash(n)
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
@@ -134,7 +132,7 @@ def main() -> None:
         first_seen = prev.get(n, {}).get("first_seen_round", max_round + 1)
         if n in window:
             manifest[n] = {
-                "hash": source_hash(queries[n]),
+                "hash": registry_hash(n),
                 "window_round": max_round + 1,
                 "first_seen_round": first_seen,
             }
