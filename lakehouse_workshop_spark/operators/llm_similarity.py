@@ -445,10 +445,17 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NLIST_MIN = 16  # nlist floor; actual nlist = max(16, floor(sqrt(n)))
 # The standard IVF quality knob: each query searches its nprobe nearest
-# clusters (candidates ~ nprobe·√n per query instead of √n). nprobe=1
-# measured ~0.2 recall@10 on the near-uniform synthetic embeddings —
-# true neighbors spread across clusters; nprobe=8 clears the 0.5 floor
-# pinned by tests/test_recall.py at both test SFs.
+# clusters. IVF_NPROBE is a FLOOR — the effective value is derived from
+# the index geometry as max(IVF_NPROBE, ceil(3·√nlist)), the same rule as
+# the PQ family's ``_pq_knobs`` (llm_ann_pq.py). Round 10 proved the
+# constant-knob form is an at-scale defect: with nlist = √n and nprobe
+# fixed, probed coverage nprobe/nlist decays as n^(-1/2), and the non-PQ
+# pair's measured recall@10 decayed 0.68→0.43 (prefix) / 0.66→0.58
+# (kmeans) from sf0.01 to sf0.1 (r10 verdict "What's wrong #3"). With
+# nprobe = 3·√nlist = 3·n^(1/4), probed candidates grow as
+# nprobe·(n/nlist) = 3·n^(3/4) — sublinear, while coverage decays only as
+# n^(-1/4) against a top-k set whose difficulty is roughly scale-free on
+# this corpus. Floors pinned at all three SFs by tests/test_recall.py.
 IVF_NPROBE = 8
 
 # nlist derived from the corpus inside the query itself: ⌊√n⌋ with a floor
@@ -461,6 +468,17 @@ IVF_NPROBE = 8
 # r02-measured 10.1× at the 10× probe, BENCH_SCALING.md).
 _IVF_NLIST_SQL = (
     f"(SELECT GREATEST({IVF_NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+    " FROM embeddings)"
+)
+
+# Geometry-derived nprobe as an in-query scalar subquery (same COUNT both
+# engines evaluate): max(IVF_NPROBE, ceil(3·√nlist)). Kept as one
+# expression so the Spark and DuckDB dialects cannot drift. CEIL's
+# argument is 3·sqrt(integer) — exact IEEE doubles on both engines, so
+# the ceiling cannot straddle an engine-specific rounding boundary.
+_IVF_NPROBE_SQL = (
+    f"(SELECT GREATEST({IVF_NPROBE}, CAST(CEIL(3 * SQRT("
+    f"GREATEST({IVF_NLIST_MIN}, FLOOR(SQRT(COUNT(*)))))) AS BIGINT))"
     " FROM embeddings)"
 )
 
@@ -494,7 +512,7 @@ def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
     ),
     qprobe AS (
         SELECT vec_id, cid FROM cdist
-        WHERE rn <= {IVF_NPROBE} AND {QUERY_FILTER}
+        WHERE rn <= {_IVF_NPROBE_SQL} AND {QUERY_FILTER}
     ),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
@@ -520,16 +538,20 @@ _IVF_CENTROIDS = f"vec_id < {_IVF_NLIST_SQL}"
 
 @query("ivf_topk", oracle=_ivf_sql(_DUCK_PREP, _DUCK_COS, _IVF_CENTROIDS))
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(nlist=⌊√n⌋, nprobe={IVF_NPROBE}) approximate top-k — the
+    """IVF(nlist=⌊√n⌋, nprobe=max(8, ⌈3√nlist⌉)) approximate top-k — the
     trained-index twin of the sign-LSH path.
 
     Scale: the centroid table is small (≤√n rows — broadcast); assignment
     is one narrow pass over the vectors (argmax over nlist dots); search
     is an equi-join on cluster id with √n-bounded per-cluster lists,
-    nprobe lists per query (candidates ~ nprobe·√n, recall floor pinned
-    by tests/test_recall.py). nlist tracks the corpus (r02's fixed
-    nlist=16 measured 10.1× at the 10× probe because per-cluster lists
-    grew linearly). Swapping the deterministic seed centroids for
+    nprobe lists per query. Both knobs derive from the corpus IN-QUERY
+    (``_IVF_NLIST_SQL`` / ``_IVF_NPROBE_SQL``): nlist tracks the corpus
+    (r02's fixed nlist=16 measured 10.1× at the 10× probe because
+    per-cluster lists grew linearly), and nprobe tracks nlist (r10's
+    fixed nprobe=8 measured recall@10 decaying 0.68→0.43 from sf0.01 to
+    sf0.1 because probed coverage decays n^(-1/2)); probed candidates
+    grow 3·n^(3/4), sublinear. Recall floors pinned at all three SFs by
+    tests/test_recall.py. Swapping the deterministic seed centroids for
     KMeans-trained ones changes recall, not the plan.
     """
     _emb_view(spark, sf_dir)
@@ -554,7 +576,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY ROUND({_SPARK_COS}, 6) DESC, b.cid) AS rn
                 FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) a
                 JOIN cent b ON 1 = 1
-            ) WHERE rn <= {IVF_NPROBE}
+            ) WHERE rn <= {_IVF_NPROBE_SQL}
         ),
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
@@ -695,23 +717,32 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_NPROBE = 8
 # KMeans training-sample bound (vec_id prefix): ~nlist*1e3 points at the
 # test SFs covers the whole corpus; at 100 TB it is what makes training
 # feasible at all. Deterministic by construction (no sample() RNG).
 KMEANS_TRAIN_N = 65536
 
 
+def _ivf_nprobe(nlist: int) -> int:
+    """Driver-side twin of ``_IVF_NPROBE_SQL`` — max(floor, ⌈3√nlist⌉),
+    the same geometry rule as the PQ family's ``_pq_knobs``."""
+    import math
+
+    return max(IVF_NPROBE, math.ceil(3 * nlist**0.5))
+
+
 def ivf_kmeans_search(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
     """IVF top-k with *learned* centroids: the KMeans drop-in that
     ``ivf_topk`` documents. Train MLlib KMeans (fixed seed) on the corpus,
     assign every vector JVM-side via ``model.transform``, then search the
-    ``nprobe`` clusters nearest each query (the standard IVF quality knob:
-    recall scales ~linearly in nprobe at ~nprobe× per-query candidates —
-    nprobe=1 measured only ~0.2 mean recall@10 on near-uniform synthetic
-    embeddings, nprobe=8 clears the 0.5 contract with headroom at both test SFs).
+    ``nprobe`` clusters nearest each query. ``nprobe`` defaults to the
+    geometry-derived max(8, ⌈3√nlist⌉) (``_ivf_nprobe``): r10 measured the
+    fixed nprobe=8 decaying recall@10 0.66→0.58 from sf0.01 to sf0.1 as
+    probed coverage shrank n^(-1/2) — the same defect class ``_pq_knobs``
+    fixed for the PQ family; floors pinned at all three SFs in
+    tests/test_recall.py.
 
     Scale: training runs on a bounded deterministic sample (centroid
     quality needs ~nlist·1e3 points, not the corpus — fitting on the full
@@ -736,6 +767,8 @@ def ivf_kmeans_search(
         F.count_if(F.col("vec_id") < KMEANS_TRAIN_N).alias("n_prefix"),
     ).collect()[0]
     nlist = max(IVF_NLIST_MIN, int(stats["n"] ** 0.5))
+    if nprobe is None:
+        nprobe = _ivf_nprobe(nlist)
     # Deterministic training sample: the vec_id prefix (same rule as the
     # PQ codebook sample) capped at KMEANS_TRAIN_N — identical centroids
     # on any cluster size or rerun, unlike a fraction-based sample.

@@ -37,9 +37,10 @@ def test_r10_blind_spot_helpers_are_in_the_closures():
     assert any(k.endswith("._pq_knobs") for k in pqk)
     ex = _closure_keys("exact_topk")
     assert any(k.endswith(".exact_topk_blas") for k in ex)
-    # constants referenced from function bodies are governed too
+    # constants referenced from function bodies are governed too (the
+    # r11 in-query knob derivation is itself a governed constant)
     ivf = _closure_keys("ivf_topk")
-    assert any(".IVF_NPROBE" in k for k in ivf)
+    assert any(k.endswith("._IVF_NPROBE_SQL") for k in ivf)
 
 
 def test_oracle_string_is_governed():
