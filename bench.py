@@ -201,6 +201,15 @@ def _force(df) -> None:
 # for a quick smoke.
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+# Per-row rep overrides (r10 verdict ask #6): probe100x_exact_topk's
+# recorded trail (16.9s r8 → 2.56s r9 → 8.66s r10) could not distinguish
+# machine tax, variance, and regression at 3 reps — the r9 "recovery" was
+# one lucky warm rep. 7 reps pins the min near the quiet steady state
+# (documented expectation ~9-10s on this box: one 200k×64 @ 64×|Q| BLAS
+# scan + top-k emission; the microVM page-fault tax inflates cold reps,
+# never deflates warm ones, so min-of-7 converges from above).
+REPS_OVERRIDE = {"probe100x_exact_topk": 7}
+
 
 def _reclaim() -> None:
     """Drop leftover persisted blocks between timed reps.
@@ -543,6 +552,45 @@ def _probe_dir(
     return out
 
 
+# Measured-recall growth probe (r10 verdict ask #5): the r10 PQ fix and
+# the r11 IVF fix were both found by MANUAL recall sweeps at SFs the
+# driver never checks — constant search knobs decay coverage as the
+# corpus grows while every latency row stays green. This records
+# recall@10 (not latency) for the ANN family at the 10×/100× probe
+# corpora in the bench artifact itself, so the next coverage-decay
+# regression shows up as an artifact diff. Micro-averaged (hit pairs /
+# exact pairs), the same statistic tests/test_recall.py floors.
+RECALL_PROBE_FLOOR_HINT = 0.6  # context only; the pytest floors enforce
+
+
+def _recall_probe(spark, probe_sf: str, tag: str) -> dict[str, float]:
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+    from lakehouse_workshop_spark.operators.llm_ann_pq import (
+        exact_topk_blas,
+        ivf_pq_search,
+    )
+
+    exact = (
+        exact_topk_blas(spark, probe_sf)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    searches = {
+        "ivf_topk": lambda: S.ivf_topk(spark, probe_sf),
+        "ivf_pq_topk": lambda: ivf_pq_search(spark, probe_sf),
+        "ivf_opq_topk": lambda: ivf_pq_search(spark, probe_sf, rotate=True),
+    }
+    out = {}
+    for name, fn in searches.items():
+        hits = exact.join(
+            fn().select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+        ).count()
+        out[f"{tag}_{name}"] = round(hits / n_exact, 4)
+    exact.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakehouse_workshop_spark import get_spark
@@ -581,28 +629,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in names:
-        timings[name], raw[name] = _timed(
-            lambda: _force(queries[name](spark, sf_dir))
-        )
 
+    def _record(key: str, fn) -> None:
+        timings[key], raw[key] = _timed(fn, REPS_OVERRIDE.get(key, BENCH_REPS))
+
+    for name in names:
+        _record(name, lambda: _force(queries[name](spark, sf_dir)))
+
+    recall: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_PROBE10X", "1") != "0":
         probe_sf = _probe_dir(spark, sf_dir)
         for name in PROBE_QUERIES:
-            timings[f"probe10x_{name}"], raw[f"probe10x_{name}"] = _timed(
-                lambda: _force(queries[name](spark, probe_sf))
-            )
+            _record(f"probe10x_{name}", lambda: _force(queries[name](spark, probe_sf)))
+        recall.update(_recall_probe(spark, probe_sf, "probe10x"))
 
         probe_orders = _probe_orders_dir(spark, sf_dir)
         for name in PROBE_SCD2_QUERIES:
-            timings[f"probe10x_{name}"], raw[f"probe10x_{name}"] = _timed(
-                lambda: _force(queries[name](spark, probe_orders))
+            _record(
+                f"probe10x_{name}", lambda: _force(queries[name](spark, probe_orders))
             )
 
         probe_events = _probe_events_dir(spark, sf_dir)
         for name in PROBE_EVENTS_QUERIES:
-            timings[f"probe10x_{name}"], raw[f"probe10x_{name}"] = _timed(
-                lambda: _force(queries[name](spark, probe_events))
+            _record(
+                f"probe10x_{name}", lambda: _force(queries[name](spark, probe_events))
             )
 
     if os.environ.get("SPARK_GRAFT_PROBE100X", "1") != "0":
@@ -610,38 +660,53 @@ def main() -> None:
             spark, sf_dir, PROBE100X_REPLICAS, tag=PROBE100X_TAG, embeddings=True
         )
         for name in PROBE100X_QUERIES:
-            timings[f"probe100x_{name}"], raw[f"probe100x_{name}"] = _timed(
-                lambda: _force(queries[name](spark, probe100))
-            )
+            _record(f"probe100x_{name}", lambda: _force(queries[name](spark, probe100)))
+        recall.update(_recall_probe(spark, probe100, "probe100x"))
 
         probe_events100 = _probe_events_dir(
             spark, sf_dir, PROBE100X_REPLICAS, tag="probe100x_events"
         )
         for name in PROBE100X_EVENTS_QUERIES:
-            timings[f"probe100x_{name}"], raw[f"probe100x_{name}"] = _timed(
-                lambda: _force(queries[name](spark, probe_events100))
+            _record(
+                f"probe100x_{name}",
+                lambda: _force(queries[name](spark, probe_events100)),
             )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     headline_total = sum(v for k, v in timings.items() if not k.startswith("probe"))
     probe_total = sum(v for k, v in timings.items() if k.startswith("probe10x_"))
     probe100_total = sum(v for k, v in timings.items() if k.startswith("probe100x_"))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(headline_total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "probe10x_total": round(probe_total, 3),
-                "probe100x_total": round(probe100_total, 3),
-                "reps": BENCH_REPS,
-                "estimator": "min",
-                "samples": raw,
-                "sf": sf,
-            }
-        )
+    # The driver's artifact of record keeps only the LAST 2,000 chars of
+    # this line, and round 10's per-rep sample arrays tripled the bytes
+    # per row — the r10 artifact retained 37 of ~90 rows and lost the
+    # whole headline section (r10 verdict "What's wrong #2"). Since r11:
+    # the emitted line carries compact {name: min} only, ordered so the
+    # surviving tail is the scale-relevant end (probe rows + recall +
+    # totals), and the COMPLETE document — per-rep samples included — is
+    # written to BENCH_FULL_LATEST.json beside this script, where the
+    # next round can read and commit it regardless of tail truncation.
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "reps": BENCH_REPS,
+        "reps_override": REPS_OVERRIDE,
+        "estimator": "min",
+        "samples_path": "BENCH_FULL_LATEST.json",
+        "queries": timings,
+        # recall keys carry the recall_ prefix so a truncated tail can
+        # never be misparsed as timing rows by tools/compare_bench.py
+        "recall": {f"recall_{k}": v for k, v in recall.items()},
+        "probe10x_total": round(probe_total, 3),
+        "probe100x_total": round(probe100_total, 3),
+        "value": round(headline_total, 3),
+        "sf": sf,
+    }
+    full = dict(doc)
+    full["samples"] = raw
+    (Path(__file__).resolve().parent / "BENCH_FULL_LATEST.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+    print(json.dumps(doc))
     spark.stop()
 
 

@@ -20,6 +20,15 @@ NOISE_RATIO = 1.3
 NOISE_ABS = 0.3
 
 
+def _scalar(v) -> float:
+    """A timing cell is either the min-estimator scalar (r9, r11+) or a
+    per-rep sample array (the r10 format — take its min; contention only
+    ADDS time, so min is the estimator every other round records)."""
+    if isinstance(v, (list, tuple)):
+        return float(min(v))
+    return float(v)
+
+
 def load_queries(path: str) -> dict[str, float]:
     text = open(path).read()
     try:
@@ -27,29 +36,37 @@ def load_queries(path: str) -> dict[str, float]:
         if isinstance(doc, dict) and "tail" in doc:
             text = doc["tail"]
         elif isinstance(doc, dict) and "queries" in doc:
-            return {k: float(v) for k, v in doc["queries"].items()}
+            return {k: _scalar(v) for k, v in doc["queries"].items()}
     except json.JSONDecodeError:
         pass
     # raw log: prefer the emitted JSON line if present
     for line in text.splitlines():
         if line.strip().startswith('{"metric"'):
             return {
-                k: float(v)
+                k: _scalar(v)
                 for k, v in json.loads(line)["queries"].items()
             }
-    # truncated tail: recover name/number pairs, but only from within the
-    # queries object — a deny-list of metadata keys would silently absorb
-    # any new numeric field (elapsed, totals) into the timings. The tail
-    # may begin mid-object (head truncated), so absent a '"queries"'
-    # anchor the whole text IS the queries interior; with one, match only
-    # after it and stop at the closing brace.
-    qpos = text.find('"queries"')
-    scope = text[qpos + len('"queries"') :] if qpos >= 0 else text
+    # truncated tail: recover name/value pairs, but only from within the
+    # queries/samples objects — a deny-list of metadata keys would
+    # silently absorb any new numeric field (elapsed, totals) into the
+    # timings. The tail may begin mid-object (head truncated), so absent
+    # a '"queries"'/'"samples"' anchor the whole text IS the timings
+    # interior; with one, match only after it and stop at the closing
+    # brace. Values may be scalars (r9, r11+) or per-rep arrays (r10 —
+    # minned, matching the recorded estimator); the recall_ prefix keys
+    # the r11 recall map deliberately carries keep quality numbers from
+    # ever being parsed as timings here.
+    anchor = max(text.find('"queries"'), text.find('"samples"'))
+    scope = text[anchor:] if anchor >= 0 else text
     brace = scope.find("}")
     if brace >= 0:
         scope = scope[: brace + 1]
-    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', scope)
-    return {k: float(v) for k, v in pairs}
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*(\[[0-9.,\s]+\]|[0-9.]+)', scope)
+    return {
+        k: _scalar(json.loads(v))
+        for k, v in pairs
+        if not k.startswith(("queries", "samples", "recall_"))
+    }
 
 
 def main() -> None:
