@@ -179,6 +179,10 @@ HEADLINE = [
     # round 10 stretch: OPQ-rotated IVF-PQ (expect ≈ ivf_pq_topk's row —
     # the rotation is one broadcast 64×64 matrix + in-buffer matmuls)
     "ivf_opq_topk",
+    # round 11: the full curation chain (adds LSH near-dedup + span scrub
+    # + bench-slice exclusion between v1's clean and decontaminate stages
+    # — expect ≈ v1 + minhash_lsh_pairs + dup_span_scrub)
+    "materialize_training_set_v2",
 ]
 
 
@@ -316,6 +320,11 @@ PROBE_QUERIES = [
     # near-linear; the probe pins that composing them stays so)
     "dup_span_scrub",
     "materialize_training_set",
+    # r11: the full chain — its growth is bounded by its slowest stage
+    # (the span scrub's shingle aggregation); the probe pins that the
+    # composition inherits the stages' near-linearity rather than
+    # multiplying it
+    "materialize_training_set_v2",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no

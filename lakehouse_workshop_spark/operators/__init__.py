@@ -89,8 +89,8 @@ DRIVER_ORDER: list[str] = [
     "dsir_importance_weights",
     # -- 48-50: swap budget (r08 pre-rotations / round-11 registrations) --
     "embedding_near_pairs_lsh",
-    "monthly_sales",
-    "profit_by_returnflag",
+    "materialize_training_set",
+    "materialize_training_set_v2",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -122,3 +122,36 @@ def test_frozen_merge_table_is_consistent_and_chain_equivalent():
             rng.choice("aeorstwinluh") for _ in range(rng.randint(1, 12))
         )
         assert chain(w) == encode_word(w, ranks), w
+
+
+def test_bpe_oracle_word_length_guard():
+    """The SQL replace-chain's BPE_CHAIN_REPS bound is proven only for
+    words <= BPE_MAX_WORD_CHARS chars; the oracle word stage must error()
+    loudly on a longer word instead of silently desyncing from the greedy
+    encoder (r10 ADVICE). Pinned here against a synthetic long word."""
+    import duckdb
+    import pytest
+
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        BPE_MAX_WORD_CHARS,
+        _bpe_words_sql,
+    )
+
+    con = duckdb.connect()
+    long_word = "x" * (BPE_MAX_WORD_CHARS + 1)
+    con.execute(
+        f"CREATE VIEW kept AS SELECT 1 AS doc_id, 'ok {long_word}' AS text"
+    )
+    # the consumer must READ word (as the replace chain does) — a bare
+    # COUNT(*) lets the optimizer prune the guarded column entirely
+    with pytest.raises(Exception, match="BPE_CHAIN_REPS bound"):
+        con.execute(
+            f"SELECT SUM(length(word)) FROM ({_bpe_words_sql('kept')})"
+        ).fetchall()
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW kept AS SELECT 1 AS doc_id, 'all short words' AS text"
+    )
+    assert con2.execute(
+        f"SELECT SUM(length(word)) FROM ({_bpe_words_sql('kept')})"
+    ).fetchall()[0][0] == 13
