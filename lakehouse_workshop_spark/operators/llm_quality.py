@@ -904,12 +904,12 @@ DSIR_BUCKETS = 1024
     rt AS (SELECT SUM(rc) + {DSIR_BUCKETS} AS r_tot FROM rb)
     SELECT toks.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(
+           CAST(SUM(
                   CAST(ROUND(LN(COALESCE(tb.tc, 0) + 1) * 100000000) AS BIGINT)
                 - CAST(ROUND(LN(tt.t_tot) * 100000000) AS BIGINT)
                 - CAST(ROUND(LN(rb.rc + 1) * 100000000) AS BIGINT)
                 + CAST(ROUND(LN(rt.r_tot) * 100000000) AS BIGINT)
-             ) AS DOUBLE) / 100000000.0, 6) AS log_weight
+             ) AS BIGINT) AS log_weight_e8
     FROM toks
     LEFT JOIN tb USING (b)
     JOIN rb USING (b)
@@ -928,8 +928,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism contract: bucket ids come from md5 (identical integers
     in both engines); LN only ever sees integers (smoothed counts,
     totals), each ln is 1e8-fixed-pointed to BIGINT (the
-    ``token_dist_shift`` idiom), per-token terms sum as exact BIGINTs,
-    and the single division + 6-dp round happen once per doc.
+    ``token_dist_shift`` idiom), and per-token terms sum as exact
+    BIGINTs — which IS the emission: ``log_weight_e8`` is the weight at
+    1e-8 fixed-point grain as an exact integer. (Until r11 the emission
+    divided by 1e8 and rounded to 6 dp — the BIGINT sums measured
+    bit-identical across engines at sf0.1, but 2 of its 5000 rows landed
+    on an exact .5 at the 6th decimal, which Spark rounds half-up and
+    DuckDB half-even; emitting the integer removes the only cross-engine
+    boundary in the query.)
 
     Scale: the corpus explodes ONCE — tokens reduce map-side to
     (doc_id, source, bucket) counts (≤ {DSIR_BUCKETS} rows per doc),
@@ -982,8 +988,6 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("c") * term).cast("double") / 100000000.0, 6
-            ).alias("log_weight"),
+            F.sum(F.col("c") * term).cast("bigint").alias("log_weight_e8"),
         )
     )
