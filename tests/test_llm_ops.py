@@ -665,8 +665,9 @@ def test_dsir_importance_weights_invariants(spark, sf_dir):
     assert (merged["n_tokens"] == merged["n"]).all()
     tgt = merged[merged["source"] == Q.DSIR_TARGET_SOURCE]
     rest = merged[merged["source"] != Q.DSIR_TARGET_SOURCE]
-    per_tok_tgt = (tgt["log_weight"] / tgt["n_tokens"]).mean()
-    per_tok_rest = (rest["log_weight"] / rest["n_tokens"]).mean()
+    # log_weight_e8 is the exact fixed-point weight (1e-8 grain, r11)
+    per_tok_tgt = (tgt["log_weight_e8"] / 1e8 / tgt["n_tokens"]).mean()
+    per_tok_rest = (rest["log_weight_e8"] / 1e8 / rest["n_tokens"]).mean()
     assert per_tok_tgt > per_tok_rest
 
 
