@@ -122,3 +122,26 @@ def test_registry_hashes_are_deterministic_and_distinct():
     h2 = {n: registry_hash(n) for n in names}
     assert h1 == h2
     assert len(set(h1.values())) == len(names)
+
+
+def test_hash_invariant_under_runtime_cache_mutation():
+    """The governed hash must depend on SOURCE only — never on what ran
+    earlier in the process. The full pytest session caught exactly this:
+    after the CLV tests filled _SCORED_CACHE (and ANN paths touched
+    _WORKER_BUFS), test_plans_md_current flaked because repr() of the
+    mutated caches had leaked into dependent queries' hashes. Pins the
+    RUNTIME_STATE exclusion."""
+    import lakehouse_workshop_spark.clv.pipeline as P
+    import lakehouse_workshop_spark.operators.llm_similarity as S
+    from lakehouse_workshop_spark.srchash import registry_hash
+
+    names = ("ivf_topk", "clv_distributed", "exact_topk")
+    before = {n: registry_hash(n) for n in names}
+    S._WORKER_BUFS["__scratch__"] = object()
+    P._SCORED_CACHE[("__scratch__",)] = object()
+    try:
+        after = {n: registry_hash(n) for n in names}
+    finally:
+        S._WORKER_BUFS.pop("__scratch__", None)
+        P._SCORED_CACHE.pop(("__scratch__",), None)
+    assert before == after
