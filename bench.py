@@ -209,9 +209,11 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # recorded trail (16.9s r8 → 2.56s r9 → 8.66s r10) could not distinguish
 # machine tax, variance, and regression at 3 reps — the r9 "recovery" was
 # one lucky warm rep. 7 reps pins the min near the quiet steady state
-# (documented expectation ~9-10s on this box: one 200k×64 @ 64×|Q| BLAS
-# scan + top-k emission; the microVM page-fault tax inflates cold reps,
-# never deflates warm ones, so min-of-7 converges from above).
+# (r11 measured 5.95s with a monotonically declining sample profile
+# [15.8 … 5.95, 6.4] — documented expectation 6-8s on this box: one
+# 200k×64 @ 64×|Q| BLAS scan + top-k emission; the microVM page-fault
+# tax inflates cold reps, never deflates warm ones, so min-of-7
+# converges from above; check the profile before calling a regression).
 REPS_OVERRIDE = {"probe100x_exact_topk": 7}
 
 
