@@ -181,8 +181,12 @@ HEADLINE = [
     "ivf_opq_topk",
     # round 11: the full curation chain (adds LSH near-dedup + span scrub
     # + bench-slice exclusion between v1's clean and decontaminate stages
-    # — expect ≈ v1 + minhash_lsh_pairs + dup_span_scrub)
+    # — expect ≈ v1 + minhash_lsh_pairs + dup_span_scrub), and the
+    # O(batch) ingest mirror (row prices the standing-state re-derivation
+    # the registered emission performs, not deployment ingest — same
+    # caveat as ivf_pq_incremental)
     "materialize_training_set_v2",
+    "materialize_training_set_incremental",
 ]
 
 

@@ -87,10 +87,11 @@ DRIVER_ORDER: list[str] = [
     # -- 46-47: round-11 source edits -------------------------------------
     "ivf_topk_kmeans",
     "dsir_importance_weights",
-    # -- 48-50: swap budget (r08 pre-rotations / round-11 registrations) --
-    "embedding_near_pairs_lsh",
+    # -- 48-50: round-11 registrations (the r08 pre-rotation seeds were
+    # all displaced; the r08 cohort rotates wholesale at r12) ------------
     "materialize_training_set",
     "materialize_training_set_v2",
+    "materialize_training_set_incremental",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

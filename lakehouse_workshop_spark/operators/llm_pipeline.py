@@ -667,6 +667,183 @@ def _materialize_v2_oracle() -> str:
     """
 
 
+# --- incremental training-set materialization (round 11) --------------------
+# The O(batch) ingest mirror of the composition, the same pattern as
+# ivf_pq_incremental (r10) and dedup_incremental: an incoming batch
+# (NEW_BATCH_PRED) is curated against the STANDING corpus state — its
+# seen-hash set, its benchmark shingle set — and packed CONTINUING from
+# the standing token stream (append semantics: new docs extend the
+# stream in batch doc_id order; history is never re-sorted, so the
+# batch may share its first window with the corpus tail). Like v2 and
+# unlike v1, batch docs hashing into the held-out slice are routed to
+# the benchmark, not the training stream.
+
+
+def _mti_front_sql(shingles: str, pct: str) -> str:
+    """Dialect-shared front of the incremental materialization: both
+    kept sets (standing corpus and curated batch) as CTEs. The caller
+    appends its dialect's encode/pack tail."""
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        CONTAM_BENCH_PCT,
+        CONTAM_MIN_SHINGLES,
+    )
+
+    gate = (
+        f"lang IN {CLEAN_LANGS}"
+        f" AND n_chars BETWEEN {CLEAN_MIN_CHARS} AND {CLEAN_MAX_CHARS}"
+        f" AND {pct} < {CONTAM_BENCH_PCT}"
+    )
+    return f"""
+    WITH corpus AS (SELECT doc_id, text, lang, n_chars FROM documents
+                    WHERE NOT ({NEW_BATCH_PRED})),
+    batch AS (SELECT doc_id, text, lang, n_chars FROM documents
+              WHERE {NEW_BATCH_PRED}),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    bnew AS (
+        SELECT b.doc_id, b.text, b.lang, b.n_chars FROM batch b
+        LEFT JOIN seen s ON md5(b.text) = s.h WHERE s.h IS NULL
+    ),
+    bcanon AS (SELECT MIN(doc_id) AS doc_id FROM bnew GROUP BY md5(text)),
+    bench AS (
+        SELECT DISTINCT shingle FROM ({_on_rel(shingles, "corpus")}) cs
+        WHERE {pct} >= {CONTAM_BENCH_PCT}
+    ),
+    ccanon AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    cgated AS (
+        SELECT c.doc_id, c.text FROM corpus c JOIN ccanon USING (doc_id)
+        WHERE {gate}
+    ),
+    cflag AS (
+        SELECT t.doc_id FROM ({_on_rel(shingles, "cgated")}) t
+        JOIN bench ON t.shingle = bench.shingle
+        GROUP BY t.doc_id HAVING COUNT(*) >= {CONTAM_MIN_SHINGLES}
+    ),
+    ckept AS (
+        SELECT g.doc_id, g.text FROM cgated g
+        WHERE NOT EXISTS (SELECT 1 FROM cflag f WHERE f.doc_id = g.doc_id)
+    ),
+    bgated AS (
+        SELECT n.doc_id, n.text FROM bnew n JOIN bcanon USING (doc_id)
+        WHERE {gate}
+    ),
+    bflag AS (
+        SELECT t.doc_id FROM ({_on_rel(shingles, "bgated")}) t
+        JOIN bench ON t.shingle = bench.shingle
+        GROUP BY t.doc_id HAVING COUNT(*) >= {CONTAM_MIN_SHINGLES}
+    ),
+    bkept AS (
+        SELECT g.doc_id, g.text FROM bgated g
+        WHERE NOT EXISTS (SELECT 1 FROM bflag f WHERE f.doc_id = g.doc_id)
+    )
+    """
+
+
+def _mti_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _DUCK_DOC_PCT,
+        _DUCK_SHINGLES,
+    )
+
+    w = PACK_WINDOW_TOKENS
+    syms = r"'|' || regexp_replace(word, '(.)', '\1|', 'g') || '</w>|'"
+    tok = "CAST(SUM(length(s) - length(replace(s, '|', '')) - 1) AS BIGINT)"
+    return f"""
+    {_mti_front_sql(_DUCK_SHINGLES, _DUCK_DOC_PCT)},
+    cwords AS ({_bpe_words_sql("ckept")}),
+    cenc AS (SELECT doc_id, {_bpe_chain_sql(syms)} AS s FROM cwords),
+    ctok AS (SELECT doc_id, {tok} AS n_tokens FROM cenc GROUP BY doc_id),
+    ctot AS (SELECT COALESCE(SUM(n_tokens), 0) AS c_total FROM ctok),
+    bwords AS ({_bpe_words_sql("bkept")}),
+    benc AS (SELECT doc_id, {_bpe_chain_sql(syms)} AS s FROM bwords),
+    btok AS (SELECT doc_id, {tok} AS n_tokens FROM benc GROUP BY doc_id),
+    bc AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS bcum
+        FROM btok
+    )
+    SELECT doc_id, n_tokens,
+           CAST((c_total + bcum - n_tokens) // {w} AS INT) AS start_window,
+           CAST((c_total + bcum - 1) // {w} AS INT) AS end_window,
+           CAST((c_total + bcum - 1) // {w}
+                - (c_total + bcum - n_tokens) // {w} + 1 AS INT) AS n_windows
+    FROM bc CROSS JOIN ctot
+    """
+
+
+@query("materialize_training_set_incremental", tier=2, oracle=_mti_oracle())
+def materialize_training_set_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-ingest training-set materialization: curate ONLY the incoming
+    batch ({NEW_BATCH_PRED}) against the standing corpus state — drop
+    batch docs whose content hash the corpus has seen (plus within-batch
+    keep-first), gate, decontaminate against the standing benchmark
+    shingle set, frozen-BPE encode — and assign windows CONTINUING from
+    the standing stream's token total (append semantics; the batch's
+    first doc may share a window with the corpus tail). The deployment
+    cost is O(batch): every batch-side stage is bounded by the batch,
+    and the corpus-side inputs (seen-hash set, benchmark shingles,
+    stream token total) are standing artifacts an ingest pipeline reads,
+    not recomputes. The REGISTERED emission re-derives those standing
+    artifacts from the raw table so the whole contract stays
+    value-checkable by one oracle — the same honestly-documented caveat
+    as ``ivf_pq_incremental``: the bench row prices the re-derivation,
+    not the ingest.
+
+    Scale: seen-hash anti-join and benchmark semi-join key on md5/shingle
+    (uniform); the batch cumsum is the two-pass range-partitioned
+    ``global_cumsum`` over batch rows only; the standing total rides in
+    as a broadcast 1-row relation — no collect, one Catalyst plan after
+    one bounded (kept-text) materialization shared by the two BPE arms.
+    """
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+    from lakehouse_workshop_spark.llm.bpe import apply_bpe
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _docs_view,
+        _SPARK_DOC_PCT,
+        _SPARK_SHINGLES,
+    )
+
+    _docs_view(spark, sf_dir)
+    # ONE evaluation of the shared front (bench shingles feed both flag
+    # arms), materialized bounded (kept doc_id+text), then split.
+    kept = spark.sql(
+        _mti_front_sql(_SPARK_SHINGLES, _SPARK_DOC_PCT)
+        + """
+        SELECT 'c' AS side, doc_id, text FROM ckept
+        UNION ALL
+        SELECT 'b' AS side, doc_id, text FROM bkept
+        """
+    ).localCheckpoint(eager=True)
+    ck = kept.filter(F.col("side") == "c").select("doc_id", "text")
+    bk = kept.filter(F.col("side") == "b").select("doc_id", "text")
+    ctot = (
+        apply_bpe(ck, BPE_FROZEN_MERGES)
+        .filter(F.col("n_tokens") > 0)
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("c_total"))
+    )
+    btok = (
+        apply_bpe(bk, BPE_FROZEN_MERGES)
+        .select("doc_id", "n_tokens")
+        .filter(F.col("n_tokens") > 0)
+    )
+    c = global_cumsum(btok, "n_tokens", "doc_id", name="bcum")
+    w = PACK_WINDOW_TOKENS
+    return c.crossJoin(F.broadcast(ctot)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST((c_total + bcum - n_tokens) div {w} AS INT)").alias(
+            "start_window"
+        ),
+        F.expr(f"CAST((c_total + bcum - 1) div {w} AS INT)").alias("end_window"),
+        F.expr(
+            f"CAST((c_total + bcum - 1) div {w}"
+            f" - (c_total + bcum - n_tokens) div {w} + 1 AS INT)"
+        ).alias("n_windows"),
+    )
+
+
 @query("materialize_training_set_v2", tier=2, oracle=_materialize_v2_oracle())
 def materialize_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set materialization with the FULL curation chain (extends
