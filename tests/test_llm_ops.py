@@ -998,3 +998,35 @@ def test_phash_separates_twins_from_unrelated():
     # typical unrelated distance is ~half the bits; the mean must sit far
     # above the near-dup radius even if rare pairs graze the threshold
     assert sum(unrelated) / len(unrelated) > 4 * PHASH_HAM_T
+
+
+def test_materialize_incremental_append_semantics(spark, sf_dir):
+    """Structural pins for the O(batch) ingest materialization, beyond
+    the oracle's value parity: only batch-slice docs are emitted; window
+    spans are internally consistent; the packed stream is CONTIGUOUS
+    (each doc starts in the window its predecessor ended in, or the
+    next one — never skipping or rewinding); and the first batch doc
+    continues a nonempty standing corpus stream rather than starting at
+    window 0."""
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        materialize_training_set_incremental,
+    )
+
+    out = (
+        materialize_training_set_incremental(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    assert (out["doc_id"] % 10 == 9).all()
+    assert (out["end_window"] >= out["start_window"]).all()
+    assert (
+        out["n_windows"] == out["end_window"] - out["start_window"] + 1
+    ).all()
+    nxt = out["start_window"].shift(-1)[:-1]
+    prev_end = out["end_window"][: len(out) - 1]
+    assert ((nxt == prev_end) | (nxt == prev_end + 1)).all()
+    # the standing corpus stream at every test SF is far longer than one
+    # window, so appended docs can never land in window 0
+    assert out["start_window"].iloc[0] >= 1
