@@ -21,10 +21,11 @@ TIERS: dict[str, int] = {}
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-40: the full cohort whose latest row is r07 — they go
-#      stale at r12 under the self-scaling period P = max(3,
-#      ceil(registry/window)+1) (= 5 at 186 queries); rotating all 40 now
-#      keeps r12 free for the 48-row r08 cohort.
+#   1. Positions 1-38: the r07-latest cohort (38 of its 40; two were
+#      displaced to the r12 rotation by this round's bloom edits) — they
+#      go stale at r12 under the self-scaling period P = max(3,
+#      ceil(registry/window)+1) (= 5 at 190 queries); pre-rotating them
+#      now keeps r12 inside budget for the 48-row r08 cohort.
 #   2. Positions 41-45: the r10 helper-edit blind spot (r10 verdict
 #      "What's wrong #1" / ADVICE): `_pq_knobs`, the exact_topk BLAS norm
 #      move, and `_assign_encode_fn` changed the behavior of ivf_pq_topk /
@@ -37,7 +38,7 @@ TIERS: dict[str, int] = {}
 #      round-11 registration displaces one (the displaced entry returns
 #      to the rotation pool — it is not yet stale).
 DRIVER_ORDER: list[str] = [
-    # -- 1-40: latest row r07, pre-rotated before their r12 staleness ----
+    # -- 1-38: latest row r07, pre-rotated before their r12 staleness ----
     "active_or_rich_customers",
     "audio_decode_stats",
     "churned_customers",
@@ -76,8 +77,6 @@ DRIVER_ORDER: list[str] = [
     "supplier_part_variety",
     "text_stats",
     "top10_orders",
-    "top_customer_per_nation",
-    "waiting_orders_blame",
     # -- 41-45: r10 helper-drift re-verifies + this round's nprobe fix ---
     "ivf_topk",
     "ivf_pq_topk",
@@ -87,11 +86,17 @@ DRIVER_ORDER: list[str] = [
     # -- 46-47: round-11 source edits -------------------------------------
     "ivf_topk_kmeans",
     "dsir_importance_weights",
-    # -- 48-50: round-11 registrations (the r08 pre-rotation seeds were
-    # all displaced; the r08 cohort rotates wholesale at r12) ------------
+    # -- 46-50: round-11 registrations and edits (the r08 pre-rotation
+    # seeds were all displaced, as were two r07 rows
+    # [top_customer_per_nation, waiting_orders_blame] — both rejoin the
+    # r12 rotation, which still fits: 43 r08 + 2 displaced r07 = 45) -----
     "materialize_training_set",
     "materialize_training_set_v2",
     "materialize_training_set_incremental",
+    # Kirsch–Mitzenmacher double hashing changed both gates' emitted
+    # false-positive sets (llm_mixture._bloom_sql, r11)
+    "bloom_dedup",
+    "streaming_bloom_dedup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

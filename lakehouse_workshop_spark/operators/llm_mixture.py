@@ -274,34 +274,54 @@ BLOOM_M = 1 << 20  # bits
 BLOOM_K = 4  # hash functions
 
 
-_SPARK_BLOOM = (
-    "CAST(conv(substring(md5(CAST({i} AS STRING) || ':' || text), 1, 15),"
-    " 16, 10) AS BIGINT)"
-)
-_DUCK_BLOOM = (
-    "('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || text), 1, 15))::BIGINT"
-)
+# Kirsch–Mitzenmacher double hashing (r11): ONE md5 digest per document
+# yields both base hashes (hex chars 1-15 and 16-30 → 60-bit ints), and
+# the K probe positions are g_i = (h1 + i·h2') mod m with h2' forced odd
+# — asymptotically the same false-positive behavior as K independent
+# hash functions (Kirsch & Mitzenmacher, ESA 2006, "Less Hashing, Same
+# Performance"), at 1/K the hashing cost. The pre-r11 form md5'd the
+# FULL text K+1 times per doc (K prefixed probe hashes + the exact-dup
+# hash) through per-hash string concats — the allocation profile that
+# made the 10× probe row maximally exposed to the host re-faulting tax;
+# this form computes exactly one digest per doc and reuses it for the
+# exact check. With h2' odd and m a power of two, the K positions of one
+# doc are pairwise distinct for K < m, so COUNT over the position join
+# is exact. Bit positions (hence the false-positive set) differ from the
+# pre-r11 scheme; the oracle recomputes the same positions, and the
+# no-false-negative contract is unchanged (an exact dup shares the
+# corpus doc's digest, hence all K positions).
+_SPARK_BLOOM_H = "CAST(conv(substring(dg, {s}, 15), 16, 10) AS BIGINT)"
+_DUCK_BLOOM_H = "('0x' || substr(dg, {s}, 15))::BIGINT"
 
 
-def _bloom_sql(md5_int: str, lateral: str) -> str:
-    # One scan per side: the K hash rows come from an in-row explode of
-    # the hash index (a UNION of K per-hash selects would scan the corpus
-    # K times — measured 14 exchanges vs 6 in the plan audit).
-    h = md5_int.format(i="i") + f" % {BLOOM_M}"
+def _bloom_sql(md5_h: str, lateral: str) -> str:
+    # One scan per side: the K position rows come from an in-row explode
+    # of the hash index (a UNION of K per-hash selects would scan the
+    # corpus K times — measured 14 exchanges vs 6 in the plan audit).
+    h1, h2 = md5_h.format(s=1), md5_h.format(s=16)
+    pos = f"(h1 + i * (h2 - h2 % 2 + 1)) % {BLOOM_M}"
     return f"""
-    WITH corpus AS (SELECT text FROM documents WHERE NOT ({NEW_BATCH_PRED})),
-    batch AS (SELECT doc_id, text FROM documents WHERE {NEW_BATCH_PRED}),
-    cpos AS (SELECT DISTINCT {h} AS pos FROM corpus {lateral}),
-    bpos AS (SELECT doc_id, {h} AS pos FROM batch {lateral}),
+    WITH corpus AS (SELECT md5(text) AS dg FROM documents
+                    WHERE NOT ({NEW_BATCH_PRED})),
+    batch AS (SELECT doc_id, md5(text) AS dg FROM documents
+              WHERE {NEW_BATCH_PRED}),
+    cpos AS (
+        SELECT DISTINCT {pos} AS pos
+        FROM (SELECT {h1} AS h1, {h2} AS h2 FROM corpus) ch {lateral}
+    ),
+    bpos AS (
+        SELECT doc_id, {pos} AS pos
+        FROM (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM batch) bh {lateral}
+    ),
     hits AS (
         SELECT b.doc_id, COUNT(c.pos) AS n_set
         FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
         GROUP BY b.doc_id
     ),
-    exact AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+    exact AS (SELECT DISTINCT dg FROM corpus)
     SELECT hits.doc_id,
            n_set = {BLOOM_K} AS bloom_maybe_dup,
-           EXISTS (SELECT 1 FROM exact WHERE exact.h = md5(batch.text))
+           EXISTS (SELECT 1 FROM exact WHERE exact.dg = batch.dg)
                AS exact_dup
     FROM hits JOIN batch ON hits.doc_id = batch.doc_id
     ORDER BY hits.doc_id
@@ -312,16 +332,18 @@ def _bloom_sql(md5_int: str, lateral: str) -> str:
     "bloom_dedup",
     tier=2,
     oracle=_bloom_sql(
-        _DUCK_BLOOM, f", generate_series(0, {BLOOM_K - 1}) AS t(i)"
+        _DUCK_BLOOM_H, f", generate_series(0, {BLOOM_K - 1}) AS t(i)"
     ),
 )
 def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter ingest gate: each incoming-batch doc is flagged
-    ``bloom_maybe_dup`` iff all {BLOOM_K} of its md5-derived bit positions
+    ``bloom_maybe_dup`` iff all {BLOOM_K} of its probe positions
     (mod {BLOOM_M}) are set by the existing corpus, alongside the exact
     answer so false positives are visible (bloom true, exact false —
     never the reverse: the no-false-negative property is pinned in
-    tests).
+    tests). Positions come from Kirsch–Mitzenmacher double hashing over
+    ONE md5 digest per doc (see ``_bloom_sql`` — r11; the previous form
+    md5'd the full text K+1 times per doc).
 
     Scale: the corpus collapses to its distinct set-bit positions
     (≤ k·n ints, ≤ {BLOOM_M} after distinct — a fixed-size table no
@@ -329,12 +351,13 @@ def bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the position set IS the bloom bitmap — broadcast it (128 KiB
     at m=2^20) and the probe becomes a map-side lookup with identical
     semantics; the relational join form is what makes those semantics
-    oracle-checkable here.
+    oracle-checkable here. Hashing is one digest per doc; the text is
+    read once per side.
     """
     _docs_view(spark, sf_dir)
     return spark.sql(
         _bloom_sql(
-            _SPARK_BLOOM,
+            _SPARK_BLOOM_H,
             f"LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) t AS i",
         )
     )

@@ -319,10 +319,10 @@ def _streaming_bloom_oracle() -> str:
     from lakehouse_workshop_spark.operators.llm_mixture import (
         BLOOM_K,
         _bloom_sql,
-        _DUCK_BLOOM,
+        _DUCK_BLOOM_H,
     )
 
-    return _bloom_sql(_DUCK_BLOOM, f", generate_series(0, {BLOOM_K - 1}) AS t(i)")
+    return _bloom_sql(_DUCK_BLOOM_H, f", generate_series(0, {BLOOM_K - 1}) AS t(i)")
 
 
 @query(

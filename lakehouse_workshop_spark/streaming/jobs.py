@@ -742,14 +742,21 @@ def run_streaming_bloom_gate(
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(~F.expr(NEW_BATCH_PRED)).select("text")
-    pos_expr = (
-        "CAST(conv(substring(md5(CAST(i AS STRING) || ':' || text), 1, 15),"
-        f" 16, 10) AS BIGINT) % {BLOOM_M}"
-    )
+    # Kirsch–Mitzenmacher double hashing over ONE md5 digest per doc,
+    # identical to the batch gate's _bloom_sql (r11): h1/h2 from hex
+    # chars 1-15 / 16-30 of the digest, position_i = (h1 + i·h2') mod m
+    # with h2' forced odd. One digest per doc replaces the K+1 full-text
+    # md5 passes of the pre-r11 form.
+    h1 = "CAST(conv(substring(dg, 1, 15), 16, 10) AS BIGINT)"
+    h2 = "CAST(conv(substring(dg, 16, 15), 16, 10) AS BIGINT)"
+    pos_expr = f"(h1 + i * (h2 - h2 % 2 + 1)) % {BLOOM_M}"
     lateral = f"LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) t AS i"
     corpus.createOrReplaceTempView("bloom_gate_corpus")
     cpos = spark.sql(
-        f"SELECT DISTINCT {pos_expr} AS pos FROM bloom_gate_corpus {lateral}"
+        f"""SELECT DISTINCT {pos_expr} AS pos
+        FROM (SELECT {h1} AS h1, {h2} AS h2
+              FROM (SELECT md5(text) AS dg FROM bloom_gate_corpus)) ch
+        {lateral}"""
     ).localCheckpoint(eager=True)
     chash = (
         corpus.select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
@@ -771,7 +778,11 @@ def run_streaming_bloom_gate(
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.createOrReplaceTempView("bloom_gate_batch")
         bpos = batch_df.sparkSession.sql(
-            f"SELECT doc_id, {pos_expr} AS pos FROM bloom_gate_batch {lateral}"
+            f"""SELECT doc_id, {pos_expr} AS pos
+            FROM (SELECT doc_id, {h1} AS h1, {h2} AS h2
+                  FROM (SELECT doc_id, md5(text) AS dg
+                        FROM bloom_gate_batch)) bh
+            {lateral}"""
         )
         hits = (
             bpos.join(cpos, "pos", "left_semi")
