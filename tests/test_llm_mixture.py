@@ -136,3 +136,22 @@ def test_range_join_pre_epoch_timestamp_fails_loudly(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     with pytest.raises(Exception, match="pre-epoch"):
         range_join_error_purchases(spark, str(tmp_path)).collect()
+
+
+def test_km_probe_positions_pairwise_distinct():
+    """The KM gate's n_set = K criterion relies on each doc's K probe
+    positions being pairwise distinct: g_i = (h1 + i*h2') mod m with h2'
+    forced odd and m a power of two gives h2'*(i-j) != 0 (mod m) for
+    0 < i-j < m, so collisions are impossible for K < m. Pinned over
+    random 60-bit hash pairs with the exact SQL arithmetic."""
+    import random
+
+    from lakehouse_workshop_spark.operators.llm_mixture import BLOOM_K, BLOOM_M
+
+    rng = random.Random(7)
+    for _ in range(1000):
+        h1 = rng.randrange(1 << 60)
+        h2 = rng.randrange(1 << 60)
+        h2p = h2 - h2 % 2 + 1  # the SQL's force-odd spelling
+        pos = [(h1 + i * h2p) % BLOOM_M for i in range(BLOOM_K)]
+        assert len(set(pos)) == BLOOM_K
