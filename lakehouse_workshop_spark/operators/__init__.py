@@ -17,86 +17,79 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 11. The driver's correctness pass
+# Explicit driver-pass order for round 12. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-38: the r07-latest cohort (38 of its 40; two were
-#      displaced to the r12 rotation by this round's bloom edits) — they
-#      go stale at r12 under the self-scaling period P = max(3,
-#      ceil(registry/window)+1) (= 5 at 190 queries); pre-rotating them
-#      now keeps r12 inside budget for the 48-row r08 cohort.
-#   2. Positions 41-45: the r10 helper-edit blind spot (r10 verdict
-#      "What's wrong #1" / ADVICE): `_pq_knobs`, the exact_topk BLAS norm
-#      move, and `_assign_encode_fn` changed the behavior of ivf_pq_topk /
-#      ivf_pq_topk_kmeans / exact_topk while their r08 rows vouched for
-#      the superseded code, and ivf_topk gets the same geometry-derived
-#      nprobe fix this round — all re-verify under the driver now.
-#   3. Positions 46-47: round-11 source edits (ivf_topk_kmeans nprobe,
-#      dsir_importance_weights integerized emission).
-#   4. Positions 48-50: swap budget, seeded with r08 pre-rotations; each
-#      round-11 registration displaces one (the displaced entry returns
-#      to the rotation pool — it is not yet stale).
+#   1. Positions 1-2: the two r07-latest rows displaced from the round-11
+#      window — stale at r12 under the self-scaling period
+#      P = max(3, ceil(registry/window)+1) (= 5 at 188 queries); they
+#      MUST re-verify this round.
+#   3. Positions 3-43: the full 41-row r08-latest cohort — every one of
+#      them hits the P=5 horizon at r13, so deferring any would make the
+#      r13 window unsatisfiable alongside new registrations.
+#   4. Position 44: round-12 source edit (materialize_training_set_incremental
+#      gains the LSH near-dedup + span-scrub stages _v2 has).
+#   5. Positions 45-50: swap budget, seeded with r09 pre-rotations (the
+#      48-row r09 cohort goes stale at r14); each round-12 registration
+#      displaces one (the displaced entry returns to the rotation pool —
+#      it is not yet stale).
 DRIVER_ORDER: list[str] = [
-    # -- 1-38: latest row r07, pre-rotated before their r12 staleness ----
-    "active_or_rich_customers",
-    "audio_decode_stats",
-    "churned_customers",
-    "clv_distributed",
-    "clv_segment_rollup",
-    "corr_frequency_monetary",
-    "cumulative_monthly_revenue",
-    "customer_value_bands",
-    "doc_fingerprint",
-    "embedding_quantize_int8",
-    "event_props_agg",
-    "excess_shipped_suppliers",
-    "frequency_bands",
-    "image_decode_stats",
-    "image_resize_stats",
-    "jpeg_decode_stats",
-    "lang_id",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "order_percentiles_approx",
-    "order_value_buckets",
-    "orders_pivot_status",
-    "part_copurchase_pagerank",
-    "png_decode_stats",
-    "pricing_summary",
-    "product_type_profit",
-    "revenue_by_nation",
-    "rfm_summary",
-    "sales_rollup",
-    "scd2_asof_lookup",
-    "scd2_customer_history",
-    "sessionize_events",
-    "simhash_fingerprints",
-    "snapshot_diff_orders",
-    "streaming_scd2_history",
-    "supplier_part_variety",
-    "text_stats",
-    "top10_orders",
-    # -- 41-45: r10 helper-drift re-verifies + this round's nprobe fix ---
-    "ivf_topk",
-    "ivf_pq_topk",
-    "ivf_pq_topk_kmeans",
-    "exact_topk",
-    "cosine_topk",
-    # -- 46-47: round-11 source edits -------------------------------------
-    "ivf_topk_kmeans",
-    "dsir_importance_weights",
-    # -- 46-50: round-11 registrations and edits (the r08 pre-rotation
-    # seeds were all displaced, as were two r07 rows
-    # [top_customer_per_nation, waiting_orders_blame] — both rejoin the
-    # r12 rotation, which still fits: 43 r08 + 2 displaced r07 = 45) -----
-    "materialize_training_set",
-    "materialize_training_set_v2",
+    # -- 1-2: latest row r07, stale this round ---------------------------
+    "top_customer_per_nation",
+    "waiting_orders_blame",
+    # -- 3-43: latest row r08, stale at r13 — the whole cohort ----------
+    "clv_rfm_input",
+    "contamination_by_benchmark",
+    "copurchase_triangles",
+    "count_distinct_customers",
+    "count_distinct_customers_approx",
+    "curriculum_stages",
+    "customer_recast",
+    "customers_by_status",
+    "customers_ranked_by_spend",
+    "daily_value_anomalies",
+    "dedup_cluster_sizes",
+    "distinct_parts",
+    "domain_mixture_weights",
+    "embedding_near_pairs",
+    "embedding_near_pairs_lsh",
+    "embedding_pca_spectrum",
+    "frame_samples",
+    "gapfill_daily_revenue",
+    "gapfill_locf_revenue",
+    "hll_distinct_rollup",
+    "hourly_seasonality",
+    "image_phash_dedup",
+    "lang_source_mix",
+    "latest_order_asof_event",
+    "linestatus_priority_mix",
+    "lsh_buckets",
+    "monthly_sales",
+    "multimodal_features",
+    "ngram_containment_capped",
+    "ngram_containment_pairs",
+    "orders_in_1995",
+    "profit_by_returnflag",
+    "rfm_summary_grouped",
+    "salted_join_event_nations",
+    "source_token_kl",
+    "streaming_cms_heavy_hitters",
+    "token_entropy",
+    "user_path_trigrams",
+    "video_decode_stats",
+    "video_frame_sample",
+    "zipf_slope",
+    # -- 44: round-12 source edits ---------------------------------------
     "materialize_training_set_incremental",
-    # Kirsch–Mitzenmacher double hashing changed both gates' emitted
-    # false-positive sets (llm_mixture._bloom_sql, r11)
-    "bloom_dedup",
-    "streaming_bloom_dedup",
+    # -- 45-50: swap budget (r09 pre-rotations; displaced by any round-12
+    # registration) ------------------------------------------------------
+    "ann_topk_lsh",
+    "basket_part_pairs",
+    "big_quantity_orders",
+    "bigram_lm_score",
+    "bpe_merge_candidates",
+    "chunk_dedup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
