@@ -80,16 +80,19 @@ DRIVER_ORDER: list[str] = [
     "video_decode_stats",
     "video_frame_sample",
     "zipf_slope",
-    # -- 44: round-12 source edits ---------------------------------------
+    # -- 44-45: round-12 source edits --------------------------------------
     "materialize_training_set_incremental",
-    # -- 45-50: swap budget (r09 pre-rotations; displaced by any round-12
+    # interior rewritten explode->range-partitioned cumsum (r12: kills the
+    # W/C row multiplier whose ~20 GB transient working set made the 100x
+    # bench row fault-bound; see the function docstring)
+    "range_join_error_purchases",
+    # -- 46-50: swap budget (r09 pre-rotations; displaced by any round-12
     # registration) ------------------------------------------------------
     "ann_topk_lsh",
     "basket_part_pairs",
     "big_quantity_orders",
     "bigram_lm_score",
     "bpe_merge_candidates",
-    "chunk_dedup",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

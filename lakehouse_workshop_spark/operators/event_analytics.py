@@ -175,33 +175,54 @@ def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Because the output is only a COUNT per error, the purchase side
     pre-aggregates to {RANGE_JOIN_CELL_S}s cells before any join: the
-    window (t, t+W] spans exactly W/{RANGE_JOIN_CELL_S} cell boundaries,
+    window (t, t+W] spans exactly W/{RANGE_JOIN_CELL_S} cell boundaries;
     every cell strictly inside the span is counted from the aggregated
-    (cell, cnt) table — a {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1}-row
-    explode per error joining a table that is already corpus-reduced —
-    and only the TWO boundary cells (the one containing t and the one
-    containing t+W) join at row grain with the exact timestamp
-    predicate. Per-error fan-out is therefore a constant ~{
-    RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} cells plus traffic in
-    2·{RANGE_JOIN_CELL_S}s — bounded even when platform-wide
-    traffic-per-window is not (the r8 window-width bucketization probed
-    the full window's rows per error, a fan-out that grows with event
-    rate).
+    (cell, cnt) table, and only the TWO boundary cells (the one
+    containing t and the one containing t+W) join at row grain with the
+    exact timestamp predicate — traffic in 2·{RANGE_JOIN_CELL_S}s per
+    error, bounded even when platform-wide traffic-per-window is not.
+
+    Interior form (round 12): the inclusive running sum ``cum(x)`` =
+    purchases in cells ≤ x is materialized ONCE over the union of the
+    (cell, cnt) table and two zero-weight probe points per error, via
+    the two-pass range-partitioned :func:`global_cumsum` (no
+    single-partition window); each error then reads
+    ``cum(c0+{RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1}) - cum(c0)``
+    as a signed sum over its own two probe rows. Rounds 8-11 instead
+    exploded the {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} interior
+    cells per error into an equi-join + re-aggregation — still linear,
+    but with a W/C = {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S}× row
+    multiplier whose transient working set (~20 GB at the 100× probe:
+    118M exploded rows + per-error hash-agg state) made the row's wall
+    time fault-bound on this box (r11 verdict "What's wrong #1": the
+    microVM serializes first-touch page faults, and heap the GC
+    uncommits between bench reps loses host backing — measured 993s of
+    kernel CPU vs 167s of user CPU on a 70s rep). The cumsum carries
+    |cells| + 2·|errors| rows through one range exchange — the same
+    count reduction a 1000-executor cluster wants, where the explode's
+    W/C multiplier is shuffle volume.
 
     Exactness: timestamps compare at full microsecond precision
     (``unix_micros`` cell math, ``INTERVAL`` predicate — the floored
     whole-second ``unix_timestamp`` form over-counted purchases up to
     ~1s past the window). A purchase in cell k has micros in
-    [k·C, (k+1)·C); for lo = unix_micros(t) and cells lo DIV C + 1 ..
-    lo DIV C + {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1} every row
+    [k·C, (k+1)·C); for lo = unix_micros(t) every purchase in cells
+    lo DIV C + 1 .. lo DIV C + {RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1}
     satisfies lo < micros < lo + W exactly, so interior cells need no
-    row filter; the two boundary cells cover the remaining candidates.
+    row filter (cum(c0+{RANGE_JOIN_WINDOW_S // RANGE_JOIN_CELL_S - 1})
+    - cum(c0) subtracts cell c0 itself; the boundary arm owns it); the
+    two boundary cells cover the remaining candidates. Probe rows sort
+    AFTER the real count row of the same cell (order (cell, is_pt)), so
+    the inclusive running sum at a probe includes that cell's count.
     DIV truncates toward zero, which equals floor only for non-negative
     micros — so the cell expression asserts post-epoch in-plan
     (``assert_true``): a pre-1970 fixture fails LOUDLY instead of
     silently mis-bucketing (r9 ADVICE).
     """
+    from pyspark.sql import functions as F
+
     from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     w = RANGE_JOIN_WINDOW_S
@@ -213,41 +234,67 @@ def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'range_join_error_purchases: pre-epoch timestamp — DIV "
         f"truncation would mis-bucket'), 0)) DIV {cell_us}"
     )
-    return spark.sql(
-        f"""
-        WITH errors AS (
-            SELECT event_id, ts, {cell_of.format(c="ts")} AS c0
-            FROM events WHERE event_type = 'error'
-        ),
-        purchases AS (
-            SELECT event_id AS p_id, ts AS p_ts,
-                   {cell_of.format(c="ts")} AS cell
-            FROM events WHERE event_type = 'purchase'
-        ),
-        cell_counts AS (
-            SELECT cell, COUNT(*) AS cnt FROM purchases GROUP BY cell
-        ),
-        interior AS (
-            SELECT e.event_id, SUM(c.cnt) AS n
-            FROM (SELECT event_id,
-                         explode(sequence(c0 + 1, c0 + {ncells - 1})) AS cell
-                  FROM errors) e
-            JOIN cell_counts c ON e.cell = c.cell
-            GROUP BY e.event_id
-        ),
-        boundary AS (
-            SELECT e.event_id, COUNT(p.p_id) AS n
-            FROM (SELECT event_id, ts,
-                         explode(array(c0, c0 + {ncells})) AS cell
-                  FROM errors) e
-            LEFT JOIN purchases p
-              ON e.cell = p.cell
-             AND p.p_ts > e.ts
-             AND p.p_ts <= e.ts + INTERVAL {w} SECOND
-            GROUP BY e.event_id
+    errors = spark.sql(
+        f"""SELECT event_id, ts, {cell_of.format(c="ts")} AS c0
+            FROM events WHERE event_type = 'error'"""
+    )
+    purchases = spark.sql(
+        f"""SELECT event_id AS p_id, ts AS p_ts, {cell_of.format(c="ts")} AS cell
+            FROM events WHERE event_type = 'purchase'"""
+    )
+    cell_counts = purchases.groupBy("cell").agg(F.count("*").alias("cnt"))
+    # Probe points: interior(e) = cum(c0 + ncells-1) - cum(c0), emitted as
+    # sign * cum summed per error. Zero-weight rows leave cum unchanged.
+    points = errors.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("c0").alias("cell"), F.lit(-1).alias("sign")),
+                F.struct(
+                    (F.col("c0") + F.lit(ncells - 1)).alias("cell"),
+                    F.lit(1).alias("sign"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("event_id", "pt.cell", "pt.sign")
+    union = cell_counts.select(
+        "cell",
+        "cnt",
+        F.lit(0).alias("is_pt"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("sign"),
+    ).unionByName(
+        points.select(
+            "cell",
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(1).alias("is_pt"),
+            "event_id",
+            "sign",
         )
-        SELECT b.event_id,
-               CAST(b.n + COALESCE(i.n, 0) AS BIGINT) AS n_purchases_5m
-        FROM boundary b LEFT JOIN interior i ON b.event_id = i.event_id
+    )
+    interior = (
+        global_cumsum(union, "cnt", "cell", "is_pt", name="cum")
+        .where(F.col("is_pt") == 1)
+        .groupBy("event_id")
+        .agg(F.sum(F.col("sign") * F.col("cum")).alias("n"))
+    )
+    errors.createOrReplaceTempView("rj_errors")
+    purchases.createOrReplaceTempView("rj_purchases")
+    boundary = spark.sql(
+        f"""
+        SELECT e.event_id, COUNT(p.p_id) AS n
+        FROM (SELECT event_id, ts, explode(array(c0, c0 + {ncells})) AS cell
+              FROM rj_errors) e
+        LEFT JOIN rj_purchases p
+          ON e.cell = p.cell
+         AND p.p_ts > e.ts
+         AND p.p_ts <= e.ts + INTERVAL {w} SECOND
+        GROUP BY e.event_id
         """
+    )
+    return boundary.alias("b").join(interior.alias("i"), "event_id", "left").select(
+        "event_id",
+        (F.col("b.n") + F.coalesce(F.col("i.n"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_purchases_5m"),
     )
