@@ -255,6 +255,45 @@ def test_ivf_family_recall_holds_at_sf01(spark, sf01_exact_topk):
         )
 
 
+@needs_sf01
+def test_probe10x_recall_floors(spark):
+    """r11 verdict ask #3: the bench artifact's measured recall@10 at the
+    10× probe corpus, pinned as a pytest floor. Both knob-decay defects
+    so far (r10 PQ shortlist, r11 non-PQ nprobe) were caught by manual
+    sweeps AFTER shipping; this turns the next decay into a red test.
+    Measured (r11 bench, bit-identical across three runs — deterministic
+    indexes, zero flake variance to absorb): ivf 0.9535 / pq 0.9445 /
+    opq 0.948. Floor 0.94."""
+    from bench import _probe_dir, _recall_probe
+
+    recall = _recall_probe(spark, _probe_dir(spark, SF01), "probe10x")
+    for key, val in recall.items():
+        assert val >= 0.94, (
+            f"{key} recall@10 {val:.4f} < 0.94 — an ANN knob stopped "
+            "scaling with the corpus (r10/r11 defect class)"
+        )
+
+
+@needs_sf01
+def test_probe100x_recall_floors(spark):
+    """Same pin one decade out (200k vectors): measured ivf 0.7147 /
+    pq 0.7137 / opq 0.714 — all three paths hold the same at-scale
+    quality because every knob derives from corpus geometry in-query.
+    Floor 0.70 (the r10 constant-knob PQ measured 0.32-grade here; the
+    r11 constant-nprobe IVF 0.43-grade — both far below it)."""
+    from bench import _probe_dir, _recall_probe, PROBE100X_REPLICAS, PROBE100X_TAG
+
+    probe = _probe_dir(
+        spark, SF01, PROBE100X_REPLICAS, tag=PROBE100X_TAG, embeddings=True
+    )
+    recall = _recall_probe(spark, probe, "probe100x")
+    for key, val in recall.items():
+        assert val >= 0.70, (
+            f"{key} recall@10 {val:.4f} < 0.70 — the n^(-1/2) coverage "
+            "decay is back at the 100× decade"
+        )
+
+
 def test_ivf_pq_adc_is_slab_invariant(spark, sf_dir, monkeypatch):
     """The blockwise inverted-list decode must emit BIT-IDENTICAL rows at
     any slab size: a tiny ADC_BLOCK forces every cluster through many
