@@ -212,13 +212,21 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # Per-row rep overrides (r10 verdict ask #6): probe100x_exact_topk's
 # recorded trail (16.9s r8 → 2.56s r9 → 8.66s r10) could not distinguish
 # machine tax, variance, and regression at 3 reps — the r9 "recovery" was
-# one lucky warm rep. 7 reps pins the min near the quiet steady state
-# (r11 measured 5.95s with a monotonically declining sample profile
-# [15.8 … 5.95, 6.4] — documented expectation 6-8s on this box: one
-# 200k×64 @ 64×|Q| BLAS scan + top-k emission; the microVM page-fault
-# tax inflates cold reps, never deflates warm ones, so min-of-7
-# converges from above; check the profile before calling a regression).
-REPS_OVERRIDE = {"probe100x_exact_topk": 7}
+# one lucky warm rep. 7 reps pins the estimator near the quiet steady
+# state. probe100x_ivf_topk runs 2 reps (r11 verdict ask #7): its ~42s/rep
+# cost is the KNOWN by-design price of geometry-derived nprobe at 200k
+# vectors, its quality signal lives in the recall map, and ivf_pq_topk is
+# the documented operator at this decade — a third rep buys nothing.
+REPS_OVERRIDE = {"probe100x_exact_topk": 7, "probe100x_ivf_topk": 2}
+
+# Per-row estimator overrides (r11 verdict ask #6): min-of-7 kept chasing
+# exact_topk's declining tail (band revised 3 rounds running; r11 min 3.9s
+# vs the 6-8s steady band) because the microVM's fault tax relaxes
+# monotonically within a session — the LAST reps are the steady state, so
+# median-of-last-3 estimates it without tail luck (r11 driver samples
+# [13.6, 16.2, 11.5, 8.4, 7.1, 6.7, 3.9] → 6.74s, inside the band).
+# Everything else stays min-of-N (contention only ADDS time).
+ESTIMATOR_OVERRIDE = {"probe100x_exact_topk": "median_last3"}
 
 
 def _reclaim() -> None:
@@ -243,7 +251,9 @@ def _reclaim() -> None:
         rdd.unpersist(False)
 
 
-def _timed(fn, reps: int = BENCH_REPS) -> tuple[float, list[float]]:
+def _timed(
+    fn, reps: int = BENCH_REPS, estimator: str = "min"
+) -> tuple[float, list[float]]:
     # Each rep must pay the query's full cost: the CLV memo would
     # otherwise hand reps 2..N a checkpointed result and the timing
     # would measure a cache read, not the operator.
@@ -260,8 +270,17 @@ def _timed(fn, reps: int = BENCH_REPS) -> tuple[float, list[float]]:
     # is the statistic a loaded box cannot inflate. The raw samples ride
     # along in the artifact so cross-round comparisons can re-derive any
     # other estimator (r9 ADVICE: the r8→r9 median→min switch conflated
-    # estimator change with real deltas for one round).
-    return round(min(samples), 3), [round(s, 3) for s in samples]
+    # estimator change with real deltas for one round). median_last3
+    # (ESTIMATOR_OVERRIDE) serves rows whose within-session profile
+    # declines monotonically — their steady state is the tail, not the
+    # single luckiest rep.
+    if estimator == "median_last3":
+        import statistics
+
+        est = statistics.median(samples[-3:])
+    else:
+        est = min(samples)
+    return round(est, 3), [round(s, 3) for s in samples]
 
 
 # --- 10× corpus probe ------------------------------------------------------
@@ -646,7 +665,11 @@ def main() -> None:
     raw: dict[str, list[float]] = {}
 
     def _record(key: str, fn) -> None:
-        timings[key], raw[key] = _timed(fn, REPS_OVERRIDE.get(key, BENCH_REPS))
+        timings[key], raw[key] = _timed(
+            fn,
+            REPS_OVERRIDE.get(key, BENCH_REPS),
+            ESTIMATOR_OVERRIDE.get(key, "min"),
+        )
 
     for name in names:
         _record(name, lambda: _force(queries[name](spark, sf_dir)))
@@ -692,35 +715,63 @@ def main() -> None:
     probe_total = sum(v for k, v in timings.items() if k.startswith("probe10x_"))
     probe100_total = sum(v for k, v in timings.items() if k.startswith("probe100x_"))
     # The driver's artifact of record keeps only the LAST 2,000 chars of
-    # this line, and round 10's per-rep sample arrays tripled the bytes
-    # per row — the r10 artifact retained 37 of ~90 rows and lost the
-    # whole headline section (r10 verdict "What's wrong #2"). Since r11:
-    # the emitted line carries compact {name: min} only, ordered so the
-    # surviving tail is the scale-relevant end (probe rows + recall +
-    # totals), and the COMPLETE document — per-rep samples included — is
-    # written to BENCH_FULL_LATEST.json beside this script, where the
-    # next round can read and commit it regardless of tail truncation.
+    # the emitted line. The r11 compact {name: min} map still didn't fit
+    # (195 rows ≈ 9 KB; BENCH_r11.json "parsed": null — r11 verdict
+    # "What's wrong #2"), so since r12 the line is SELF-SUFFICIENT BY
+    # CONSTRUCTION: totals + the recall map + a bounded "queries" subset
+    # (the largest round-over-round deltas vs the previous committed full
+    # doc, trimmed until the whole line fits in 1,900 chars). The
+    # COMPLETE document — every row, per-rep samples, recall — goes to
+    # BENCH_FULL_LATEST.json beside this script, keyed to the line by
+    # run_id; the round boundary commits it and the next builder stamps
+    # it as BENCH_r{N}_full.json. tools/compare_bench.py follows the
+    # full_doc/run_id reference, so cross-round comparisons see every
+    # row from committed artifacts alone.
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL_LATEST.json"
+    prev: dict[str, float] = {}
+    try:
+        prev_doc = json.loads(full_path.read_text())
+        prev = {
+            k: (min(v) if isinstance(v, list) else float(v))
+            for k, v in prev_doc.get("queries", {}).items()
+        }
+    except (OSError, ValueError):
+        pass
+    run_id = f"run{int(time.time())}"
+    by_delta = sorted(
+        timings,
+        key=lambda k: abs(timings[k] - prev[k]) if k in prev else timings[k],
+        reverse=True,
+    )
     doc = {
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "reps": BENCH_REPS,
-        "reps_override": REPS_OVERRIDE,
         "estimator": "min",
-        "samples_path": "BENCH_FULL_LATEST.json",
-        "queries": timings,
+        "estimator_override": ESTIMATOR_OVERRIDE,
+        "run_id": run_id,
+        "full_doc": "BENCH_FULL_LATEST.json",
+        "n_rows": len(timings),
         # recall keys carry the recall_ prefix so a truncated tail can
         # never be misparsed as timing rows by tools/compare_bench.py
         "recall": {f"recall_{k}": v for k, v in recall.items()},
+        "queries": {},
+        "queries_note": "largest deltas vs previous full doc; all rows in full_doc",
         "probe10x_total": round(probe_total, 3),
         "probe100x_total": round(probe100_total, 3),
         "value": round(headline_total, 3),
         "sf": sf,
     }
+    for name in by_delta:
+        doc["queries"][name] = timings[name]
+        if len(json.dumps(doc)) > 1900:
+            del doc["queries"][name]
+            break
     full = dict(doc)
+    full["queries"] = timings
+    full["reps_override"] = REPS_OVERRIDE
     full["samples"] = raw
-    (Path(__file__).resolve().parent / "BENCH_FULL_LATEST.json").write_text(
-        json.dumps(full, indent=1) + "\n"
-    )
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(json.dumps(doc))
     spark.stop()
 
