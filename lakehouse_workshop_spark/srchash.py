@@ -38,6 +38,7 @@ rest as pending re-verification over the following rounds.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import inspect
 import types
@@ -55,8 +56,13 @@ _SIMPLE = (int, float, complex, bool, str, bytes, type(None))
 # _SCORED_CACHE). Every such cache MUST be listed here; the invariance
 # pin in tests/test_srchash.py fails if a listed cache still leaks into
 # a hash, and a future unlisted cache will resurface as that same
-# in-suite flake pointing here.
-RUNTIME_STATE = {"_WORKER_BUFS", "_SCORED_CACHE"}
+# in-suite flake pointing here. Keyed on (referencing module, name) —
+# not bare name (r11 ADVICE) — so a genuine behavior-carrying constant
+# that happens to share a cache's name in ANOTHER module still governs.
+RUNTIME_STATE = {
+    (f"{PACKAGE}.operators.llm_similarity", "_WORKER_BUFS"),
+    (f"{PACKAGE}.clv.pipeline", "_SCORED_CACHE"),
+}
 
 
 def _in_package(obj) -> bool:
@@ -83,13 +89,30 @@ def _unwrap(obj):
 
     Covers ``functools.wraps`` chains (``__wrapped__``) and pyspark UDF
     objects (``.func``) so a module-level ``@pandas_udf`` helper hashes by
-    the code it runs, not the wrapper's repr.
-    """
+    the code it runs, not the wrapper's repr. ``functools.partial`` is
+    NOT unwrapped here — its bound arguments carry behavior, so
+    :func:`_collect` hashes them explicitly before recursing into
+    ``.func`` (r11 ADVICE: blind ``.func`` unwrapping made an
+    args-only partial edit invisible to the hash)."""
+    if isinstance(obj, functools.partial):
+        return obj
     for attr in ("__wrapped__", "func"):
         inner = getattr(obj, attr, None)
         if isinstance(inner, types.FunctionType):
             return inner
     return obj
+
+
+def _stable_identity(obj, key: tuple[str, str]) -> str:
+    """Source-free fallback that never embeds a memory address: module-
+    qualified name plus the bytecode digest when available (repr() of a
+    function/class contains ``0x...`` — id()s differ per process, which
+    would make registry_hash nondeterministic across runs; r11 ADVICE)."""
+    ident = f"{key[0]}.{key[1]}"
+    code = getattr(obj, "__code__", None)
+    if code is not None:
+        ident += f" co_code:{hashlib.sha256(code.co_code).hexdigest()[:16]}"
+    return ident
 
 
 def collect_sources(fn) -> dict[str, str]:
@@ -107,9 +130,9 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
     try:
         out[f"def {key[0]}.{key[1]}"] = inspect.getsource(fn)
     except (OSError, TypeError):
-        # No retrievable source (REPL/exec-defined): the repr at least
-        # pins identity; nothing to recurse into.
-        out[f"def {key[0]}.{key[1]}"] = repr(fn)
+        # No retrievable source (REPL/exec-defined): pin a stable
+        # identity (+bytecode digest); nothing to recurse into.
+        out[f"def {key[0]}.{key[1]}"] = _stable_identity(fn, key)
         return
     g = getattr(fn, "__globals__", {})
     gmod = g.get("__name__", key[0])
@@ -121,12 +144,41 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
             except ValueError:  # empty cell (recursive def)
                 pass
     for name in sorted(_code_names(fn)):
-        if name in RUNTIME_STATE:
+        if (gmod, name) in RUNTIME_STATE:
             continue  # runtime-mutated caches — see RUNTIME_STATE above
         obj = closure.get(name, g.get(name, _MISSING))
         if obj is _MISSING or isinstance(obj, types.ModuleType):
             continue  # builtins, attribute names, module refs
         obj = _unwrap(obj)
+        if isinstance(obj, functools.partial):
+            # Bound arguments carry behavior: hash them (callables by
+            # stable identity, never repr — addresses differ per
+            # process), then govern the wrapped callable like any other
+            # reference.
+            def _arg_repr(v):
+                if callable(v):
+                    return _stable_identity(
+                        v,
+                        (
+                            getattr(v, "__module__", "?") or "?",
+                            getattr(v, "__qualname__", type(v).__name__),
+                        ),
+                    )
+                return repr(v)
+
+            out[f"partial {gmod}.{name}"] = (
+                "args=(" + ", ".join(_arg_repr(a) for a in obj.args) + ") "
+                "keywords=["
+                + ", ".join(
+                    f"({k!r}, {_arg_repr(v)})"
+                    for k, v in sorted(obj.keywords.items())
+                )
+                + "]"
+            )
+            inner = _unwrap(obj.func)
+            if isinstance(inner, types.FunctionType) and _in_package(inner):
+                _collect(inner, out, seen)
+            continue
         if isinstance(obj, types.FunctionType) and _in_package(obj):
             _collect(obj, out, seen)
         elif inspect.isclass(obj) and _in_package(obj):
@@ -135,7 +187,9 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
                 try:
                     out[ckey] = inspect.getsource(obj)
                 except (OSError, TypeError):
-                    out[ckey] = repr(obj)
+                    out[ckey] = _stable_identity(
+                        obj, (obj.__module__, obj.__qualname__)
+                    )
         elif isinstance(obj, (_SIMPLE, tuple, list, dict, set, frozenset)):
             # Module-level constants (SQL template strings, knob ints,
             # lookup dicts). repr of source-defined containers is

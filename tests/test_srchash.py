@@ -145,3 +145,88 @@ def test_hash_invariant_under_runtime_cache_mutation():
         S._WORKER_BUFS.pop("__scratch__", None)
         P._SCORED_CACHE.pop(("__scratch__",), None)
     assert before == after
+
+
+def test_partial_bound_args_are_governed():
+    """r11 ADVICE: blind `.func` unwrapping made a bound-args-only edit
+    to a module-level functools.partial invisible to the hash. The
+    collector must fold the partial's args/keywords in, so two partials
+    over the same function with different bindings hash differently."""
+    import functools
+    import types
+
+    from lakehouse_workshop_spark import srchash
+    from lakehouse_workshop_spark.srchash import governed_source_hash
+
+    mod = types.ModuleType(f"{srchash.PACKAGE}._fake_partial_mod")
+    mod.__name__ = f"{srchash.PACKAGE}._fake_partial_mod"
+
+    src = (
+        "def _base(x, k=1):\n"
+        "    return x * k\n"
+        "def query(spark, sf):\n"
+        "    return _bound(2)\n"
+    )
+    path = "/tmp/_srchash_partial_fixture.py"
+    open(path, "w").write(src)
+    spec = importlib.util.spec_from_file_location(mod.__name__, path)
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[mod.__name__] = m
+    try:
+        spec.loader.exec_module(m)
+        m._bound = functools.partial(m._base, k=3)
+        h1 = governed_source_hash(m.query)
+        m._bound = functools.partial(m._base, k=4)
+        h2 = governed_source_hash(m.query)
+        assert h1 != h2, "bound-keyword edit did not drift the hash"
+        # and the wrapped function's source is still in the closure
+        parts = srchash.collect_sources(m.query)
+        assert any("_base" in k for k in parts), parts.keys()
+    finally:
+        sys.modules.pop(mod.__name__, None)
+
+
+def test_sourceless_fallback_is_process_stable():
+    """r11 ADVICE: the getsource-failure fallback hashed repr(fn), which
+    embeds a memory address — registry_hash would differ across
+    processes if a sourceless callable ever entered a closure. The
+    stable-identity fallback must not contain an address."""
+    from lakehouse_workshop_spark.srchash import _stable_identity
+
+    fn = eval("lambda x: x + 1")  # exec-defined: inspect.getsource fails
+    ident = _stable_identity(fn, ("m", "q"))
+    assert "0x" not in ident
+    ident2 = _stable_identity(eval("lambda x: x + 1"), ("m", "q"))
+    assert ident == ident2, "same bytecode must give the same identity"
+
+
+def test_runtime_state_exclusion_is_module_scoped():
+    """r11 ADVICE: RUNTIME_STATE keyed on bare name silently ungoverns
+    any module-level object named _WORKER_BUFS anywhere. Keyed on
+    (module, name), a behavior-carrying constant with a cache's name in
+    ANOTHER module still drifts the hash."""
+    from lakehouse_workshop_spark import srchash
+    from lakehouse_workshop_spark.srchash import governed_source_hash
+
+    src = (
+        "_WORKER_BUFS = {'knob': 1}\n"
+        "def query(spark, sf):\n"
+        "    return _WORKER_BUFS['knob']\n"
+    )
+    path = "/tmp/_srchash_scope_fixture.py"
+    name = f"{srchash.PACKAGE}._fake_scope_mod"
+    open(path, "w").write(src)
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[name] = m
+    try:
+        spec.loader.exec_module(m)
+        h1 = governed_source_hash(m.query)
+        m._WORKER_BUFS = {"knob": 2}
+        h2 = governed_source_hash(m.query)
+        assert h1 != h2, (
+            "same-named constant in a different module was silently "
+            "excluded from governance"
+        )
+    finally:
+        sys.modules.pop(name, None)
