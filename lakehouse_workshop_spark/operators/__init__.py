@@ -86,13 +86,15 @@ DRIVER_ORDER: list[str] = [
     # W/C row multiplier whose ~20 GB transient working set made the 100x
     # bench row fault-bound; see the function docstring)
     "range_join_error_purchases",
-    # -- 46-50: swap budget (r09 pre-rotations; displaced by any round-12
-    # registration) ------------------------------------------------------
+    # -- 46-48: round-12 registrations (near-dup provenance matrix,
+    # per-source adaptive gate, IVF skew diagnostics) ---------------------
+    "cross_source_near_dup_matrix",
+    "source_quality_gate",
+    "ivf_cluster_balance",
+    # -- 49-50: swap budget (r09 pre-rotations; displaced by any further
+    # round-12 registration) ----------------------------------------------
     "ann_topk_lsh",
     "basket_part_pairs",
-    "big_quantity_orders",
-    "bigram_lm_score",
-    "bpe_merge_candidates",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -1172,6 +1172,88 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-source NEAR-dup matrix (round 12) --------------------------------
+# cross_source_dup_matrix finds sources that copy each other VERBATIM;
+# mirror sites and scraper farms that lightly rewrite (ads injected,
+# boilerplate swapped, tokens dropped) are invisible to the md5 join but
+# dominate real crawl corpora. This is the near-dup twin: LSH candidate
+# pairs at est_jaccard >= the near-dup threshold, aggregated to the
+# source-pair grain — the provenance view that decides which SOURCE to
+# drop or down-weight before per-doc dedup even runs.
+NEAR_MATRIX_EST = 0.5  # same doc-grain drop threshold as the v2 pipeline
+
+
+def _near_dup_matrix_sql(pairs_sql: str) -> str:
+    """Dialect-shared source-pair rollup over a (doc_a, doc_b,
+    est_jaccard) relation. The unordered source pair keys on
+    LEAST/GREATEST; the mean estimate derives from the INTEGER match
+    total (est·MINHASH_K is exact — every estimate is a multiple of
+    1/MINHASH_K, a dyadic rational), so the emitted double is identical
+    cross-engine regardless of aggregation order."""
+    return f"""
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_near_pairs,
+           CAST(SUM(CAST(p.est_jaccard * {MINHASH_K} AS INT)) AS BIGINT)
+               AS sum_matches,
+           ROUND(SUM(CAST(p.est_jaccard * {MINHASH_K} AS INT))
+                 / ({MINHASH_K}.0 * COUNT(*)), 6) AS avg_est_jaccard
+    FROM ({pairs_sql}) p
+    JOIN documents sa ON p.doc_a = sa.doc_id
+    JOIN documents sb ON p.doc_b = sb.doc_id
+    WHERE p.est_jaccard >= {NEAR_MATRIX_EST}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query(
+    "cross_source_near_dup_matrix",
+    tier=2,
+    oracle=_near_dup_matrix_sql(
+        _lsh_pairs_sql(_minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES))
+    ),
+)
+def cross_source_near_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources NEAR-duplicate each other: for every unordered
+    source pair, the number of LSH candidate doc pairs at
+    est_jaccard ≥ {NEAR_MATRIX_EST}, the integer signature-match total,
+    and the mean estimate — `cross_source_dup_matrix`'s answer for
+    mirrors that rewrite instead of copy.
+
+    Scale: the pair stage is exactly `minhash_lsh_pairs` (banded
+    equi-join, never a cross join); the source lookup joins the
+    candidate set (corpus-reduced) back to documents on the unique
+    doc_id, and the rollup output is ≤ |sources|² rows. The mean rides
+    on an integer sum, so no float-order divergence cross-engine.
+    """
+    _docs_view(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEAR_MATRIX_EST
+    )
+    src = spark.table("documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("est_jaccard") * MINHASH_K).cast("int").alias("m"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_near_pairs"),
+            F.sum("m").cast("bigint").alias("sum_matches"),
+            F.round(
+                F.sum("m") / (F.lit(float(MINHASH_K)) * F.count("*")), 6
+            ).alias("avg_est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # --- duplicated-span statistics (round 6) ----------------------------------
 # Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
 # Better") deduplicates at SUBSTRING granularity: a doc is mostly novel yet

@@ -991,6 +991,75 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF cluster-balance diagnostics (round 12) ------------------------------
+# Skewed inverted lists are THE operational risk of IVF at scale: one hot
+# cluster turns the per-cluster equi-join into a straggler (the 100×
+# probe corpus deliberately drives 22% of vectors into one cluster).
+# This emits the assignment's per-cluster population — size, corpus
+# share, size rank, and the ratio to the uniform n/nlist expectation —
+# the numbers an operator reads before deciding to split lists, re-train
+# centroids, or let AQE's skew-join handle it.
+
+
+def _cluster_balance_sql(assign_sql: str) -> str:
+    """Dialect-shared rollup over a (vec_id, cid) assignment relation.
+    share and skew divide exact integers (corpus count, cluster count,
+    nlist), so the doubles are identical cross-engine."""
+    return f"""
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE),
+                 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cid) AS INT)
+               AS size_rank,
+           ROUND(COUNT(*) * CAST({_IVF_NLIST_SQL} AS DOUBLE)
+                 / (SELECT COUNT(*) FROM embeddings), 6) AS x_uniform
+    FROM ({assign_sql}) a
+    GROUP BY cid
+    """
+
+
+_DUCK_IVF_ASSIGN = f"""
+    WITH e AS ({_DUCK_PREP}),
+    cent AS (SELECT vec_id AS cid, emb, nrm FROM e WHERE {_IVF_CENTROIDS}),
+    cdist AS (
+        SELECT a.vec_id, b.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.cid)
+                   AS rn
+        FROM e a JOIN cent b ON 1 = 1
+    )
+    SELECT vec_id, cid FROM cdist WHERE rn = 1
+"""
+
+
+@query(
+    "ivf_cluster_balance",
+    tier=2,
+    oracle=_cluster_balance_sql(_DUCK_IVF_ASSIGN),
+)
+def ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster population of the IVF assignment (nlist = ⌊√n⌋ seed
+    centroids, the `ivf_topk` index): size, corpus share, size rank, and
+    x_uniform = size ÷ (n/nlist) — the skew factor against a balanced
+    index. x_uniform ≫ 1 on a head cluster is the signal to split its
+    list or re-train centroids BEFORE the search join straggles.
+
+    Scale: assignment is the same broadcast BLAS matmul the search path
+    uses (`_matmul_assign`, argmax semantics pinned to the oracle's
+    rounded window); the rollup is one groupBy on cid (≤ √n groups) and
+    the rank window runs over √n rows on one partition — trivially
+    bounded. Shares divide exact integers, identical cross-engine.
+    """
+    _emb_view(spark, sf_dir)
+    _matmul_assign(spark).select("vec_id", "cid").createOrReplaceTempView(
+        "ivf_balance_assign"
+    )
+    return spark.sql(
+        _cluster_balance_sql("SELECT vec_id, cid FROM ivf_balance_assign")
+    )
+
+
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
 # Embedding-space dedup: cluster, then inside each cluster drop every
 # vector that is near-identical (cosine >= threshold) to a vector that

@@ -88,6 +88,77 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("doc_id", label.alias("quality_label"))
 
 
+# --- per-source adaptive quality gate (round 12) ----------------------------
+# A global quality threshold over-prunes the weakest source and
+# under-prunes the strongest (quality distributions differ per crawl);
+# production curation gates PER SOURCE: keep each source's top share by
+# score, so every source contributes its best slice and no single
+# distribution sets the bar. The keep rule is rank-based integer
+# arithmetic (rank·10 ≤ n·6 ⇔ top 60%) — no float threshold whose
+# binary representation could straddle engines.
+GATE_KEEP_NUM, GATE_KEEP_DEN = 6, 10  # keep top 60% per source
+
+
+def _quality_gate_sql(len_fn: str, filt_fn: str, dist_fn: str) -> str:
+    return f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               ROUND(CAST({len_fn}(({filt_fn}(toks, t -> t IN ({_STOP_IN}))))
+                         AS DOUBLE) / {len_fn}(toks)
+                     + CAST({len_fn}({dist_fn}(toks)) AS DOUBLE)
+                       / {len_fn}(toks), 6) AS q_score
+        FROM (SELECT doc_id, source, {{split}} AS toks FROM documents)
+    ),
+    r AS (
+        SELECT doc_id, source, q_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY q_score DESC, doc_id) AS src_rank,
+               COUNT(*) OVER (PARTITION BY source) AS n_source
+        FROM s
+    )
+    SELECT doc_id, source, q_score, CAST(src_rank AS INT) AS src_rank,
+           CAST(src_rank * {GATE_KEEP_DEN} <= n_source * {GATE_KEEP_NUM}
+                AS INT) AS kept
+    FROM r
+    """
+
+
+@query(
+    "source_quality_gate",
+    tier=2,
+    oracle=_quality_gate_sql("len", "list_filter", "list_distinct").format(
+        split="string_split(text, ' ')"
+    ),
+)
+def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: score every doc (stopword ratio
+    + type-token ratio, the `text_stats` signals), rank WITHIN its
+    source, and keep each source's top 60% — the curation rule that
+    makes every source contribute its best slice instead of letting one
+    source's distribution set a global bar.
+
+    Determinism: both ratio components divide exact integers the two
+    engines derive identically, the composite rounds to 6 dp before
+    ranking, ranks tie-break on doc_id, and the keep predicate is pure
+    integer arithmetic (rank·10 ≤ n·6) — no float share computation.
+
+    Scale: one narrow scan computes the score; the window partitions by
+    source (bounded cardinality, uniform sizes — each partition sorts
+    its own source independently). At 100 TB with few huge sources the
+    same rule runs as the two-pass range-partitioned rank
+    (`global_cumsum`'s construction) per source instead of a single
+    window partition.
+    """
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    return spark.sql(
+        _quality_gate_sql("size", "filter", "array_distinct").format(
+            split="split(text, ' ')"
+        )
+    )
+
+
 # Marker-word profiles for the n-gram/stopword language heuristic. On this
 # synthetic corpus (shared vocabulary) most docs score 'en' — the operator's
 # value is the deterministic argmax plumbing, checked exactly by the oracle.
