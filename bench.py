@@ -114,6 +114,11 @@ HEADLINE = [
     "minhash_lsh_incremental",
     "clv_temporal_holdout",
     "cross_source_dup_matrix",
+    # r12: near-dup provenance matrix (LSH pair stage + source rollup),
+    # per-source adaptive quality gate, IVF skew diagnostics
+    "cross_source_near_dup_matrix",
+    "source_quality_gate",
+    "ivf_cluster_balance",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
     "audio_decode_stats",
@@ -350,6 +355,14 @@ PROBE_QUERIES = [
     # composition inherits the stages' near-linearity rather than
     # multiplying it
     "materialize_training_set_v2",
+    # r12: the ingest mirror gained the near-dedup stage — its growth
+    # axis is the standing-signature re-derivation (corpus minhash, one
+    # pass) + the batch band join; should stay near-linear in corpus
+    "materialize_training_set_incremental",
+    # r12: near-dup provenance rollup — the pair stage is
+    # minhash_lsh_pairs' banded equi-join, so its growth should track
+    # that row, plus a corpus-reduced source join
+    "cross_source_near_dup_matrix",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no
