@@ -216,3 +216,51 @@ def test_embedding_quantize_reconstruction_bound(spark, sf_dir):
     assert out.filter(~F.col("recon_ok")).count() == 0
     assert out.filter(F.col("qscale") <= 0).count() == 0
     out.unpersist()
+
+
+def test_incremental_near_dedup_semantics(spark, tmp_path):
+    """r12: the ingest path's LSH near-dedup stage, pinned on a hand-built
+    corpus where the expected drops are knowable by eye (the oracle
+    parity check proves Spark==DuckDB; this proves both match the
+    SPEC): a batch doc that near-duplicates a STANDING corpus doc drops;
+    a within-batch near-dup pair keeps the lowest id; a unique batch
+    doc survives. doc_ids are chosen so every doc passes the gate
+    (pct<90, en, 100..100k chars) and the benchmark shingle set is
+    empty (no corpus doc has pct>=90)."""
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        materialize_training_set_incremental,
+    )
+
+    base = [f"alpha{i:02d}" for i in range(40)]
+    t_corpus = " ".join(base)                      # corpus doc 1
+    near = list(base)
+    near[20] = "CHANGED"
+    t_near = " ".join(near)                        # batch doc 9: near-dup of 1
+    t_unique = " ".join(f"omega{i:02d}" for i in range(40))   # batch doc 19
+    pair = [f"gamma{i:02d}" for i in range(40)]
+    t_pair_lo = " ".join(pair)                     # batch doc 29 (kept)
+    pair[39] = "SWAPPED"                           # last word: ONE shingle differs
+    t_pair_hi = " ".join(pair)                     # batch doc 39 (dropped)
+
+    rows = [
+        (1, t_corpus),
+        (9, t_near),
+        (19, t_unique),
+        (29, t_pair_lo),
+        (39, t_pair_hi),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id
+        for r in materialize_training_set_incremental(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {19, 29}, (
+        f"expected batch survivors {{19, 29}} (9 near-dups corpus doc 1, "
+        f"39 near-dups lower-id batch doc 29), got {got}"
+    )
