@@ -91,10 +91,11 @@ DRIVER_ORDER: list[str] = [
     "cross_source_near_dup_matrix",
     "source_quality_gate",
     "ivf_cluster_balance",
-    # -- 49-50: swap budget (r09 pre-rotations; displaced by any further
+    # streaming twin of minhash_lsh_incremental (near-dup ingest gate)
+    "streaming_lsh_ingest",
+    # -- 50: swap budget (r09 pre-rotation; displaced by any further
     # round-12 registration) ----------------------------------------------
     "ann_topk_lsh",
-    "basket_part_pairs",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -450,3 +450,53 @@ def streaming_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _streaming_lsh_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _DUCK_SHINGLE_INT,
+        _DUCK_SHINGLES,
+        _lsh_incremental_sql,
+        _minhash_sig_sql,
+    )
+
+    return _lsh_incremental_sql(
+        _minhash_sig_sql(_DUCK_SHINGLE_INT, _DUCK_SHINGLES)
+    )
+
+
+@query(
+    "streaming_lsh_ingest",
+    tier=2,
+    oracle=_streaming_lsh_oracle(),
+)
+def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``minhash_lsh_incremental``: the ingest slice
+    arrives as a 5-file stream and every micro-batch is signed, banded,
+    and band-joined against the once-built standing corpus signature
+    table inside foreachBatch. The incremental contract never compares
+    batch docs to each other, so each doc's candidate pairs depend only
+    on its own text and the static corpus — the merged emission is
+    row-identical to the batch query for any batch boundaries, and the
+    driver value-checks the whole streamed path against the same SQL
+    oracle (tests/test_streaming.py pins streamed == batch
+    row-for-row). Completes the streaming-twin family: exact gate
+    (bloom), sketch (CMS), vector ingest (PQ), and now near-dup.
+
+    Scale: per micro-batch cost is one shingle→signature pass over the
+    batch plus a broadcast band join; zero state between batches (the
+    signature table is the per-cycle snapshot, like the bloom filter).
+    """
+    import shutil
+    import tempfile
+
+    from lakehouse_workshop_spark.streaming.jobs import run_streaming_lsh_ingest
+
+    workdir = tempfile.mkdtemp(prefix="lsh_stream_")
+    out = (
+        run_streaming_lsh_ingest(spark, sf_dir, workdir)
+        .orderBy("corpus_doc", "batch_doc")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

@@ -1033,3 +1033,134 @@ def run_streaming_pq_ingest(
         FROM c FULL OUTER JOIN b ON c.cid = b.cid
         """
     )
+
+
+# --- streaming LSH near-dup ingest gate (round 12) ---------------------------
+
+
+def run_streaming_lsh_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    n_source_files: int = 5,
+) -> DataFrame:
+    """Streaming twin of the batch ``minhash_lsh_incremental``: the
+    standing corpus's MinHash signature/band table builds ONCE (the
+    static side, eagerly checkpointed — at 100 TB this is the standing
+    ~100 B/doc signature table written at prior ingests), then incoming
+    docs arrive as a file stream and every micro-batch is signed, banded,
+    and band-joined against it inside ``foreachBatch``.
+
+    Each batch doc's candidate pairs depend ONLY on that doc's text and
+    the static corpus — the incremental contract deliberately never
+    compares batch docs to each other — so the merged emission is
+    row-identical to the batch query for ANY batch boundaries and any
+    arrival order. That independence is what lets the driver value-check
+    the whole streaming path against the same SQL oracle as
+    ``minhash_lsh_incremental`` (tests/test_streaming.py pins streamed
+    == batch row-for-row).
+
+    Scale: per micro-batch cost is one shingle→signature pass over the
+    batch plus a broadcast band join (the batch band table is
+    ingest-sized); state is zero between batches — the signature table
+    is the per-cycle snapshot, exactly like the bloom gate's filter.
+    """
+    import os
+
+    from lakehouse_workshop_spark.catalog import load_table
+    from lakehouse_workshop_spark.operators.llm_dedup import (
+        _minhash_sig_sql,
+        _SPARK_SHINGLE_INT,
+        _SPARK_SHINGLES,
+        INCR_BATCH_PRED,
+        LSH_BANDS,
+        MINHASH_K,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = MINHASH_K // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"sig{b * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(MINHASH_K)])
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("band")
+        ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+    docs.filter(~F.expr(INCR_BATCH_PRED)).select("doc_id", "text")\
+        .createOrReplaceTempView("lsh_gate_corpus")
+    corpus_bands = _bands(
+        spark.sql(
+            _minhash_sig_sql(
+                _SPARK_SHINGLE_INT,
+                _SPARK_SHINGLES.replace("FROM documents", "FROM lsh_gate_corpus"),
+            )
+        )
+    ).localCheckpoint(eager=True)
+
+    source_dir = os.path.join(target_dir, "_incoming")
+    docs.filter(F.expr(INCR_BATCH_PRED)).select("doc_id", "text").repartition(
+        n_source_files
+    ).write.mode("overwrite").parquet(source_dir)
+    out_dir = os.path.join(target_dir, "pairs")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.createOrReplaceTempView("lsh_gate_batch")
+        bsig = batch_df.sparkSession.sql(
+            _minhash_sig_sql(
+                _SPARK_SHINGLE_INT,
+                _SPARK_SHINGLES.replace("FROM documents", "FROM lsh_gate_batch"),
+            )
+        )
+        x, y = corpus_bands.alias("x"), _bands(bsig).alias("y")
+        matches = F.aggregate(
+            F.zip_with(
+                F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            x.join(
+                F.broadcast(y),
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_hash") == F.col("y.band_hash")),
+            )
+            .select(
+                F.col("x.doc_id").alias("corpus_doc"),
+                F.col("y.doc_id").alias("batch_doc"),
+                (matches.cast("double") / MINHASH_K).alias("est"),
+            )
+            .groupBy("corpus_doc", "batch_doc")
+            .agg(F.first("est").alias("est_jaccard"))
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

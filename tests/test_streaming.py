@@ -374,3 +374,21 @@ def test_streaming_pq_ingest_equals_batch(spark, sf_dir):
     assert streamed == batch
     assert streamed, "streamed PQ ingest emitted nothing"
     assert sum(r[2] for r in streamed) > 0, "no batch vectors were ingested"
+
+
+def test_streaming_lsh_ingest_equals_batch(spark, sf_dir):
+    """The incremental near-dup contract never compares batch docs to
+    each other, so each doc's candidate pairs depend only on its own
+    text and the static corpus signature table — the streamed emission
+    must equal the batch ``minhash_lsh_incremental`` row-for-row, for
+    any micro-batch boundaries (r12; completes the streaming-twin
+    family: bloom, CMS, PQ, near-dup)."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    streamed = {tuple(r) for r in q["streaming_lsh_ingest"](spark, sf_dir).collect()}
+    batch = {
+        tuple(r) for r in q["minhash_lsh_incremental"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed, "streamed LSH ingest emitted no candidate pairs"
