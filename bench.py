@@ -222,7 +222,16 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # cost is the KNOWN by-design price of geometry-derived nprobe at 200k
 # vectors, its quality signal lives in the recall map, and ivf_pq_topk is
 # the documented operator at this decade — a third rep buys nothing.
-REPS_OVERRIDE = {"probe100x_exact_topk": 7, "probe100x_ivf_topk": 2}
+REPS_OVERRIDE = {
+    "probe100x_exact_topk": 7,
+    "probe100x_ivf_topk": 2,
+    # pq's per-rep profile does not converge within 3 reps on a fresh
+    # session (r11 taxed run [180.8, 79.0, 15.9]; r12 quiet runs
+    # [45.6, 59.0, 38.4] / [43.8, 34.7, 44.5]) — 5 reps + median-of-
+    # last-3 reads the converged tail instead of whichever rep the
+    # fault-reclaim cycle happened to favor
+    "probe100x_ivf_pq_topk": 5,
+}
 
 # Per-row estimator overrides (r11 verdict ask #6): min-of-7 kept chasing
 # exact_topk's declining tail (band revised 3 rounds running; r11 min 3.9s
@@ -231,7 +240,10 @@ REPS_OVERRIDE = {"probe100x_exact_topk": 7, "probe100x_ivf_topk": 2}
 # median-of-last-3 estimates it without tail luck (r11 driver samples
 # [13.6, 16.2, 11.5, 8.4, 7.1, 6.7, 3.9] → 6.74s, inside the band).
 # Everything else stays min-of-N (contention only ADDS time).
-ESTIMATOR_OVERRIDE = {"probe100x_exact_topk": "median_last3"}
+ESTIMATOR_OVERRIDE = {
+    "probe100x_exact_topk": "median_last3",
+    "probe100x_ivf_pq_topk": "median_last3",
+}
 
 
 def _reclaim() -> None:

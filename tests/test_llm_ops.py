@@ -1030,3 +1030,66 @@ def test_materialize_incremental_append_semantics(spark, sf_dir):
     # the standing corpus stream at every test SF is far longer than one
     # window, so appended docs can never land in window 0
     assert out["start_window"].iloc[0] >= 1
+
+
+def test_source_quality_gate_keep_rule(spark, sf_dir):
+    """Per source: kept count == the integer top-60% rule, kept docs'
+    scores dominate dropped docs' (rank order respected), and every doc
+    appears exactly once."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    rows = all_queries()["source_quality_gate"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_docs = sum(len(v) for v in by_src.values())
+    assert n_docs == len({r.doc_id for r in rows})
+    for src, docs in by_src.items():
+        n = len(docs)
+        kept = [d for d in docs if d.kept == 1]
+        assert len(kept) == sum(1 for rank in range(1, n + 1) if rank * 10 <= n * 6)
+        worst_kept = min((d.q_score, -d.doc_id) for d in kept)
+        for d in docs:
+            if d.kept == 0:
+                assert (d.q_score, -d.doc_id) <= worst_kept, (src, d)
+
+
+def test_ivf_cluster_balance_partitions_the_corpus(spark, sf_dir):
+    """Cluster populations partition the corpus: sizes sum to the vector
+    count, shares to ~1, size_rank is a permutation, and x_uniform
+    averages to ~1 weighted by cluster count."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    rows = all_queries()["ivf_cluster_balance"](spark, sf_dir).collect()
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n_vec
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert sorted(r.size_rank for r in rows) == list(range(1, len(rows) + 1))
+    mean_x = sum(r.x_uniform * r.n_vectors for r in rows) / n_vec
+    assert mean_x >= 1.0  # size-weighted mean of size/uniform is >= 1 (Cauchy-Schwarz)
+
+
+def test_cross_source_near_dup_matrix_consistency(spark, sf_dir):
+    """The matrix's pair totals must re-derive from the registered pair
+    query: per source pair, n_near_pairs equals the count of
+    minhash_lsh_pairs rows at the threshold, and avg_est_jaccard stays
+    within [0.5, 1]."""
+    from lakehouse_workshop_spark.operators import all_queries
+    from lakehouse_workshop_spark.operators.llm_dedup import NEAR_MATRIX_EST
+
+    q = all_queries()
+    matrix = q["cross_source_near_dup_matrix"](spark, sf_dir).collect()
+    pairs = q["minhash_lsh_pairs"](spark, sf_dir).collect()
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    want: dict = {}
+    for p in pairs:
+        if p.est_jaccard >= NEAR_MATRIX_EST:
+            key = tuple(sorted((src[p.doc_a], src[p.doc_b])))
+            want[key] = want.get(key, 0) + 1
+    got = {(r.source_a, r.source_b): r.n_near_pairs for r in matrix}
+    assert got == want
+    for r in matrix:
+        assert NEAR_MATRIX_EST <= r.avg_est_jaccard <= 1.0
