@@ -119,6 +119,7 @@ HEADLINE = [
     "cross_source_near_dup_matrix",
     "source_quality_gate",
     "ivf_cluster_balance",
+    "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
     "audio_decode_stats",

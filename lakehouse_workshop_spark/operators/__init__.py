@@ -93,9 +93,8 @@ DRIVER_ORDER: list[str] = [
     "ivf_cluster_balance",
     # streaming twin of minhash_lsh_incremental (near-dup ingest gate)
     "streaming_lsh_ingest",
-    # -- 50: swap budget (r09 pre-rotation; displaced by any further
-    # round-12 registration) ----------------------------------------------
-    "ann_topk_lsh",
+    # padding-waste accounting (doc-boundary vs concat-then-chunk packing)
+    "packing_efficiency",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

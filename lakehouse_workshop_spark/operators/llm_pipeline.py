@@ -305,6 +305,66 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _packing_efficiency_sql(idiv: str) -> str:
+    """Dialect-shared rollup; ``idiv`` is the engine's integer-division
+    operator ('div' for Spark, '//' for DuckDB). Every measure is
+    integer-derived, the one ratio divides two exact integers."""
+    w = PACK_WINDOW_TOKENS
+    return f"""
+    WITH t AS (
+        SELECT source, {{toklen}} AS n FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM((n + {w - 1}) {idiv} {w}) AS BIGINT)
+                   AS padded_windows
+        FROM t GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens, padded_windows,
+           CAST((total_tokens + {w - 1}) {idiv} {w} AS BIGINT)
+               AS packed_windows,
+           ROUND((padded_windows * {w} - total_tokens)
+                 / CAST(padded_windows * {w} AS DOUBLE), 6)
+               AS padding_ratio
+    FROM s
+    ORDER BY source
+    """
+
+
+@query(
+    "packing_efficiency",
+    tier=2,
+    oracle=_packing_efficiency_sql("//").format(
+        toklen="len(string_split(text, ' '))"
+    ),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting per source: the window count under
+    doc-boundary-respecting packing (each doc padded up to its own
+    ⌈n/{PACK_WINDOW_TOKENS}⌉ windows — the shape instruction tuning and
+    eval batches use) vs concat-then-chunk (``sequence_packing``'s
+    pretraining shape, zero padding by construction), and the padding
+    ratio the boundary-respecting form wastes. The number that decides
+    whether a mixture's short-doc sources need length-grouped batching
+    before they burn {PACK_WINDOW_TOKENS}-token windows on padding.
+
+    Determinism: every measure is integer arithmetic (integer-division
+    ceilings, integer sums); the one ratio divides two exact integers
+    and rounds to 6 dp — no float aggregation anywhere.
+
+    Scale: one narrow scan partial-aggregates to |sources| rows;
+    nothing else moves.
+    """
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    return spark.sql(
+        _packing_efficiency_sql("div").format(toklen="size(split(text, ' '))")
+    )
+
+
 # --- PII redaction ---------------------------------------------------------
 # The regex-scrub pass a corpus runs before training. The synthetic corpus
 # carries no organic PII, so deterministic spans (1-3 emails + one phone,
