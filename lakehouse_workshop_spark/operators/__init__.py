@@ -17,84 +17,73 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 12. The driver's correctness pass
+# Explicit driver-pass order for round 13. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-2: the two r07-latest rows displaced from the round-11
-#      window — stale at r12 under the self-scaling period
-#      P = max(3, ceil(registry/window)+1) (= 5 at 188 queries); they
-#      MUST re-verify this round.
-#   3. Positions 3-43: the full 41-row r08-latest cohort — every one of
-#      them hits the P=5 horizon at r13, so deferring any would make the
-#      r13 window unsatisfiable alongside new registrations.
-#   4. Position 44: round-12 source edit (materialize_training_set_incremental
-#      gains the LSH near-dedup + span-scrub stages _v2 has).
-#   5. Positions 45-50: swap budget, seeded with r09 pre-rotations (the
-#      48-row r09 cohort goes stale at r14); each round-12 registration
-#      displaces one (the displaced entry returns to the rotation pool —
-#      it is not yet stale).
+#   1. Positions 1-48: the full 48-row r09-latest cohort — every one of
+#      them hits the P=5 horizon at r14 (P = max(3, ceil(registry/window)
+#      +1) = 5 at 193 queries), so packing them now keeps the r14 window
+#      free to pre-rotate the 46-row r10 cohort (stale at r15). Tail rows
+#      double as the swap budget: a round-13 source edit or registration
+#      displaces one (the displaced row is NOT yet stale — it re-enters
+#      at r14).
+#   2. Positions 49-50: r10 pre-rotations, first in line for displacement
+#      by round-13 registrations.
 DRIVER_ORDER: list[str] = [
-    # -- 1-2: latest row r07, stale this round ---------------------------
-    "top_customer_per_nation",
-    "waiting_orders_blame",
-    # -- 3-43: latest row r08, stale at r13 — the whole cohort ----------
-    "clv_rfm_input",
-    "contamination_by_benchmark",
-    "copurchase_triangles",
-    "count_distinct_customers",
-    "count_distinct_customers_approx",
-    "curriculum_stages",
-    "customer_recast",
-    "customers_by_status",
-    "customers_ranked_by_spend",
-    "daily_value_anomalies",
-    "dedup_cluster_sizes",
-    "distinct_parts",
-    "domain_mixture_weights",
-    "embedding_near_pairs",
-    "embedding_near_pairs_lsh",
-    "embedding_pca_spectrum",
-    "frame_samples",
-    "gapfill_daily_revenue",
-    "gapfill_locf_revenue",
-    "hll_distinct_rollup",
-    "hourly_seasonality",
-    "image_phash_dedup",
-    "lang_source_mix",
-    "latest_order_asof_event",
-    "linestatus_priority_mix",
-    "lsh_buckets",
-    "monthly_sales",
-    "multimodal_features",
-    "ngram_containment_capped",
-    "ngram_containment_pairs",
-    "orders_in_1995",
-    "profit_by_returnflag",
-    "rfm_summary_grouped",
-    "salted_join_event_nations",
-    "source_token_kl",
-    "streaming_cms_heavy_hitters",
-    "token_entropy",
-    "user_path_trigrams",
-    "video_decode_stats",
-    "video_frame_sample",
-    "zipf_slope",
-    # -- 44-45: round-12 source edits --------------------------------------
-    "materialize_training_set_incremental",
-    # interior rewritten explode->range-partitioned cumsum (r12: kills the
-    # W/C row multiplier whose ~20 GB transient working set made the 100x
-    # bench row fault-bound; see the function docstring)
-    "range_join_error_purchases",
-    # -- 46-48: round-12 registrations (near-dup provenance matrix,
-    # per-source adaptive gate, IVF skew diagnostics) ---------------------
-    "cross_source_near_dup_matrix",
-    "source_quality_gate",
-    "ivf_cluster_balance",
-    # streaming twin of minhash_lsh_incremental (near-dup ingest gate)
-    "streaming_lsh_ingest",
-    # padding-waste accounting (doc-boundary vs concat-then-chunk packing)
-    "packing_efficiency",
+    # -- 1-48: latest row r09, stale at r14 — the whole cohort -----------
+    "ann_topk_lsh",
+    "basket_part_pairs",
+    "big_quantity_orders",
+    "bigram_lm_score",
+    "bpe_merge_candidates",
+    "chunk_dedup",
+    "click_attribution",
+    "clv_temporal_holdout",
+    "cohort_retention",
+    "conversion_funnel",
+    "corpus_clean",
+    "corpus_quality_funnel",
+    "cross_source_dup_matrix",
+    "customer_ltv_deciles",
+    "customer_order_distribution",
+    "customer_order_gaps",
+    "customer_spend_quartiles",
+    "decontaminate",
+    "dedup_incremental",
+    "disjunctive_part_revenue",
+    "doc_chunks",
+    "docs_length_outliers",
+    "embedding_label_centroids",
+    "embedding_normalized",
+    "hot_keys_events",
+    "integrity_orphans",
+    "local_supplier_volume",
+    "merge_upsert_orders",
+    "near_dup_clusters",
+    "order_percentiles",
+    "order_price_histogram",
+    "pseudonymize_users",
+    "repetition_ratio",
+    "rolling_revenue_7d",
+    "sales_cube",
+    "session_window_batch",
+    "shard_assignments",
+    "shipping_priority",
+    "stratified_sample",
+    "streaming_click_to_purchase",
+    "streaming_dedup",
+    "streaming_enriched_counts",
+    "streaming_sessionize_flushed",
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "text_normalize",
+    "train_val_test_split",
+    "unigram_lm_score",
+    # -- 49-50: r10 pre-rotations (r10 cohort stale at r15), displaced
+    # first by round-13 registrations --------------------------------------
+    "blocklist_scrub",
+    "cms_heavy_hitters",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -139,7 +139,17 @@ def main() -> None:
         else:
             # The validation above guarantees anything outside the window
             # is already verified and fresh.
-            manifest[n] = {**prev[n], "first_seen_round": first_seen}
+            entry = {**prev[n], "first_seen_round": first_seen}
+            # An entry windowed at an earlier write of the SAME round but
+            # displaced before the driver ran carries a window_round no
+            # driver row backs (r12 left six such entries claiming r12
+            # rows they never got). Demote to the newest real row so the
+            # record stays honest; the hash is untouched, so drift
+            # detection keeps working against the source it last vouched.
+            wr = entry.get("window_round")
+            if wr is not None and wr > latest.get(n, 0) > 0:
+                entry["window_round"] = latest[n]
+            manifest[n] = entry
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST}")
 
