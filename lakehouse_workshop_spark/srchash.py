@@ -103,6 +103,30 @@ def _unwrap(obj):
     return obj
 
 
+def _bytecode_digest(code) -> str:
+    """Process-stable digest of a code object's behavior-carrying parts.
+
+    ``co_code`` alone is NOT enough (r12 ADVICE): CPython stores literal
+    constants in ``co_consts`` and referenced names in ``co_names``, so
+    ``lambda x: x + 1`` and ``lambda x: x + 2`` share identical
+    ``co_code`` and a constants-only edit to an exec-defined callable
+    would be invisible. Nested code objects (whose ``repr`` embeds a
+    ``0x`` address) recurse; every other const is a compile-time literal
+    with a deterministic ``repr``."""
+    h = hashlib.sha256()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        h.update(c.co_code)
+        h.update(repr(c.co_names).encode())
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+            else:
+                h.update(repr(const).encode())
+    return h.hexdigest()[:16]
+
+
 def _stable_identity(obj, key: tuple[str, str]) -> str:
     """Source-free fallback that never embeds a memory address: module-
     qualified name plus the bytecode digest when available (repr() of a
@@ -111,7 +135,7 @@ def _stable_identity(obj, key: tuple[str, str]) -> str:
     ident = f"{key[0]}.{key[1]}"
     code = getattr(obj, "__code__", None)
     if code is not None:
-        ident += f" co_code:{hashlib.sha256(code.co_code).hexdigest()[:16]}"
+        ident += f" code:{_bytecode_digest(code)}"
     return ident
 
 
@@ -164,7 +188,26 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
                             getattr(v, "__qualname__", type(v).__name__),
                         ),
                     )
-                return repr(v)
+                # repr() only for values with deterministic reprs: simple
+                # scalars and plain containers thereof (r12 ADVICE — an
+                # instance without a custom __repr__ embeds a 0x address,
+                # the per-process nondeterminism this function exists to
+                # avoid). Anything else pins by module-qualified type.
+                if isinstance(v, _SIMPLE):
+                    return repr(v)
+                if isinstance(v, (set, frozenset)):
+                    return "{" + ", ".join(sorted(_arg_repr(x) for x in v)) + "}"
+                if isinstance(v, (tuple, list)):
+                    return "[" + ", ".join(_arg_repr(x) for x in v) + "]"
+                if isinstance(v, dict):
+                    return (
+                        "{"
+                        + ", ".join(
+                            f"{k!r}: {_arg_repr(x)}" for k, x in sorted(v.items())
+                        )
+                        + "}"
+                    )
+                return f"<{type(v).__module__}.{type(v).__qualname__}>"
 
             out[f"partial {gmod}.{name}"] = (
                 "args=(" + ", ".join(_arg_repr(a) for a in obj.args) + ") "

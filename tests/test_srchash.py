@@ -200,6 +200,66 @@ def test_sourceless_fallback_is_process_stable():
     assert ident == ident2, "same bytecode must give the same identity"
 
 
+def test_sourceless_constant_edit_drifts_identity():
+    """r12 ADVICE: co_code alone misses co_consts — `lambda x: x + 1`
+    and `lambda x: x + 2` share identical bytecode in CPython, so a
+    constant-only edit to an exec-defined callable was invisible to
+    governance. The digest must fold constants and names in."""
+    from lakehouse_workshop_spark.srchash import _stable_identity
+
+    a = _stable_identity(eval("lambda x: x + 1"), ("m", "q"))
+    b = _stable_identity(eval("lambda x: x + 2"), ("m", "q"))
+    assert a != b, "constant-only edit did not drift the identity"
+    # name-only edit drifts too (co_names)
+    c = _stable_identity(eval("lambda x: abs(x)"), ("m", "q"))
+    d = _stable_identity(eval("lambda x: len(x)"), ("m", "q"))
+    assert c != d, "referenced-name edit did not drift the identity"
+
+
+def test_partial_instance_arg_never_embeds_address():
+    """r12 ADVICE: repr() fallback for a partial's non-callable bound
+    args embeds a 0x address for instances without a custom __repr__ —
+    per-process registry_hash nondeterminism, the exact defect class the
+    stable-identity fallback fixed for functions."""
+    import functools
+    import types as _t
+
+    from lakehouse_workshop_spark import srchash
+    from lakehouse_workshop_spark.srchash import governed_source_hash
+
+    src = (
+        "class _Knob:\n"
+        "    pass\n"
+        "def _base(x, cfg=None):\n"
+        "    return x\n"
+        "def query(spark, sf):\n"
+        "    return _bound(2)\n"
+    )
+    path = "/tmp/_srchash_instancearg_fixture.py"
+    name = f"{srchash.PACKAGE}._fake_instancearg_mod"
+    open(path, "w").write(src)
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[name] = m
+    try:
+        spec.loader.exec_module(m)
+        m._bound = functools.partial(m._base, cfg=m._Knob())
+        parts1 = srchash.collect_sources(m.query)
+        h1 = governed_source_hash(m.query)
+        assert not any(
+            "0x" in v for v in parts1.values()
+        ), {k: v for k, v in parts1.items() if "0x" in v}
+        # a fresh instance of the same type must hash identically
+        m._bound = functools.partial(m._base, cfg=m._Knob())
+        assert governed_source_hash(m.query) == h1
+        # nested inside a plain container too
+        m._bound = functools.partial(m._base, cfg=[m._Knob(), {"k": m._Knob()}])
+        parts2 = srchash.collect_sources(m.query)
+        assert not any("0x" in v for v in parts2.values())
+    finally:
+        sys.modules.pop(name, None)
+
+
 def test_runtime_state_exclusion_is_module_scoped():
     """r11 ADVICE: RUNTIME_STATE keyed on bare name silently ungoverns
     any module-level object named _WORKER_BUFS anywhere. Keyed on
