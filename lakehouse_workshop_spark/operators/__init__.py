@@ -79,11 +79,15 @@ DRIVER_ORDER: list[str] = [
     "streaming_windowed_counts_watermarked",
     "text_normalize",
     "train_val_test_split",
-    "unigram_lm_score",
-    # -- 49-50: r10 pre-rotations (r10 cohort stale at r15), displaced
-    # first by round-13 registrations --------------------------------------
-    "blocklist_scrub",
-    "cms_heavy_hitters",
+    # (unigram_lm_score: the one r09 row deferred to r14 — displaced by
+    # the third round-13 registration; NOT yet stale at r13)
+    # -- 48-50: round-13 registrations (incremental + streaming semantic
+    # dedup; the IVF split-decision layer). They displaced the two r10
+    # pre-rotations (blocklist_scrub, cms_heavy_hitters) and one r09
+    # tail row. -----------------------------------------------------------
+    "semantic_dedup_incremental",
+    "streaming_semantic_dedup",
+    "ivf_split_plan",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

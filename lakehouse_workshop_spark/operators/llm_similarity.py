@@ -1060,6 +1060,61 @@ def ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x_uniform at which a cluster's inverted list gets split before the
+# search join straggles: 2× the balanced expectation is where AQE's
+# skew-join mitigation also starts paying for itself, and splitting any
+# x >= 2 cluster into ceil(x) sublists provably restores x_post <= 1.
+IVF_SPLIT_FACTOR = 2.0
+
+
+def _split_plan_sql(balance_sql: str) -> str:
+    """Decision layer over the `_cluster_balance_sql` rollup: which
+    inverted lists to split, into how many sublists, and the skew factor
+    each split restores. n_sublists = ceil(x_uniform) (min 2 when
+    splitting), so x_post_split = x_uniform / n_sublists <= 1 — the
+    split always lands the list back at-or-under the uniform
+    expectation. All inputs are the rollup's 6-dp-rounded doubles over
+    exact integers, so both engines ceil the same values."""
+    return f"""
+    SELECT cid, n_vectors, x_uniform,
+           x_uniform >= {IVF_SPLIT_FACTOR} AS needs_split,
+           CAST(CASE WHEN x_uniform >= {IVF_SPLIT_FACTOR}
+                     THEN GREATEST(CAST(CEIL(x_uniform) AS BIGINT), 2)
+                     ELSE 1 END AS INT) AS n_sublists,
+           ROUND(x_uniform / (CASE WHEN x_uniform >= {IVF_SPLIT_FACTOR}
+                                   THEN GREATEST(CEIL(x_uniform), 2)
+                                   ELSE 1 END), 6) AS x_post_split
+    FROM ({balance_sql}) bal
+    """
+
+
+@query(
+    "ivf_split_plan",
+    tier=2,
+    oracle=_split_plan_sql(_cluster_balance_sql(_DUCK_IVF_ASSIGN)),
+)
+def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer `ivf_cluster_balance` existed for (r12 verdict ask
+    #6): turn the per-cluster skew factor into the split DECISION an
+    index maintainer executes — ``needs_split`` (x_uniform >=
+    {IVF_SPLIT_FACTOR}), ``n_sublists`` = ceil(x_uniform) (the sub-list
+    count that provably restores the balanced expectation:
+    x_post_split = x_uniform / n_sublists <= 1, pinned by
+    tests/test_recall.py::test_ivf_split_plan_restores_balance), and
+    ``x_post_split`` itself. On the 100× probe corpus — 22% of vectors
+    in one cluster — this emits the exact re-list instruction that keeps
+    the per-cluster search equi-join from straggling.
+
+    Scale: one projection over the ≤ √n-row balance rollup; the
+    assignment underneath is the shared broadcast BLAS matmul. Nothing
+    new shuffles.
+    """
+    ivf_cluster_balance(spark, sf_dir).createOrReplaceTempView(
+        "ivf_balance_rollup"
+    )
+    return spark.sql(_split_plan_sql("SELECT * FROM ivf_balance_rollup"))
+
+
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
 # Embedding-space dedup: cluster, then inside each cluster drop every
 # vector that is near-identical (cosine >= threshold) to a vector that
@@ -1269,3 +1324,313 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return assigned.groupBy("cid").applyInPandas(_sem_verdict_batch, out_schema)
+
+
+# --- incremental / streaming semantic dedup (round 13) -----------------------
+# The one dedup family member that lacked a batch-vs-standing-corpus form
+# (exact/bloom, MinHash-LSH, CMS, and PQ ingest all have one): embedding-
+# space dedup of an ingest batch against an already-deduped standing
+# corpus. Split rule mirrors the PQ/dedup twins: batch = vec_id % 10 = 9
+# (tonight's ingest), corpus = the rest (the standing, already-kept side).
+SEM_INCR_SPLIT = "vec_id % 10 = 9"
+
+# Corpus-only centroid rule (the standing index's geometry — the batch
+# must NOT influence it, or yesterday's verdicts would depend on tonight's
+# data): nlist_c = max(16, floor(sqrt(n_corpus))), centroids = the corpus
+# rows in the vec_id prefix. Same convention as ivf_pq_incremental's
+# corpus index.
+_SEM_INCR_NLIST_SQL = (
+    f"(SELECT GREATEST({IVF_NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+    f" FROM e WHERE NOT ({SEM_INCR_SPLIT}))"
+)
+
+
+def _sem_incr_sql(prep: str, cos: str, corpus_only: bool = False) -> str:
+    """Dialect-shared incremental-semantic-dedup SQL (the DuckDB oracle;
+    pairwise join form, exact at oracle scale).
+
+    Standing state re-derivation: the corpus side re-runs the
+    ``semantic_dedup`` verdict (corpus-only centroids, within-cluster
+    centrality rank, drop iff a more-central member is within the
+    threshold) purely so the emission is value-checkable end-to-end — a
+    real deployment reads the kept set from the standing table written at
+    the previous ingest and pays only the batch-side cost.
+
+    Batch verdict: a batch vector is ``dup_vs_corpus`` iff any KEPT
+    corpus member of its cluster is within the threshold (dropped corpus
+    members are NOT standing targets — they don't exist in the standing
+    table), and ``dup_vs_batch`` iff any more-central batch member of the
+    same cluster is (kept or not — the flat ``semantic_dedup`` rule,
+    applied within the batch). ``corpus_only=True`` emits just the
+    batch-boundary-invariant corpus gate — the streaming twin's contract.
+    """
+    select = (
+        """
+    SELECT a.vec_id, a.cid,
+           (vc.vec_id IS NOT NULL) AS dup_vs_corpus,
+           (vc.vec_id IS NULL) AS kept
+    FROM ba a LEFT JOIN vs_corpus vc ON a.vec_id = vc.vec_id
+    """
+        if corpus_only
+        else """
+    SELECT a.vec_id, a.cid, CAST(a.brn AS INT) AS brn,
+           (vc.vec_id IS NOT NULL) AS dup_vs_corpus,
+           (vb.vec_id IS NOT NULL) AS dup_vs_batch,
+           (vc.vec_id IS NULL AND vb.vec_id IS NULL) AS kept
+    FROM ba a LEFT JOIN vs_corpus vc ON a.vec_id = vc.vec_id
+              LEFT JOIN vs_batch vb ON a.vec_id = vb.vec_id
+    """
+    )
+    return f"""
+    WITH e AS ({prep}),
+    cent AS (
+        SELECT vec_id AS cid, emb, nrm FROM e
+        WHERE NOT ({SEM_INCR_SPLIT}) AND vec_id < {_SEM_INCR_NLIST_SQL}
+    ),
+    cdist AS (
+        SELECT a.vec_id, a.emb, a.nrm,
+               a.vec_id % 10 = 9 AS is_batch, b.cid,
+               ROUND({cos}, 6) AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
+        FROM e a JOIN cent b ON 1 = 1
+    ),
+    assigned AS (
+        SELECT vec_id, emb, nrm, is_batch, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid, is_batch
+                                  ORDER BY ccos DESC, vec_id) AS rnk
+        FROM cdist WHERE rn = 1
+    ),
+    ca AS (SELECT vec_id, emb, nrm, cid, rnk AS crn FROM assigned
+           WHERE NOT is_batch),
+    c_dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM ca a JOIN ca b ON a.cid = b.cid AND b.crn < a.crn
+        WHERE ROUND({cos}, 6) >= {SEM_DEDUP_THRESHOLD}
+    ),
+    c_kept AS (
+        SELECT a.* FROM ca a LEFT JOIN c_dropped d ON a.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    ),
+    ba AS (SELECT vec_id, emb, nrm, cid, rnk AS brn FROM assigned
+           WHERE is_batch),
+    vs_corpus AS (
+        SELECT DISTINCT a.vec_id
+        FROM ba a JOIN c_kept b ON a.cid = b.cid
+        WHERE ROUND({cos}, 6) >= {SEM_DEDUP_THRESHOLD}
+    ),
+    vs_batch AS (
+        SELECT DISTINCT a.vec_id
+        FROM ba a JOIN ba b ON a.cid = b.cid AND b.brn < a.brn
+        WHERE ROUND({cos}, 6) >= {SEM_DEDUP_THRESHOLD}
+    )
+    {select}
+    """
+
+
+def _sem_incr_centroids(spark: SparkSession):
+    """Broadcast (cent_mat, cent_ids) for the standing corpus's centroid
+    prefix (corpus-only rows, vec_id < nlist_c). Shared by the batch
+    incremental query and its streaming twin so both assign
+    bit-identically."""
+    import numpy as np
+
+    n_corpus = (
+        spark.table("embeddings_raw")
+        .where(f"NOT ({SEM_INCR_SPLIT})")
+        .select("vec_id")
+        .count()
+    )
+    nlist = max(IVF_NLIST_MIN, int(n_corpus**0.5))
+    cent_rows = (
+        spark.sql(_SPARK_PREP)
+        .where(f"NOT ({SEM_INCR_SPLIT})")
+        .where(F.col("vec_id") < nlist)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent_mat = np.array([r["emb"] for r in cent_rows], dtype=np.float64)
+    cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    return spark.sparkContext.broadcast((cent_mat, cids))
+
+
+def _centroid_assign_fn(bc, buf_tag: str):
+    """mapInPandas generator assigning each vector to its nearest
+    broadcast centroid — the `_matmul_assign` kernel (raw argmax +
+    2e-6-margin tie repair ≡ the oracle's round-6dp-then-first-max over
+    the cid-ascending axis), parametrized by an explicit centroid
+    broadcast so split corpora (standing vs ingest) can share one
+    geometry. Emits (vec_id, emb, nrm, cid, ccos)."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_mat, c_ids = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+            n = len(m)
+            s = np.matmul(m, c_mat.T, out=_worker_buf(buf_tag, (n, len(c_mat))))
+            best = s.argmax(axis=1)
+            mx = s[np.arange(n), best]
+            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
+            for i in np.nonzero(close)[0]:
+                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
+                best[i] = cand[np.round(s[i][cand], 6).argmax()]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"],
+                    "nrm": pdf["nrm"].to_numpy(),
+                    "cid": c_ids[best],
+                    "ccos": np.round(s[np.arange(n), best], 6),
+                }
+            )
+
+    return assign
+
+
+_SEM_ASSIGN_SCHEMA = (
+    "vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT, ccos DOUBLE"
+)
+
+
+def _sem_incr_gate(pdf, within_batch: bool):
+    """Per-cluster incremental verdict (applyInPandas over cid groups of
+    the corpus ∪ batch union).
+
+    Standing state first: the corpus members re-run the `semantic_dedup`
+    mask (most-central-first; dropped rows are NOT standing targets).
+    Then each batch member, in batch-centrality order, is tested
+    blockwise against (a) the KEPT corpus matrix and (b) — when
+    ``within_batch`` — all more-central batch members via the same
+    `_sem_dropped_mask` kernel (kept or dropped both count as targets,
+    the flat rule). The two masks decompose the concatenated-verdict
+    exactly: dropped(batch_i) = dup_vs_corpus(i) OR dup_vs_batch(i).
+    """
+    import numpy as np
+    import pandas as pd
+
+    batch = pdf[pdf["is_batch"]].sort_values(
+        ["ccos", "vec_id"], ascending=[False, True]
+    )
+    nb = len(batch)
+    if nb == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "cid": np.array([], dtype=np.int64),
+                "brn": np.array([], dtype=np.int32),
+                "dup_vs_corpus": np.array([], dtype=bool),
+                "dup_vs_batch": np.array([], dtype=bool),
+                "kept": np.array([], dtype=bool),
+            }
+        )
+    corpus = pdf[~pdf["is_batch"]].sort_values(
+        ["ccos", "vec_id"], ascending=[False, True]
+    )
+    mb = np.stack(batch["emb"].to_numpy()) / batch["nrm"].to_numpy()[:, None]
+    dup_c = np.zeros(nb, dtype=bool)
+    if len(corpus):
+        mc = np.stack(corpus["emb"].to_numpy()) / corpus["nrm"].to_numpy()[:, None]
+        kc = mc[~_sem_dropped_mask(mc)]
+        for s in range(0, nb, SEM_VERDICT_BLOCK):
+            e = min(s + SEM_VERDICT_BLOCK, nb)
+            dup_c[s:e] = (
+                np.round(mb[s:e] @ kc.T, 6) >= SEM_DEDUP_THRESHOLD
+            ).any(axis=1)
+    dup_b = (
+        _sem_dropped_mask(mb) if within_batch else np.zeros(nb, dtype=bool)
+    )
+    return pd.DataFrame(
+        {
+            "vec_id": batch["vec_id"].to_numpy(),
+            "cid": batch["cid"].to_numpy(),
+            "brn": np.arange(1, nb + 1, dtype=np.int32),
+            "dup_vs_corpus": dup_c,
+            "dup_vs_batch": dup_b,
+            "kept": ~(dup_c | dup_b),
+        }
+    )
+
+
+def _sem_incr_gated(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+    """Assign the standing corpus and the given ingest rows against the
+    corpus-only centroid geometry, then run the per-cluster incremental
+    verdict. Shared by the batch query (full within-batch semantics) and
+    the streaming twin's per-micro-batch gate (which projects the
+    batch-boundary-invariant columns). Returns (vec_id, cid, brn,
+    dup_vs_corpus, dup_vs_batch, kept) over exactly ``batch_df``'s rows.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bc = _sem_incr_centroids(spark)
+    corpus = spark.sql(_SPARK_PREP).where(f"NOT ({SEM_INCR_SPLIT})")
+    assigned_c = corpus.mapInPandas(
+        _centroid_assign_fn(bc, "sem_incr_c"), _SEM_ASSIGN_SCHEMA
+    ).withColumn("is_batch", F.lit(False))
+    assigned_b = batch_df.mapInPandas(
+        _centroid_assign_fn(bc, "sem_incr_b"), _SEM_ASSIGN_SCHEMA
+    ).withColumn("is_batch", F.lit(True))
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", LongType()),
+            StructField("brn", IntegerType()),
+            StructField("dup_vs_corpus", BooleanType()),
+            StructField("dup_vs_batch", BooleanType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    return (
+        assigned_c.unionByName(assigned_b)
+        .groupBy("cid")
+        .applyInPandas(lambda pdf: _sem_incr_gate(pdf, True), out_schema)
+    )
+
+
+@query(
+    "semantic_dedup_incremental",
+    tier=2,
+    oracle=_sem_incr_sql(_DUCK_PREP, _DUCK_COS),
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: gate tonight's ingest batch (vec_id % 10 =
+    9) against the already-deduped standing corpus — the embedding-space
+    member of the incremental-dedup family (exact: ``dedup_incremental``;
+    near-dup: ``minhash_lsh_incremental``; sketch: bloom/CMS; vectors:
+    ``ivf_pq_incremental``).
+
+    Per batch vector: its cluster under the CORPUS-ONLY centroid geometry
+    (the standing index — the batch must not move it), its batch-local
+    centrality rank, and three verdicts: ``dup_vs_corpus`` (within
+    {SEM_DEDUP_THRESHOLD} cosine of a KEPT standing member of its cluster
+    — dropped corpus members are not standing targets; they don't exist
+    in the standing table), ``dup_vs_batch`` (within threshold of a
+    more-central member of the same ingest batch, the flat
+    ``semantic_dedup`` rule applied batch-side), and ``kept`` = neither.
+
+    The corpus-side kept set is re-derived here purely so the oracle can
+    value-check the whole emission from the raw parquet — a deployment
+    reads it from the standing table written at the previous ingest and
+    pays O(batch·√n) end-to-end: one broadcast-centroid matmul over the
+    batch plus per-cluster Gram blocks against ~n/nlist kept members.
+
+    Scale: identical posture to ``semantic_dedup`` (broadcast √n-row
+    centroids; the only quadratic work is within clusters, O(n^1.5)
+    total for the re-derivation, O(batch·n/√n) for the gate itself);
+    the verdict is per-cluster Arrow batches — one BLAS Gram matmul per
+    block, no per-pair interpreted folds. Streaming twin:
+    ``streaming_semantic_dedup`` (same gate per micro-batch, zero
+    cross-batch state).
+    """
+    _emb_view(spark, sf_dir)
+    batch = spark.sql(_SPARK_PREP).where(SEM_INCR_SPLIT)
+    return _sem_incr_gated(spark, batch)

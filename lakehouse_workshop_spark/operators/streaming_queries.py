@@ -500,3 +500,54 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _streaming_semantic_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _DUCK_COS,
+        _DUCK_PREP,
+        _sem_incr_sql,
+    )
+
+    return _sem_incr_sql(_DUCK_PREP, _DUCK_COS, corpus_only=True)
+
+
+@query(
+    "streaming_semantic_dedup",
+    tier=2,
+    oracle=_streaming_semantic_oracle(),
+)
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``semantic_dedup_incremental``: ingest vectors
+    arrive as a 5-file stream and every micro-batch is centroid-assigned
+    and Gram-gated against the once-built standing kept corpus inside
+    foreachBatch. The gate verdict depends only on each vector's own
+    embedding and the static kept set (within-batch dedup is the nightly
+    batch compactor's job — same contract as ``streaming_lsh_ingest``
+    never comparing batch docs to each other), so the merged emission is
+    row-identical to the batch query's corpus-gate projection for any
+    batch boundaries, and the driver value-checks the whole streamed
+    path against the corpus-only SQL oracle (tests/test_streaming.py
+    pins streamed == batch row-for-row). Completes the streaming-twin
+    family for every dedup member: exact (bloom), near-dup (LSH), sketch
+    (CMS), vector ingest (PQ), and now embedding-space semantic.
+
+    Scale: per micro-batch cost is one broadcast-centroid matmul plus
+    per-cluster Gram blocks against ~n/nlist standing kept members; zero
+    state between batches — the kept table is the per-cycle snapshot.
+    """
+    import shutil
+    import tempfile
+
+    from lakehouse_workshop_spark.streaming.jobs import (
+        run_streaming_semantic_dedup,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="sem_stream_")
+    out = (
+        run_streaming_semantic_dedup(spark, sf_dir, workdir)
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

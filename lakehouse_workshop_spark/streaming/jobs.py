@@ -1164,3 +1164,128 @@ def run_streaming_lsh_ingest(
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    n_source_files: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``semantic_dedup_incremental``: the standing
+    corpus's kept set builds ONCE (corpus-only centroid assignment + the
+    within-cluster SemDeDup verdict, eagerly checkpointed — at 100 TB
+    this is the standing deduped vector table written at prior ingests),
+    then ingest vectors arrive as a file stream and every micro-batch is
+    centroid-assigned and Gram-gated against the kept members of its
+    cluster inside ``foreachBatch``.
+
+    Each vector's gate verdict (``dup_vs_corpus``) depends ONLY on its
+    own embedding and the static kept corpus — the within-batch
+    component is deliberately absent (it is the nightly batch
+    compactor's job, exactly as ``streaming_lsh_ingest`` never compares
+    batch docs to each other) — so the merged emission is row-identical
+    to the batch query's (vec_id, cid, dup_vs_corpus) projection for ANY
+    batch boundaries and arrival order, and the driver value-checks the
+    streamed path against the corpus-only SQL oracle
+    (tests/test_streaming.py pins streamed == batch row-for-row).
+
+    Scale: per micro-batch cost is one broadcast-centroid matmul over
+    the batch plus per-cluster Gram blocks against the ~n/nlist standing
+    kept members; zero state between batches. (The per-batch
+    ``_sem_incr_gate`` re-runs the kept-side mask, a no-op by the kept
+    set's mutual-farness invariant — a deployment indexes the kept
+    matrix once per cycle instead.)
+    """
+    import os
+    import shutil
+
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _centroid_assign_fn,
+        _emb_view,
+        _sem_incr_centroids,
+        _sem_incr_gate,
+        _sem_dropped_mask,
+        _SEM_ASSIGN_SCHEMA,
+        _SPARK_PREP,
+        SEM_INCR_SPLIT,
+    )
+
+    _emb_view(spark, sf_dir)
+    bc = _sem_incr_centroids(spark)
+
+    def _kept_only(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["ccos", "vec_id"], ascending=[False, True])
+        m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+        return pdf[~_sem_dropped_mask(m)]
+
+    corpus_kept = (
+        spark.sql(_SPARK_PREP)
+        .where(f"NOT ({SEM_INCR_SPLIT})")
+        .mapInPandas(_centroid_assign_fn(bc, "sem_stream_c"), _SEM_ASSIGN_SCHEMA)
+        .groupBy("cid")
+        .applyInPandas(_kept_only, _SEM_ASSIGN_SCHEMA)
+        .withColumn("is_batch", F.lit(False))
+        .localCheckpoint(eager=True)
+    )
+
+    source_dir = os.path.join(target_dir, "_incoming")
+    spark.sql(_SPARK_PREP).where(SEM_INCR_SPLIT).repartition(
+        n_source_files
+    ).write.mode("overwrite").parquet(source_dir)
+    out_dir = os.path.join(target_dir, "verdicts")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gate_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", LongType()),
+            StructField("brn", IntegerType()),
+            StructField("dup_vs_corpus", BooleanType()),
+            StructField("dup_vs_batch", BooleanType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assigned_b = batch_df.mapInPandas(
+            _centroid_assign_fn(bc, "sem_stream_b"), _SEM_ASSIGN_SCHEMA
+        ).withColumn("is_batch", F.lit(True))
+        verdicts = (
+            corpus_kept.unionByName(assigned_b)
+            .groupBy("cid")
+            .applyInPandas(lambda pdf: _sem_incr_gate(pdf, False), gate_schema)
+            # brn is micro-batch-local and dup_vs_batch is vacuously
+            # False under the corpus-only gate: neither is
+            # batch-boundary-invariant, so neither is emitted.
+            .select("vec_id", "cid", "dup_vs_corpus", "kept")
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    return out

@@ -397,3 +397,37 @@ def test_pca_spectrum_matches_numpy(spark, sf_dir):
     assert row.n_vectors == len(m)
     assert abs(row.total_variance - np.trace(cov)) < 1e-4
     assert row.eigen_trace_ok and row.shares_descending_ok
+
+
+def test_ivf_split_plan_restores_balance(spark, sf_dir):
+    """r12 verdict ask #6: the skew factor must be a decision input, not
+    a report. The split plan's contract: every cluster at or above the
+    split factor gets n_sublists = ceil(x_uniform) >= 2 and the implied
+    post-split skew lands at-or-under the uniform expectation
+    (x_post_split <= 1); every cluster below it is left alone
+    (n_sublists = 1, x_post_split = x_uniform)."""
+    import math
+
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        IVF_SPLIT_FACTOR,
+        ivf_split_plan,
+    )
+
+    rows = ivf_split_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_vectors for r in rows)
+    assert total > 0
+    split = [r for r in rows if r.needs_split]
+    for r in rows:
+        if r.needs_split:
+            assert r.x_uniform >= IVF_SPLIT_FACTOR
+            assert r.n_sublists == max(2, math.ceil(r.x_uniform))
+            assert r.x_post_split <= 1.000001, (r.cid, r.x_post_split)
+        else:
+            assert r.n_sublists == 1
+            assert abs(r.x_post_split - r.x_uniform) < 1e-9
+    # the plan, executed, caps the index's straggler bound: the largest
+    # post-split list is <= uniform-expectation among split lists and <=
+    # IVF_SPLIT_FACTOR x uniform among untouched ones
+    if split:
+        assert max(r.x_post_split for r in split) <= 1.000001

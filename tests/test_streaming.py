@@ -392,3 +392,106 @@ def test_streaming_lsh_ingest_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert streamed, "streamed LSH ingest emitted no candidate pairs"
+
+
+def test_streaming_semantic_dedup_equals_batch(spark, sf_dir):
+    """The streaming semantic gate's verdict depends only on each
+    vector's own embedding and the static kept corpus (within-batch
+    dedup is deliberately the batch compactor's job), so the streamed
+    emission must equal the batch ``semantic_dedup_incremental``'s
+    corpus-gate projection row-for-row, for any micro-batch boundaries
+    (r13; completes the streaming-twin family for every dedup member:
+    bloom, CMS, PQ, LSH, semantic)."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    streamed = {
+        (r["vec_id"], r["cid"], r["dup_vs_corpus"], r["kept"])
+        for r in q["streaming_semantic_dedup"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r["vec_id"], r["cid"], r["dup_vs_corpus"], not r["dup_vs_corpus"])
+        for r in q["semantic_dedup_incremental"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed, "streamed semantic gate emitted no verdicts"
+    assert any(r[2] for r in streamed) or len(streamed) < 20, (
+        "no dup_vs_corpus hit in a non-trivial batch — gate may be inert"
+    )
+
+
+def test_semantic_incremental_dropped_corpus_not_a_target(spark):
+    """The KEY incremental semantic: a batch vector near a corpus member
+    that was itself DROPPED (it doesn't exist in the standing table)
+    must be KEPT, while one near a KEPT corpus member is dropped, and a
+    batch duplicate of an earlier batch member is dropped with
+    dup_vs_batch. Hand-built 4-cluster-free corpus (all vectors near one
+    centroid so cluster routing is trivial)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _sem_incr_gate,
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    base = unit([1.0] + [0.0] * 63)
+    near_base = unit([1.0, 0.05] + [0.0] * 62)  # cos ~0.999 to base
+    ortho = unit([0.0, 0.0, 1.0] + [0.0] * 61)
+    near_ortho = unit([0.0, 0.0, 1.0, 0.05] + [0.0] * 60)
+    far = unit([0.0] * 5 + [1.0] + [0.0] * 58)
+    near_far = unit([0.0] * 5 + [1.0, 0.05] + [0.0] * 57)
+
+    # corpus (is_batch=False): base is most central (ccos high), so
+    # near_base gets DROPPED in the standing re-derivation; ortho kept.
+    # batch (is_batch=True): b1 ~ near_base (dup of a DROPPED corpus row
+    # only -> must be kept... unless it's near base too: cos(b1, base)
+    # is also ~0.999, so use a vector near near_base but NOT near base?
+    # cos(near_base, base) ~ 0.9988 >= 0.4 threshold — everything near
+    # near_base is near base at this threshold. Use threshold geometry:
+    # T = 0.4 is loose, so pick b1 orthogonal-ish to base but at 0.45 to
+    # a dropped row? Simpler: make the dropped corpus row near_ortho
+    # (dropped because ortho is more central), and b1 = a vector at
+    # cos ~0.5 to near_ortho but < 0.4 to ortho: rotate in the (2,3)
+    # plane.
+    pdf_rows = []
+
+    def add(vec_id, v, ccos, is_batch):
+        pdf_rows.append(
+            {
+                "vec_id": vec_id,
+                "emb": list(v),
+                "nrm": 1.0,
+                "cid": 0,
+                "ccos": ccos,
+                "is_batch": is_batch,
+            }
+        )
+
+    # geometry in coords (2,3): ortho = (1,0), near_ortho = (cos20°,
+    # sin20°) ~ cos .94 to ortho -> dropped vs ortho. b1 = (cos60°,
+    # sin60°): cos to ortho = .5 >= .4 -> would be dropped vs ortho...
+    # push to 75°: cos(75°)=.26 < .4 to ortho; cos(55°)=.57 >= .4 to
+    # near_ortho (dropped row) -> b1 must be KEPT (dropped corpus row is
+    # not a target).
+    def plane23(theta_deg):
+        v = np.zeros(64)
+        v[2] = np.cos(np.radians(theta_deg))
+        v[3] = np.sin(np.radians(theta_deg))
+        return v
+
+    add(0, ortho := plane23(0), 0.99, False)      # corpus, kept (most central)
+    add(1, plane23(20), 0.98, False)              # corpus, dropped vs ortho
+    add(2, far, 0.50, False)                      # corpus, kept (far from all)
+    add(100, plane23(75), 0.97, True)             # batch: near dropped row only -> KEPT
+    add(101, plane23(5), 0.96, True)              # batch: near kept ortho -> dup_vs_corpus
+    add(102, plane23(76), 0.95, True)             # batch: near batch 100 -> dup_vs_batch
+    out = _sem_incr_gate(pd.DataFrame(pdf_rows), True)
+    got = {int(r.vec_id): (bool(r.dup_vs_corpus), bool(r.dup_vs_batch), bool(r.kept))
+           for r in out.itertuples()}
+    assert got[100] == (False, False, True), got[100]
+    assert got[101] == (True, False, False), got[101]
+    assert got[102][1] and not got[102][2], got[102]
