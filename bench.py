@@ -70,6 +70,7 @@ HEADLINE = [
     "chunk_dedup",
     "pii_redact",
     "semantic_dedup",
+    "semantic_dedup_incremental",
     # round 5: TPC-H-shape module + corpus-quality module
     "promo_revenue_monthly",
     "late_shipment_priority",
@@ -119,6 +120,7 @@ HEADLINE = [
     "cross_source_near_dup_matrix",
     "source_quality_gate",
     "ivf_cluster_balance",
+    "ivf_split_plan",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
@@ -325,6 +327,7 @@ PROBE_QUERIES = [
     "chunk_dedup",
     "pii_redact",
     "semantic_dedup",
+    "semantic_dedup_incremental",
     "unigram_lm_score",
     "embedding_label_centroids",
     "bigram_lm_score",
