@@ -121,6 +121,7 @@ HEADLINE = [
     "source_quality_gate",
     "ivf_cluster_balance",
     "ivf_split_plan",
+    "ivf_rebalance",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

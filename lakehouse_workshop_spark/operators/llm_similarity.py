@@ -1115,6 +1115,7 @@ def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_split_plan_sql("SELECT * FROM ivf_balance_rollup"))
 
 
+
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
 # Embedding-space dedup: cluster, then inside each cluster drop every
 # vector that is near-identical (cosine >= threshold) to a vector that
@@ -1634,3 +1635,150 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_view(spark, sf_dir)
     batch = spark.sql(_SPARK_PREP).where(SEM_INCR_SPLIT)
     return _sem_incr_gated(spark, batch)
+
+
+# --- IVF re-listing: execute the split plan (round 13) ----------------------
+def _rebalance_sql(prep: str, cos: str) -> str:
+    """Dialect-shared re-listing SQL (the DuckDB oracle): re-derive the
+    split plan from the assignment, take each split cluster's
+    ``n_sublists`` most-central members as sub-centroids (srank =
+    centrality order), and re-assign every member of a split cluster to
+    its nearest sub-centroid (round-6dp argmax, srank-ascending ties —
+    the engine-shared rule every assignment in this module uses).
+    Members of untouched clusters keep sub_id = 1."""
+    return f"""
+    WITH assigned AS ({_semantic_assign_sql(prep, cos, _IVF_CENTROIDS)}),
+    plan AS (
+        SELECT cid,
+               CASE WHEN x_uniform >= {IVF_SPLIT_FACTOR}
+                    THEN GREATEST(CAST(CEIL(x_uniform) AS BIGINT), 2)
+                    ELSE 1 END AS ns
+        FROM (
+            SELECT cid,
+                   ROUND(COUNT(*) * CAST({_IVF_NLIST_SQL} AS DOUBLE)
+                         / (SELECT COUNT(*) FROM embeddings), 6) AS x_uniform
+            FROM assigned GROUP BY cid
+        ) bal
+    ),
+    subcent AS (
+        SELECT a.cid, a.emb, a.nrm, a.crn AS srank
+        FROM assigned a JOIN plan p ON a.cid = p.cid
+        WHERE p.ns > 1 AND a.crn <= p.ns
+    ),
+    subassign AS (
+        SELECT a.vec_id, b.srank,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, b.srank)
+                   AS rn
+        FROM assigned a JOIN subcent b ON a.cid = b.cid
+    )
+    SELECT a.vec_id, a.cid, CAST(COALESCE(s.srank, 1) AS INT) AS sub_id
+    FROM assigned a
+    LEFT JOIN (SELECT vec_id, srank FROM subassign WHERE rn = 1) s
+      ON a.vec_id = s.vec_id
+    """
+
+
+@query(
+    "ivf_rebalance",
+    tier=2,
+    oracle=_rebalance_sql(_DUCK_PREP, _DUCK_COS),
+)
+def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the split plan — the act stage of the IVF maintenance
+    chain (`ivf_cluster_balance` diagnoses, `ivf_split_plan` decides,
+    this re-lists): every member of a cluster the plan marks for
+    splitting is re-assigned to the nearest of that cluster's
+    ``n_sublists`` most-central members (geometric sub-centroids — the
+    SemDeDup split rule, so sub-lists stay semantically coherent and a
+    search probing its nearest sub-lists keeps the parent list's
+    recall); untouched clusters keep ``sub_id`` = 1. Emits the new
+    per-vector list key (vec_id, cid, sub_id).
+
+    At the driver SFs no cluster crosses the split factor, so the
+    emission is the identity re-listing (still value-checked end to
+    end); the split path fires at the 10× probe corpus — x ≈ 10 on the
+    hot cluster — where tests/test_recall.py pins Spark == DuckDB
+    bit-exact AND that the hottest post-split list genuinely shrinks.
+    Caveat (documented, same as `_sem_dropped_mask`): an
+    identical-vector flood defeats geometric splitting (every member
+    scores 1.0 against every sub-centroid and funnels to srank 1); the
+    balance-guaranteed fallback for that adversarial case is congruence
+    sharding (sub_id = vec_id % ns), which trades list coherence for
+    bounded task size.
+
+    Scale: the assignment is the shared broadcast BLAS matmul,
+    checkpointed once and read by the plan rollup (≤ √n groups) and the
+    per-cluster re-assign; the re-assign is one Gram matmul per split
+    cluster (members × ns, ns ≈ x ≤ a few dozen), Arrow-batched. One
+    extra shuffle (the cid groupBy) beyond the balance rollup; no new
+    pairwise stage anywhere.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    _emb_view(spark, sf_dir)
+    n = spark.table("embeddings_raw").select("vec_id").count()
+    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    assigned = _matmul_assign(spark).localCheckpoint(eager=True)
+    assigned.createOrReplaceTempView("ivf_rebal_assigned")
+    # The plan re-derived in Spark SQL with the same arithmetic as the
+    # oracle (ROUND/CEIL on the engine side, never numpy), collected at
+    # <= sqrt(n) rows and broadcast as the per-cluster sublist count.
+    plan_rows = spark.sql(
+        f"""
+        SELECT cid,
+               CASE WHEN x >= {IVF_SPLIT_FACTOR}
+                    THEN GREATEST(CAST(CEIL(x) AS BIGINT), 2)
+                    ELSE 1 END AS ns
+        FROM (SELECT cid,
+                     ROUND(COUNT(*) * CAST({nlist} AS DOUBLE) / {n}, 6) AS x
+              FROM ivf_rebal_assigned GROUP BY cid) bal
+        """
+    ).collect()
+    bc = spark.sparkContext.broadcast(
+        {int(r["cid"]): int(r["ns"]) for r in plan_rows if r["ns"] > 1}
+    )
+
+    def rebal(pdf):
+        import pandas as pd
+
+        cid = int(pdf["cid"].iloc[0])
+        ns = bc.value.get(cid, 1)
+        pdf = pdf.sort_values(["ccos", "vec_id"], ascending=[False, True])
+        c = len(pdf)
+        if ns <= 1:
+            sub_id = np.ones(c, dtype=np.int32)
+        else:
+            m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
+            sub = m[: min(ns, c)]
+            s = m @ sub.T
+            best = s.argmax(axis=1)
+            mx = s[np.arange(c), best]
+            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
+            for i in np.nonzero(close)[0]:
+                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
+                best[i] = cand[np.round(s[i][cand], 6).argmax()]
+            sub_id = (best + 1).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "sub_id": sub_id,
+            }
+        )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", LongType()),
+            StructField("sub_id", IntegerType()),
+        ]
+    )
+    return assigned.groupBy("cid").applyInPandas(rebal, out_schema)

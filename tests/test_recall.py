@@ -431,3 +431,47 @@ def test_ivf_split_plan_restores_balance(spark, sf_dir):
     # IVF_SPLIT_FACTOR x uniform among untouched ones
     if split:
         assert max(r.x_post_split for r in split) <= 1.000001
+
+
+def test_ivf_rebalance_splits_and_verifies_at_probe_scale(spark):
+    """The split path never fires at driver SFs (max x_uniform ~1.4), so
+    this pins it where it does: the 10x probe corpus drives a hot
+    cluster to x ~ 10. Two contracts: (1) Spark == DuckDB bit-exact on
+    the full per-vector re-listing (the same oracle the driver runs,
+    executed on the probe corpus), and (2) the re-listing genuinely
+    shrinks the hottest list — the straggler bound the whole
+    diagnose -> decide -> act chain exists to cap."""
+    from collections import Counter
+
+    import duckdb
+
+    from bench import _probe_dir
+    from lakehouse_workshop_spark.operators import all_oracles
+    from lakehouse_workshop_spark.operators.llm_similarity import ivf_rebalance
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    probe = _probe_dir(spark, SF01)
+    # duck_connect registers every testdata table and the probe dir only
+    # materializes documents/embeddings — register just what the oracle
+    # reads.
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        # the probe corpus is Spark-written (a directory of part files),
+        # unlike the driver testdata's single-file parquet
+        f"SELECT * FROM read_parquet('{probe}/embeddings.parquet/*.parquet')"
+    )
+    oracle_pdf = con.sql(all_oracles()["ivf_rebalance"]).df()
+    spark_df = ivf_rebalance(spark, probe).localCheckpoint(eager=True)
+    assert canon_rows(spark_df.toPandas()) == canon_rows(oracle_pdf), (
+        "Spark vs DuckDB re-listing diverged at probe scale"
+    )
+
+    rows = spark_df.collect()
+    old = Counter(r.cid for r in rows)
+    new = Counter((r.cid, r.sub_id) for r in rows)
+    assert any(r.sub_id > 1 for r in rows), "no split fired at probe scale"
+    assert max(new.values()) < max(old.values()), (
+        f"hottest list did not shrink: {max(old.values())} -> "
+        f"{max(new.values())}"
+    )
