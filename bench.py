@@ -329,6 +329,9 @@ PROBE_QUERIES = [
     "pii_redact",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    # the split path only fires at probe scale (x~10 hot cluster) — the
+    # 10x row is where this operator does real work; sf0.1 is identity
+    "ivf_rebalance",
     "unigram_lm_score",
     "embedding_label_centroids",
     "bigram_lm_score",
@@ -400,6 +403,9 @@ PROBE100X_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "semantic_dedup",
+    # the r13 incremental gate at the decade that matters (180k standing +
+    # 20k batch); funded by the retired ivf_topk wall budget
+    "semantic_dedup_incremental",
     # ivf_topk's 100× wall-time row is RETIRED as of r13 (r12 verdict
     # "What's wrong #1"): under the documented 2–4× between-session host
     # spread on the 200k-vector corpus, neither min-of-2 (r12: recorded

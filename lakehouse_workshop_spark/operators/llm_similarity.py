@@ -1724,22 +1724,28 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _emb_view(spark, sf_dir)
-    n = spark.table("embeddings_raw").select("vec_id").count()
-    nlist = max(IVF_NLIST_MIN, int(n**0.5))
     assigned = _matmul_assign(spark).localCheckpoint(eager=True)
     assigned.createOrReplaceTempView("ivf_rebal_assigned")
     # The plan re-derived in Spark SQL with the same arithmetic as the
     # oracle (ROUND/CEIL on the engine side, never numpy), collected at
     # <= sqrt(n) rows and broadcast as the per-cluster sublist count.
+    # n and nlist come from the rollup itself (SUM over the per-cid
+    # counts == the corpus count), not a separate scan job.
     plan_rows = spark.sql(
         f"""
+        WITH bal AS (SELECT cid, COUNT(*) AS c FROM ivf_rebal_assigned
+                     GROUP BY cid),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bal)
         SELECT cid,
                CASE WHEN x >= {IVF_SPLIT_FACTOR}
                     THEN GREATEST(CAST(CEIL(x) AS BIGINT), 2)
                     ELSE 1 END AS ns
         FROM (SELECT cid,
-                     ROUND(COUNT(*) * CAST({nlist} AS DOUBLE) / {n}, 6) AS x
-              FROM ivf_rebal_assigned GROUP BY cid) bal
+                     ROUND(c * CAST(GREATEST({IVF_NLIST_MIN},
+                               CAST(FLOOR(SQRT((SELECT n FROM tot)))
+                                    AS BIGINT)) AS DOUBLE)
+                           / (SELECT n FROM tot), 6) AS x
+              FROM bal) t
         """
     ).collect()
     bc = spark.sparkContext.broadcast(
