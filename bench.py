@@ -122,6 +122,7 @@ HEADLINE = [
     "ivf_cluster_balance",
     "ivf_split_plan",
     "ivf_rebalance",
+    "embedding_cluster_drift",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

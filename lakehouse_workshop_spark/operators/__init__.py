@@ -77,18 +77,19 @@ DRIVER_ORDER: list[str] = [
     "streaming_sessionize_flushed",
     "streaming_windowed_counts",
     "streaming_windowed_counts_watermarked",
-    "text_normalize",
-    # (train_val_test_split, unigram_lm_score: the two r09 rows deferred
-    # to r14 — displaced by the third and fourth round-13 registrations;
+    # (text_normalize, train_val_test_split, unigram_lm_score: the three
+    # r09 rows deferred to r14 — displaced by round-13 registrations;
     # NOT yet stale at r13)
-    # -- 47-50: round-13 registrations (incremental + streaming semantic
-    # dedup; the IVF split-decision layer and its executor). They
-    # displaced the two r10 pre-rotations (blocklist_scrub,
-    # cms_heavy_hitters) and two r09 tail rows. ---------------------------
+    # -- 46-50: round-13 registrations (incremental + streaming semantic
+    # dedup; the IVF split-decision layer and its executor; the
+    # embedding-space drift monitor). They displaced the two r10
+    # pre-rotations (blocklist_scrub, cms_heavy_hitters) and three r09
+    # tail rows. ----------------------------------------------------------
     "semantic_dedup_incremental",
     "streaming_semantic_dedup",
     "ivf_split_plan",
     "ivf_rebalance",
+    "embedding_cluster_drift",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

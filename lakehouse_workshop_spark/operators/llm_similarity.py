@@ -1788,3 +1788,142 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return assigned.groupBy("cid").applyInPandas(rebal, out_schema)
+
+
+# --- embedding-space drift monitor (round 13) --------------------------------
+# The embedding twin of token_dist_shift / source_token_kl: before an
+# ingest's vectors are trusted to the standing index (or the standing
+# centroids are trusted to represent the ingest), compare the batch's
+# cluster-occupancy distribution against the corpus's under the SAME
+# corpus-only geometry the incremental gate uses. A cluster whose batch
+# share moved >= 2 corpus-share points is the re-train / re-list signal
+# read BEFORE recall decays (constant centroids on drifted data is the
+# same defect class as constant nprobe on grown data — r10/r11).
+EMB_DRIFT_SHIFTED = 0.02
+
+
+def _drift_rollup_sql(asg_rel: str) -> str:
+    """Dialect-shared rollup over a (vec_id, is_batch, cid) assignment
+    relation: per-cluster corpus/batch populations, their shares, the
+    signed share drift, and the shifted flag. Shares and drift divide
+    exact integers in double and round at 6 dp — identical cross-engine
+    (the `_cluster_balance_sql` convention)."""
+    return f"""
+    WITH asg AS ({asg_rel}),
+    c AS (SELECT cid, COUNT(*) AS n FROM asg WHERE NOT is_batch GROUP BY cid),
+    b AS (SELECT cid, COUNT(*) AS n FROM asg WHERE is_batch GROUP BY cid),
+    tc AS (SELECT COUNT(*) AS n FROM asg WHERE NOT is_batch),
+    tb AS (SELECT COUNT(*) AS n FROM asg WHERE is_batch)
+    SELECT COALESCE(c.cid, b.cid) AS cid,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_batch,
+           ROUND(COALESCE(c.n, 0) / CAST((SELECT n FROM tc) AS DOUBLE), 6)
+               AS corpus_share,
+           ROUND(COALESCE(b.n, 0) / CAST((SELECT n FROM tb) AS DOUBLE), 6)
+               AS batch_share,
+           ROUND(COALESCE(b.n, 0) / CAST((SELECT n FROM tb) AS DOUBLE)
+                 - COALESCE(c.n, 0) / CAST((SELECT n FROM tc) AS DOUBLE), 6)
+               AS drift,
+           ABS(COALESCE(b.n, 0) / CAST((SELECT n FROM tb) AS DOUBLE)
+               - COALESCE(c.n, 0) / CAST((SELECT n FROM tc) AS DOUBLE))
+               >= {EMB_DRIFT_SHIFTED} AS shifted
+    FROM c FULL OUTER JOIN b ON c.cid = b.cid
+    """
+
+
+_DRIFT_ASSIGN_ORACLE = f"""
+    WITH e AS ({_DUCK_PREP}),
+    cent AS (
+        SELECT vec_id AS cid, emb, nrm FROM e
+        WHERE NOT ({SEM_INCR_SPLIT}) AND vec_id < {_SEM_INCR_NLIST_SQL}
+    ),
+    cdist AS (
+        SELECT a.vec_id, a.vec_id % 10 = 9 AS is_batch, b.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.cid)
+                   AS rn
+        FROM e a JOIN cent b ON 1 = 1
+    )
+    SELECT vec_id, is_batch, cid FROM cdist WHERE rn = 1
+"""
+
+
+@query(
+    "embedding_cluster_drift",
+    tier=2,
+    oracle=_drift_rollup_sql(_DRIFT_ASSIGN_ORACLE),
+)
+def embedding_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space distribution-shift monitor: assign the standing
+    corpus AND tonight's ingest batch (vec_id % 10 = 9) to the
+    corpus-only centroid geometry (the `semantic_dedup_incremental`
+    machinery — the batch must not move the yardstick it is measured
+    against), then compare per-cluster occupancy shares. Emits per
+    cluster: both populations, both shares, the signed share drift, and
+    ``shifted`` (|drift| >= {EMB_DRIFT_SHIFTED} — two corpus-share
+    points, the re-train/re-list signal). 0.5·Σ|drift| is the total
+    variation distance between the two cluster distributions; per-row
+    drift is emitted so the operator is a decision input per inverted
+    list, not one opaque scalar.
+
+    Completes the drift family across spaces: token unigrams
+    (`token_dist_shift`), per-source KL (`source_token_kl`), and now
+    cluster occupancy in embedding space — the one a vector index
+    maintainer actually acts on (stale centroids on drifted data decay
+    recall exactly like constant nprobe on grown data, the r10/r11
+    defect class).
+
+    Scale: two broadcast-centroid matmul passes (corpus, batch — each
+    one Arrow pass, no shuffle), a cid rollup over ≤ √n groups, and a
+    √n-row full outer join. Shares divide exact integers; identical
+    cross-engine.
+    """
+    _emb_view(spark, sf_dir)
+    bc = _sem_incr_centroids(spark)
+    prepped = spark.sql(_SPARK_PREP)
+    asg_c = (
+        prepped.where(f"NOT ({SEM_INCR_SPLIT})")
+        .mapInPandas(_centroid_assign_fn(bc, "drift_c"), _SEM_ASSIGN_SCHEMA)
+        .select("vec_id", "cid")
+        .withColumn("is_batch", F.lit(False))
+    )
+    asg_b = (
+        prepped.where(SEM_INCR_SPLIT)
+        .mapInPandas(_centroid_assign_fn(bc, "drift_b"), _SEM_ASSIGN_SCHEMA)
+        .select("vec_id", "cid")
+        .withColumn("is_batch", F.lit(True))
+    )
+    # The shared rollup references the assignment from four CTE sides
+    # (corpus rollup, batch rollup, both totals); through a temp view
+    # Spark re-expands the whole union+assign subtree per reference
+    # (measured: 16 exchanges, 8 Python boundaries pre-AQE). Spark gets
+    # the single-scan twin instead: materialize the assignment once (in
+    # deployment it IS a standing table), roll both sides up in one
+    # conditional-count pass, and read the totals as unpartitioned
+    # window sums over the ≤ √n rollup rows — same integers, same
+    # 6-dp-rounded doubles as the oracle's materialized-CTE form.
+    asg = asg_c.unionByName(asg_b).localCheckpoint(eager=True)
+    asg.createOrReplaceTempView("emb_drift_asg")
+    return spark.sql(
+        f"""
+        WITH bal AS (
+            SELECT cid,
+                   COUNT(CASE WHEN NOT is_batch THEN 1 END) AS nc,
+                   COUNT(CASE WHEN is_batch THEN 1 END) AS nb
+            FROM emb_drift_asg GROUP BY cid
+        )
+        SELECT cid,
+               CAST(nc AS BIGINT) AS n_corpus,
+               CAST(nb AS BIGINT) AS n_batch,
+               ROUND(nc / CAST(SUM(nc) OVER () AS DOUBLE), 6)
+                   AS corpus_share,
+               ROUND(nb / CAST(SUM(nb) OVER () AS DOUBLE), 6)
+                   AS batch_share,
+               ROUND(nb / CAST(SUM(nb) OVER () AS DOUBLE)
+                     - nc / CAST(SUM(nc) OVER () AS DOUBLE), 6) AS drift,
+               ABS(nb / CAST(SUM(nb) OVER () AS DOUBLE)
+                   - nc / CAST(SUM(nc) OVER () AS DOUBLE))
+                   >= {EMB_DRIFT_SHIFTED} AS shifted
+        FROM bal
+        """
+    )
