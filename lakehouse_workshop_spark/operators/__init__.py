@@ -21,15 +21,15 @@ TIERS: dict[str, int] = {}
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py):
-#   1. Positions 1-48: the full 48-row r09-latest cohort — every one of
-#      them hits the P=5 horizon at r14 (P = max(3, ceil(registry/window)
-#      +1) = 5 at 193 queries), so packing them now keeps the r14 window
-#      free to pre-rotate the 46-row r10 cohort (stale at r15). Tail rows
-#      double as the swap budget: a round-13 source edit or registration
-#      displaces one (the displaced row is NOT yet stale — it re-enters
-#      at r14).
-#   2. Positions 49-50: r10 pre-rotations, first in line for displacement
-#      by round-13 registrations.
+#   1. Positions 1-45: 45 of the 48 r09-latest rows — the cohort hits
+#      the P=5 horizon at r14 (P = max(3, ceil(registry/window)+1) = 5
+#      at 198 queries). The round started with all 48 + two r10
+#      pre-rotations (blocklist_scrub, cms_heavy_hitters); each of the
+#      five round-13 registrations displaced one — first the two
+#      pre-rotations, then the r09 tail rows text_normalize,
+#      train_val_test_split, unigram_lm_score. Those three r09 rows are
+#      STALE at r14 and must lead the r14 window.
+#   2. Positions 46-50: the five round-13 registrations.
 DRIVER_ORDER: list[str] = [
     # -- 1-48: latest row r09, stale at r14 — the whole cohort -----------
     "ann_topk_lsh",

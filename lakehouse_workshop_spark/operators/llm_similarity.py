@@ -1390,7 +1390,7 @@ def _sem_incr_sql(prep: str, cos: str, corpus_only: bool = False) -> str:
     ),
     cdist AS (
         SELECT a.vec_id, a.emb, a.nrm,
-               a.vec_id % 10 = 9 AS is_batch, b.cid,
+               a.{SEM_INCR_SPLIT} AS is_batch, b.cid,
                ROUND({cos}, 6) AS ccos,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY ROUND({cos}, 6) DESC, b.cid) AS rn
@@ -1838,7 +1838,7 @@ _DRIFT_ASSIGN_ORACLE = f"""
         WHERE NOT ({SEM_INCR_SPLIT}) AND vec_id < {_SEM_INCR_NLIST_SQL}
     ),
     cdist AS (
-        SELECT a.vec_id, a.vec_id % 10 = 9 AS is_batch, b.cid,
+        SELECT a.vec_id, a.{SEM_INCR_SPLIT} AS is_batch, b.cid,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.cid)
                    AS rn

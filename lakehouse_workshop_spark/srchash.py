@@ -103,6 +103,19 @@ def _unwrap(obj):
     return obj
 
 
+def _const_repr(v) -> str:
+    """Process-stable repr for a compile-time constant: frozenset/set
+    literals iterate in string-hash order (randomized per process —
+    ``lambda x: x in {'a', 'b'}`` stores a frozenset in co_consts and
+    its repr differs across PYTHONHASHSEEDs), so sets sort by element
+    repr and tuples recurse to cover nested set literals."""
+    if isinstance(v, (set, frozenset)):
+        return "{" + ", ".join(sorted(_const_repr(x) for x in v)) + "}"
+    if isinstance(v, tuple):
+        return "(" + ", ".join(_const_repr(x) for x in v) + ",)"
+    return repr(v)
+
+
 def _bytecode_digest(code) -> str:
     """Process-stable digest of a code object's behavior-carrying parts.
 
@@ -111,8 +124,9 @@ def _bytecode_digest(code) -> str:
     ``lambda x: x + 1`` and ``lambda x: x + 2`` share identical
     ``co_code`` and a constants-only edit to an exec-defined callable
     would be invisible. Nested code objects (whose ``repr`` embeds a
-    ``0x`` address) recurse; every other const is a compile-time literal
-    with a deterministic ``repr``."""
+    ``0x`` address) recurse; every other const goes through
+    :func:`_const_repr` (set literals are hash-order-iterated and need
+    element sorting to stay process-stable)."""
     h = hashlib.sha256()
     stack = [code]
     while stack:
@@ -123,7 +137,7 @@ def _bytecode_digest(code) -> str:
             if isinstance(const, types.CodeType):
                 stack.append(const)
             else:
-                h.update(repr(const).encode())
+                h.update(_const_repr(const).encode())
     return h.hexdigest()[:16]
 
 
@@ -152,12 +166,13 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
         return
     seen.add(key)
     try:
-        out[f"def {key[0]}.{key[1]}"] = inspect.getsource(fn)
+        src = inspect.getsource(fn)
     except (OSError, TypeError):
         # No retrievable source (REPL/exec-defined): pin a stable
         # identity (+bytecode digest); nothing to recurse into.
         out[f"def {key[0]}.{key[1]}"] = _stable_identity(fn, key)
         return
+    out[f"def {key[0]}.{key[1]}"] = src
     g = getattr(fn, "__globals__", {})
     gmod = g.get("__name__", key[0])
     closure: dict[str, object] = {}
@@ -173,78 +188,131 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
         obj = closure.get(name, g.get(name, _MISSING))
         if obj is _MISSING or isinstance(obj, types.ModuleType):
             continue  # builtins, attribute names, module refs
-        obj = _unwrap(obj)
-        if isinstance(obj, functools.partial):
-            # Bound arguments carry behavior: hash them (callables by
-            # stable identity, never repr — addresses differ per
-            # process), then govern the wrapped callable like any other
-            # reference.
-            def _arg_repr(v):
-                if callable(v):
-                    return _stable_identity(
-                        v,
-                        (
-                            getattr(v, "__module__", "?") or "?",
-                            getattr(v, "__qualname__", type(v).__name__),
-                        ),
-                    )
-                # repr() only for values with deterministic reprs: simple
-                # scalars and plain containers thereof (r12 ADVICE — an
-                # instance without a custom __repr__ embeds a 0x address,
-                # the per-process nondeterminism this function exists to
-                # avoid). Anything else pins by module-qualified type.
-                if isinstance(v, _SIMPLE):
-                    return repr(v)
-                if isinstance(v, (set, frozenset)):
-                    return "{" + ", ".join(sorted(_arg_repr(x) for x in v)) + "}"
-                if isinstance(v, (tuple, list)):
-                    return "[" + ", ".join(_arg_repr(x) for x in v) + "]"
-                if isinstance(v, dict):
-                    return (
-                        "{"
-                        + ", ".join(
-                            f"{k!r}: {_arg_repr(x)}" for k, x in sorted(v.items())
-                        )
-                        + "}"
-                    )
-                return f"<{type(v).__module__}.{type(v).__qualname__}>"
+        _govern_object(obj, name, gmod, out, seen)
+    _collect_local_imports(src, out, seen)
 
-            out[f"partial {gmod}.{name}"] = (
-                "args=(" + ", ".join(_arg_repr(a) for a in obj.args) + ") "
-                "keywords=["
-                + ", ".join(
-                    f"({k!r}, {_arg_repr(v)})"
-                    for k, v in sorted(obj.keywords.items())
+
+def _govern_object(obj, name: str, gmod: str, out: dict[str, str], seen: set) -> None:
+    """Fold one referenced object into the governed closure — shared by
+    the ``co_names`` loop and the function-local-import resolver."""
+    obj = _unwrap(obj)
+    if isinstance(obj, functools.partial):
+        # Bound arguments carry behavior: hash them (callables by
+        # stable identity, never repr — addresses differ per
+        # process), then govern the wrapped callable like any other
+        # reference.
+        def _arg_repr(v):
+            if callable(v):
+                return _stable_identity(
+                    v,
+                    (
+                        getattr(v, "__module__", "?") or "?",
+                        getattr(v, "__qualname__", type(v).__name__),
+                    ),
                 )
-                + "]"
-            )
-            inner = _unwrap(obj.func)
-            if isinstance(inner, types.FunctionType) and _in_package(inner):
-                _collect(inner, out, seen)
-            continue
-        if isinstance(obj, types.FunctionType) and _in_package(obj):
-            _collect(obj, out, seen)
-        elif inspect.isclass(obj) and _in_package(obj):
-            ckey = f"class {obj.__module__}.{obj.__qualname__}"
-            if ckey not in out:
-                try:
-                    out[ckey] = inspect.getsource(obj)
-                except (OSError, TypeError):
-                    out[ckey] = _stable_identity(
-                        obj, (obj.__module__, obj.__qualname__)
+            # repr() only for values with deterministic reprs: simple
+            # scalars, plain containers thereof, and objects with a
+            # CUSTOM __repr__ (value-carrying by authorial intent —
+            # np.ndarray included; dropping these to a type-name pin
+            # would make a value-only edit to a bound array invisible,
+            # the r11 partial defect class). Only the DEFAULT
+            # object.__repr__ embeds a 0x address (r12 ADVICE — the
+            # per-process nondeterminism this function exists to
+            # avoid); those pin by module-qualified type.
+            if isinstance(v, _SIMPLE):
+                return repr(v)
+            if isinstance(v, (set, frozenset)):
+                return "{" + ", ".join(sorted(_arg_repr(x) for x in v)) + "}"
+            if isinstance(v, (tuple, list)):
+                return "[" + ", ".join(_arg_repr(x) for x in v) + "]"
+            if isinstance(v, dict):
+                # mixed-type keys are unorderable — sort by key repr
+                return (
+                    "{"
+                    + ", ".join(
+                        f"{k!r}: {_arg_repr(x)}"
+                        for k, x in sorted(
+                            v.items(), key=lambda kv: repr(kv[0])
+                        )
                     )
-        elif isinstance(obj, (_SIMPLE, tuple, list, dict, set, frozenset)):
-            # Module-level constants (SQL template strings, knob ints,
-            # lookup dicts). repr of source-defined containers is
-            # deterministic (insertion order). Sets are sorted by repr
-            # of elements so the hash does not depend on iteration order.
-            if isinstance(obj, (set, frozenset)):
-                rep = "{" + ", ".join(sorted(repr(x) for x in obj)) + "}"
-            else:
-                rep = repr(obj)
-            out[f"const {gmod}.{name}"] = rep
-        # anything else (np arrays, sessions, third-party objects) is not
-        # a source-governed value; skipped deliberately.
+                    + "}"
+                )
+            if type(v).__repr__ is not object.__repr__:
+                return repr(v)
+            return f"<{type(v).__module__}.{type(v).__qualname__}>"
+
+        out[f"partial {gmod}.{name}"] = (
+            "args=(" + ", ".join(_arg_repr(a) for a in obj.args) + ") "
+            "keywords=["
+            + ", ".join(
+                f"({k!r}, {_arg_repr(v)})"
+                for k, v in sorted(obj.keywords.items())
+            )
+            + "]"
+        )
+        inner = _unwrap(obj.func)
+        if isinstance(inner, types.FunctionType) and _in_package(inner):
+            _collect(inner, out, seen)
+        return
+    if isinstance(obj, types.FunctionType) and _in_package(obj):
+        _collect(obj, out, seen)
+    elif inspect.isclass(obj) and _in_package(obj):
+        ckey = f"class {obj.__module__}.{obj.__qualname__}"
+        if ckey not in out:
+            try:
+                out[ckey] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                out[ckey] = _stable_identity(
+                    obj, (obj.__module__, obj.__qualname__)
+                )
+    elif isinstance(obj, (_SIMPLE, tuple, list, dict, set, frozenset)):
+        # Module-level constants (SQL template strings, knob ints,
+        # lookup dicts). repr of source-defined containers is
+        # deterministic (insertion order). Sets are sorted by repr
+        # of elements so the hash does not depend on iteration order.
+        if isinstance(obj, (set, frozenset)):
+            rep = "{" + ", ".join(sorted(repr(x) for x in obj)) + "}"
+        else:
+            rep = repr(obj)
+        out[f"const {gmod}.{name}"] = rep
+    # anything else (np arrays, sessions, third-party objects) is not
+    # a source-governed value; skipped deliberately.
+
+
+def _collect_local_imports(src: str, out: dict[str, str], seen: set) -> None:
+    """Govern function-LOCAL package imports (r13 review finding #2).
+
+    ``from lakehouse_workshop_spark.x import y`` inside a function body
+    binds ``y`` as a local, so it is absent from ``fn.__globals__`` and
+    the ``co_names`` loop skips it — the 125-line streaming job behind
+    ``streaming_semantic_dedup`` (and the LSH twin before it) was
+    invisible to changed-source governance: an edit to the gate logic
+    would have shipped with zero hash drift, the exact r10 ``_pq_knobs``
+    defect class. Resolving the AST's package-ImportFrom targets closes
+    it: each imported object is governed exactly like a global
+    reference, keyed by its HOME module (which is also what
+    ``RUNTIME_STATE`` exclusion keys mean)."""
+    import ast
+    import importlib
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:  # pragma: no cover - getsource quirk safety net
+        return
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or not node.module:
+            continue
+        if node.module != PACKAGE and not node.module.startswith(PACKAGE + "."):
+            continue
+        mod = importlib.import_module(node.module)
+        for alias in node.names:
+            if (node.module, alias.name) in RUNTIME_STATE:
+                continue
+            obj = getattr(mod, alias.name, _MISSING)
+            if obj is _MISSING or isinstance(obj, types.ModuleType):
+                continue
+            _govern_object(obj, alias.name, node.module, out, seen)
 
 
 def governed_source_hash(fn, oracle: str | None = None) -> str:

@@ -1198,7 +1198,6 @@ def run_streaming_semantic_dedup(
     matrix once per cycle instead.)
     """
     import os
-    import shutil
 
     from lakehouse_workshop_spark.operators.llm_similarity import (
         _centroid_assign_fn,
@@ -1286,6 +1285,7 @@ def run_streaming_semantic_dedup(
             .start()
         )
         q.awaitTermination()
-    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
-    shutil.rmtree(target_dir, ignore_errors=True)
-    return out
+    # Lazy reader, like run_streaming_lsh_ingest: the registered wrapper
+    # orders + checkpoints ONCE and owns workdir cleanup — a checkpoint
+    # here would materialize the whole verdict set a second time.
+    return spark.read.parquet(out_dir)

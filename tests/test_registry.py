@@ -219,7 +219,10 @@ def test_changed_source_is_in_window():
             # pending entries (window_round None) were never verified —
             # no driver row exists for the old hash to vouch for
             and manifest[n].get("window_round") is not None
-            and manifest[n]["hash"] != cur
+            # compare against the hash a REAL driver row vouches for —
+            # the staged hash of the latest write would let a
+            # changed-then-displaced query escape (r13 review finding #3)
+            and manifest[n].get("verified_hash", manifest[n]["hash"]) != cur
             and n not in window
         ):
             drifted.append(n)

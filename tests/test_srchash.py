@@ -290,3 +290,145 @@ def test_runtime_state_exclusion_is_module_scoped():
         )
     finally:
         sys.modules.pop(name, None)
+
+
+def test_set_constant_digest_is_hashseed_stable():
+    """r13 review: repr() of a frozenset constant in co_consts iterates
+    in randomized string-hash order, so the bytecode digest differed per
+    process for `lambda x: x in {'a', 'b'}` — the exact nondeterminism
+    the fallback exists to avoid. Pin: the digest is computed from
+    sorted element reprs (verified stable across PYTHONHASHSEEDs by
+    construction: subprocess with a different seed gives the same
+    identity), and a membership-set edit still drifts it."""
+    import subprocess
+    import sys as _sys
+
+    from lakehouse_workshop_spark.srchash import _stable_identity
+
+    src = "lambda x: x in {'alpha', 'beta', 'gamma'}"
+    here = _stable_identity(eval(src), ("m", "q"))
+    prog = (
+        "import sys; sys.path.insert(0, '.');"
+        "from lakehouse_workshop_spark.srchash import _stable_identity;"
+        f"print(_stable_identity(eval({src!r}), ('m', 'q')))"
+    )
+    for seed in ("1", "7"):
+        out = subprocess.run(
+            [_sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == here, (seed, out.stdout, here)
+    # and the set edit drifts
+    other = _stable_identity(eval("lambda x: x in {'alpha', 'DELTA', 'gamma'}"), ("m", "q"))
+    assert other != here
+
+
+def test_partial_custom_repr_arg_stays_value_governed():
+    """r13 review: pinning every non-simple bound arg by type name made
+    a value-only edit to e.g. a bound np.ndarray invisible (the r11
+    partial defect class, reintroduced). Objects with a CUSTOM __repr__
+    keep value-carrying repr; only default-object-repr instances (whose
+    repr embeds an address) pin by type. Mixed-key dicts must hash, not
+    raise."""
+    import functools
+
+    import numpy as np
+
+    from lakehouse_workshop_spark import srchash
+    from lakehouse_workshop_spark.srchash import governed_source_hash
+
+    src = (
+        "def _base(x, w=None):\n"
+        "    return x\n"
+        "def query(spark, sf):\n"
+        "    return _bound(2)\n"
+    )
+    path = "/tmp/_srchash_ndarray_fixture.py"
+    name = f"{srchash.PACKAGE}._fake_ndarray_mod"
+    spec = importlib.util.spec_from_file_location(name, path)
+    open(path, "w").write(src)
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[name] = m
+    try:
+        spec.loader.exec_module(m)
+        m._bound = functools.partial(m._base, w=np.array([1.0, 2.0]))
+        h1 = governed_source_hash(m.query)
+        m._bound = functools.partial(m._base, w=np.array([9.0, 9.0]))
+        h2 = governed_source_hash(m.query)
+        assert h1 != h2, "ndarray value edit did not drift the hash"
+        # mixed-type dict keys: must hash without raising
+        m._bound = functools.partial(m._base, w={"a": 1, 0: 2})
+        governed_source_hash(m.query)
+    finally:
+        sys.modules.pop(name, None)
+
+
+def test_function_local_package_imports_are_governed(tmp_path):
+    """r13 review finding #2: `from lakehouse_workshop_spark.x import y`
+    INSIDE a function body binds y as a local — absent from
+    __globals__, so the co_names loop skipped it and the whole streaming
+    job behind a registered wrapper was invisible to changed-source
+    governance (an edit to the gate logic would ship with zero hash
+    drift — the r10 _pq_knobs defect class, on a 125-line body). The
+    AST ImportFrom resolver must fold the imported object's source in,
+    transitively."""
+    from lakehouse_workshop_spark import srchash
+    from lakehouse_workshop_spark.srchash import (
+        collect_sources,
+        governed_source_hash,
+    )
+
+    def _load(stamp, text):
+        name = f"{srchash.PACKAGE}._scratch_localimp_{stamp}"
+        path = tmp_path / f"localimp_{stamp}.py"
+        path.write_text(text)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return name, mod
+
+    jobs_name, jobs = _load(
+        "jobs", "GATE = 1\ndef run_job(x):\n    return x + GATE\n"
+    )
+    try:
+        wrap_src = (
+            "def query(spark, sf):\n"
+            f"    from {jobs_name} import run_job\n"
+            "    return run_job(2)\n"
+        )
+        _, wrap = _load("wrap", wrap_src)
+        parts = collect_sources(wrap.query)
+        assert any(k.endswith(".run_job") for k in parts), parts.keys()
+        assert any(k.endswith(".GATE") for k in parts), parts.keys()
+        h1 = governed_source_hash(wrap.query)
+        # edit ONLY the locally-imported job body: hash must drift
+        jobs.run_job = _load(
+            "jobs2", "GATE = 1\ndef run_job(x):\n    return x - GATE\n"
+        )[1].run_job
+        sys.modules[jobs_name].run_job = jobs.run_job
+        h2 = governed_source_hash(wrap.query)
+        assert h1 != h2, "locally-imported job edit did not drift the hash"
+    finally:
+        for stamp in ("jobs", "jobs2", "wrap"):
+            sys.modules.pop(f"{srchash.PACKAGE}._scratch_localimp_{stamp}", None)
+
+
+def test_streaming_wrappers_govern_their_jobs():
+    """The real-registry pin for the same finding: every streaming
+    wrapper whose body is a function-local import of a streaming job
+    must carry that job (and its gate machinery) in its governed
+    closure."""
+    from lakehouse_workshop_spark.srchash import collect_sources
+
+    q = all_queries()
+    sem = set(collect_sources(q["streaming_semantic_dedup"]))
+    assert any(k.endswith(".run_streaming_semantic_dedup") for k in sem)
+    assert any(k.endswith("._sem_incr_gate") for k in sem)
+    assert any(k.endswith("._centroid_assign_fn") for k in sem)
+    lsh = set(collect_sources(q["streaming_lsh_ingest"]))
+    assert any(k.endswith(".run_streaming_lsh_ingest") for k in lsh)

@@ -95,12 +95,20 @@ def main() -> None:
     # Hash drift only matters for entries a driver row vouches for
     # (window_round set); a pending never-verified query has nothing to
     # invalidate — its hash just refreshes on write.
+    # Drift compares against the hash a REAL driver row vouches for
+    # (verified_hash), not the staged hash of the latest write: an
+    # in-window write refreshes `hash` to current source, so a query
+    # whose source changed and which was then DISPLACED from the window
+    # in a later same-round write would otherwise compare new-vs-new and
+    # escape the changed-source rule entirely (r13 review finding #3).
+    # verified_hash only advances when a CORRECTNESS row lands for the
+    # round the staged hash was written for (see the write loop).
     changed = [
         n
         for n in names
         if n in prev
         and prev[n].get("window_round") is not None
-        and prev[n]["hash"] != registry_hash(n)
+        and prev[n].get("verified_hash", prev[n]["hash"]) != registry_hash(n)
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
@@ -129,27 +137,44 @@ def main() -> None:
         "_meta": {"as_of_round": max_round, "target_round": max_round + 1},
     }
     for n in names:
-        first_seen = prev.get(n, {}).get("first_seen_round", max_round + 1)
+        p = prev.get(n, {})
+        first_seen = p.get("first_seen_round", max_round + 1)
+        latest_n = latest.get(n, 0)
+        wr = p.get("window_round")
+        # verified_hash promotion: the staged hash earns "verified" only
+        # when the driver row for its window_round exists. Until then the
+        # previously-verified hash keeps vouching (legacy manifests
+        # without the field fall back to the recorded hash when a real
+        # row exists at all).
+        if wr is not None and latest_n >= wr:
+            vh = p.get("hash")
+        elif "verified_hash" in p:
+            vh = p["verified_hash"]
+        else:
+            vh = p.get("hash") if latest_n > 0 else None
         if n in window:
-            manifest[n] = {
+            entry = {
                 "hash": registry_hash(n),
                 "window_round": max_round + 1,
                 "first_seen_round": first_seen,
             }
         else:
             # The validation above guarantees anything outside the window
-            # is already verified and fresh.
-            entry = {**prev[n], "first_seen_round": first_seen}
+            # is already verified and fresh (fresh = current source
+            # matches verified_hash, so displacement cannot swallow a
+            # source change — a changed-then-displaced entry fails the
+            # validation and the tool refuses to write).
+            entry = {**p, "first_seen_round": first_seen}
             # An entry windowed at an earlier write of the SAME round but
             # displaced before the driver ran carries a window_round no
             # driver row backs (r12 left six such entries claiming r12
             # rows they never got). Demote to the newest real row so the
-            # record stays honest; the hash is untouched, so drift
-            # detection keeps working against the source it last vouched.
-            wr = entry.get("window_round")
-            if wr is not None and wr > latest.get(n, 0) > 0:
-                entry["window_round"] = latest[n]
-            manifest[n] = entry
+            # record stays honest.
+            if wr is not None and wr > latest_n > 0:
+                entry["window_round"] = latest_n
+        if vh is not None:
+            entry["verified_hash"] = vh
+        manifest[n] = entry
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST}")
 
