@@ -229,9 +229,8 @@ REPS_OVERRIDE = {
     "probe100x_exact_topk": 7,
     # pq's per-rep profile does not converge within 3 reps on a fresh
     # session (r11 taxed run [180.8, 79.0, 15.9]; r12 quiet runs
-    # [45.6, 59.0, 38.4] / [43.8, 34.7, 44.5]) — 5 reps + median-of-
-    # last-3 reads the converged tail instead of whichever rep the
-    # fault-reclaim cycle happened to favor
+    # [45.6, 59.0, 38.4] / [43.8, 34.7, 44.5]) — 5 reps gives the
+    # fault-reclaim cycle room to reach the quiet mode at least once
     "probe100x_ivf_pq_topk": 5,
 }
 
@@ -244,7 +243,18 @@ REPS_OVERRIDE = {
 # Everything else stays min-of-N (contention only ADDS time).
 ESTIMATOR_OVERRIDE = {
     "probe100x_exact_topk": "median_last3",
-    "probe100x_ivf_pq_topk": "median_last3",
+    # probe100x_ivf_pq_topk reverted to min-of-5 (r13 verdict "What's
+    # wrong #2"): once the session warms, the row's profile is BIMODAL —
+    # a ~15-17s quiet mode and a ~25s taxed mode (r13 driver samples
+    # [24.7, 17.3, 25.0, 15.3, 24.9]) — so median_last3 records
+    # whichever mode the last reps happened to land on (24.9s on the r13
+    # driver, a phantom +5.8s regression on untouched code) while
+    # min-of-5 landed inside the documented 15-17s band on both the
+    # driver and builder same-HEAD runs. The tax only ADDS time; with 5
+    # reps the quiet mode is reliably visited at least once, so min is
+    # the honest statistic here. (median_last3 remains right for
+    # exact_topk, whose profile declines monotonically rather than
+    # flipping between modes.)
 }
 
 
