@@ -123,6 +123,15 @@ HEADLINE = [
     "ivf_split_plan",
     "ivf_rebalance",
     "embedding_cluster_drift",
+    # r14: the drift consumer (a projection + window sums over the
+    # drift rollup — expect ~ its parent's cost), the PSI score-drift
+    # monitor (one scan + 10-group agg), and hybrid RRF retrieval (the
+    # lexical inverted-index join + the brute vec arm whose scale twin
+    # is the IVF family — not probed at 10×: the vec arm is cosine_topk's
+    # fold plan, already priced by that family's rows)
+    "drift_retrain_plan",
+    "quality_score_psi",
+    "hybrid_rank_fusion",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
