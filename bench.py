@@ -132,6 +132,11 @@ HEADLINE = [
     "drift_retrain_plan",
     "quality_score_psi",
     "hybrid_rank_fusion",
+    # r14: the near-dup canonicalizer (near_dup_clusters + a window over
+    # cluster members + an anti-join) and the per-(source, lang)
+    # fertility rollup (scan-speed agg)
+    "near_dup_keep_canonical",
+    "tokenizer_fertility",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
@@ -400,6 +405,18 @@ PROBE_QUERIES = [
     # minhash_lsh_pairs' banded equi-join, so its growth should track
     # that row, plus a corpus-reduced source join
     "cross_source_near_dup_matrix",
+    # r14: the near-dup canonicalizer composes near_dup_clusters (probed
+    # above) with a cluster-member window + doc_id anti-join — the probe
+    # pins that the decide->act composition inherits the cluster stage's
+    # growth rather than adding a corpus-sized one
+    "near_dup_keep_canonical",
+    # r14: the drift consumer subsumes its parent rollup (two
+    # broadcast-centroid matmul passes over the grown corpus + <=sqrt(n)
+    # window sums) — one row prices the whole monitor->decision chain;
+    # quality_score_psi is deliberately NOT probed (its scan/agg cost IS
+    # quality_classifier_score's probed row; the PSI layer is 10 rows),
+    # same rationale as the codec family
+    "drift_retrain_plan",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no

@@ -1602,3 +1602,66 @@ def ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(n_shared AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
         """
     )
+
+
+# --- near-dup keep-canonical (round 14) --------------------------------------
+# The near-dup twin of `dedup_keep_canonical`: exact dedup keeps the min
+# doc_id per identical-content group (every copy is the same, so any
+# representative works); near-dup copies DIFFER, so the keeper should be
+# the most informative one. Rule: within each `near_dup_clusters`
+# component keep the LONGEST text (ties by min doc_id); docs in no
+# near-dup cluster are kept unconditionally. This closes the near-dup
+# family's decide->act gap — `minhash_lsh_pairs` finds, `near_dup_clusters`
+# groups, this emits the surviving corpus.
+
+
+@query(
+    "near_dup_keep_canonical",
+    tier=2,
+    oracle=f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    ranked AS (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, c.doc_id)
+                   AS rn
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d
+    LEFT JOIN (SELECT doc_id FROM ranked WHERE rn > 1) x
+      ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    """,
+)
+def near_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup dedup *application*: the corpus with one canonical
+    copy kept per MinHash-LSH near-dup cluster — the longest member
+    (most informative copy; ties by min doc_id) — and every
+    cluster-free doc kept as-is. Same emission shape as
+    `dedup_keep_canonical`, so the two canonicalizers compose in one
+    pipeline (exact pass first, near pass on the survivors).
+
+    Scale: the cluster assignment is `near_dup_clusters`
+    (large-star/small-star components over banded-LSH pairs — output is
+    pair-graph-sized, far smaller than the corpus); the keep rank is a
+    window over cluster members only (components are near-dup groups,
+    bounded small); the final filter is a broadcast-able anti-join on
+    doc_id against the drop set. No pairwise work beyond what the LSH
+    band join already did.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = near_dup_clusters(spark, sf_dir).join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("len"), "doc_id")
+    drop = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where("rn > 1")
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )

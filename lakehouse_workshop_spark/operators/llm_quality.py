@@ -991,3 +991,128 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * term).cast("bigint").alias("log_weight_e8"),
         )
     )
+
+
+# --- quality-score PSI (round 14) ---------------------------------------------
+# Population Stability Index over the quality-classifier score -- the
+# standard score-drift monitor a production gate runs before trusting
+# yesterday's keep-threshold on tonight's ingest (industry convention:
+# PSI < 0.1 stable, 0.1-0.25 moderate, >= 0.25 action). The family's
+# fourth member: token unigrams (token_dist_shift), per-source KL
+# (source_token_kl), embedding clusters (embedding_cluster_drift), and
+# now the model-score axis. Split = the incremental family's document
+# convention (doc_id % 10 = 9 is tonight's batch).
+QS_PSI_BINS = 10
+QS_PSI_SHIFTED = 0.25
+_QS_BATCH = "doc_id % 10 = 9"
+
+
+def _psi_sql(score_rel: str, bins_rel: str, fpln: str) -> str:
+    """Dialect-shared PSI: decile-bin the [0,1) score (bin = min(floor
+    (prob*10), 9) -- prob is the classifier's 6-dp-rounded double, so
+    both engines bin identically), Laplace-smooth each side by +1 per
+    bin over a full 10-bin spine (zero-count bins must contribute,
+    else a vanished decile is invisible), and accumulate
+    (pb - pc) * ln(pb/pc) in exact integer arithmetic: the share
+    difference becomes the cross-product (cb+1)(Nc+B) - (cc+1)(Nb+B)
+    over the common denominator, ln decomposes to fixed-point 1e8
+    BIGINTs of integer args (the `token_dist_shift` idiom -- LN never
+    sees a ratio), the per-bin product accumulates in DECIMAL(38,0),
+    and ONE division at the end produces the identical double."""
+    return f"""
+    WITH s AS ({score_rel}),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(prob * {QS_PSI_BINS}) AS INT),
+                     {QS_PSI_BINS - 1}) AS bin,
+               ({_QS_BATCH}) AS is_batch
+        FROM s
+    ),
+    spine AS ({bins_rel}),
+    counts AS (
+        SELECT sp.bin,
+               COALESCE(SUM(CASE WHEN NOT b.is_batch THEN 1 END), 0) AS cc,
+               COALESCE(SUM(CASE WHEN b.is_batch THEN 1 END), 0) AS cb
+        FROM spine sp LEFT JOIN binned b ON b.bin = sp.bin
+        GROUP BY sp.bin
+    ),
+    -- totals as window sums over the 10-row counts (NOT a separate
+    -- tot CTE joined back: through a view Spark re-expands the whole
+    -- classifier subtree per CTE reference — the embedding_cluster_drift
+    -- finding; the linear chain scans the scores exactly once)
+    t AS (
+        SELECT c.*,
+               SUM(cc) OVER () + {QS_PSI_BINS} AS nc,
+               SUM(cb) OVER () + {QS_PSI_BINS} AS nb
+        FROM counts c
+    ),
+    terms AS (
+        SELECT t.bin, t.cc, t.cb, t.nc, t.nb,
+               CAST(((t.cb + 1) * t.nc - (t.cc + 1) * t.nb)
+                    * ({fpln.format(x="t.cb + 1")}
+                       - {fpln.format(x="t.nb")}
+                       - {fpln.format(x="t.cc + 1")}
+                       + {fpln.format(x="t.nc")})
+                    AS DECIMAL(38, 0)) AS num
+        FROM t
+    ),
+    agg AS (
+        SELECT bin, cc, cb, nc, nb,
+               SUM(num) OVER () AS psi_num
+        FROM terms
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(cc AS BIGINT) AS n_corpus,
+           CAST(cb AS BIGINT) AS n_batch,
+           ROUND((cc + 1) / CAST(nc AS DOUBLE), 6) AS corpus_share,
+           ROUND((cb + 1) / CAST(nb AS DOUBLE), 6) AS batch_share,
+           ROUND(CAST(psi_num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb * 100000000.0), 6)
+               AS psi,
+           CAST(psi_num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb * 100000000.0)
+               >= {QS_PSI_SHIFTED} AS shifted
+    FROM agg
+    """
+
+
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
+
+_DUCK_FPLN = "CAST(ROUND(LN({x}) * 100000000) AS BIGINT)"
+_DUCK_BINS = f"SELECT unnest(generate_series(0, {QS_PSI_BINS - 1})) AS bin"
+_SPARK_BINS = f"SELECT explode(sequence(0, {QS_PSI_BINS - 1})) AS bin"
+
+
+@query(
+    "quality_score_psi",
+    tier=2,
+    oracle=_psi_sql(
+        "SELECT doc_id, prob FROM (" + _ORACLES["quality_classifier_score"] + ") qs",
+        _DUCK_BINS,
+        _DUCK_FPLN,
+    ),
+)
+def quality_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the standing corpus's quality-score distribution and
+    tonight's ingest batch (doc_id % 10 = 9): per score-decile corpus
+    and batch populations, Laplace-smoothed shares, the global PSI
+    (repeated per row as a decision input, the `embedding_cluster_drift`
+    convention), and ``shifted`` (PSI >= 0.25, the standard
+    re-calibrate/re-train action line). A drifted score distribution
+    means yesterday's keep-threshold no longer cuts at the same
+    quantile -- the gate must be re-calibrated BEFORE the batch is
+    filtered, which is exactly when this monitor runs.
+
+    Scale: the classifier scoring is one scan + one doc_id hash agg
+    (its own plan); the PSI layer is a 10-row spine join + window sums
+    over 10 rows -- free. Exact integer cross-products and fixed-point
+    LN of integer args keep Spark and DuckDB bit-identical (the
+    `token_dist_shift` determinism idiom).
+    """
+    quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "prob"
+    ).createOrReplaceTempView("qs_psi_scores")
+    return spark.sql(
+        _psi_sql(
+            "SELECT doc_id, prob FROM qs_psi_scores",
+            _SPARK_BINS,
+            _DUCK_FPLN,
+        )
+    )

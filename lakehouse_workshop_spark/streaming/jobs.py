@@ -1196,6 +1196,13 @@ def run_streaming_semantic_dedup(
     ``_sem_incr_gate`` re-runs the kept-side mask, a no-op by the kept
     set's mutual-farness invariant — a deployment indexes the kept
     matrix once per cycle instead.)
+
+    At-least-once caveat (same as ``run_streaming_lsh_ingest``): the
+    append-mode parquet write inside ``foreachBatch`` is NOT
+    idempotent — a retried micro-batch would duplicate verdict rows.
+    Harmless under availableNow in-test (no retries); a deployment
+    partitions the output by ``batch_id`` and dynamically overwrites
+    that partition (or MERGEs on vec_id) to get effectively-once.
     """
     import os
 

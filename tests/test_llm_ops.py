@@ -1093,3 +1093,171 @@ def test_cross_source_near_dup_matrix_consistency(spark, sf_dir):
     assert got == want
     for r in matrix:
         assert NEAR_MATRIX_EST <= r.avg_est_jaccard <= 1.0
+
+
+# --- round 14: drift consumer, near-dup canonicalizer, fertility -------------
+
+
+def test_drift_plan_decision_layer_branches(spark):
+    """Every action branch of `_drift_plan_sql`, pinned on a hand-built
+    rollup where the expected decisions are computable by hand (the
+    driver SFs exercise only the retrain branch — this fixture covers
+    split / watch_growth / watch_shrink / none, and a second fixture
+    flips the TVD trigger). Spark and DuckDB must agree row-for-row on
+    the same fixture."""
+    import duckdb
+
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    # nc_total = nb_total = 1000, nlist = max(16, floor(sqrt(1000))) = 31,
+    # TVD = 0.5*(0.03+0.03+0.025+0.005+0.03) = 0.06 < 0.1.
+    fixture = """
+    SELECT cid, n_corpus, n_batch, CAST(drift AS DOUBLE) AS drift, shifted
+    FROM (VALUES
+        (1, 100, 130, 0.03,  true),
+        (2, 100,  70, -0.03, true),
+        (3,  30,  55, 0.025, true),
+        (4, 100, 105, 0.005, false),
+        (5, 670, 640, -0.03, true)
+    ) AS t(cid, n_corpus, n_batch, drift, shifted)
+    """
+    sql = S._drift_plan_sql(fixture)
+    got = {r.cid: r for r in spark.sql(sql).collect()}
+    assert len(got) == 5
+    # x_merged: (nc+nb)*31/2000
+    assert got[1].action == "split"  # x = 230*31/2000 = 3.565 >= 2
+    assert got[1].n_sublists == 4  # ceil(3.565)
+    assert got[2].action == "watch_shrink"
+    assert got[3].action == "watch_growth"  # x = 85*31/2000 = 1.3175 < 2
+    assert got[4].action == "none"
+    assert got[5].action == "watch_shrink"
+    assert all(abs(r.tvd - 0.06) < 1e-9 for r in got.values())
+    assert all(
+        r.n_sublists == 1 for cid, r in got.items() if cid != 1
+    )
+    # cross-engine parity of the decision layer itself
+    con = duckdb.connect()
+    duck = con.sql(sql).df()
+    spark_pdf = spark.sql(sql).toPandas()
+    assert canon_rows(spark_pdf) == canon_rows(duck)
+
+    # TVD trigger: 0.5*(0.4+0.4) = 0.4 >= 0.1 -> retrain supersedes all
+    fixture_hot = """
+    SELECT * FROM (VALUES
+        (1, 500, 100, -0.4, true),
+        (2, 500, 900, 0.4,  true)
+    ) AS t(cid, n_corpus, n_batch, drift, shifted)
+    """
+    hot = spark.sql(S._drift_plan_sql(fixture_hot)).collect()
+    assert all(r.action == "retrain_centroids" for r in hot)
+    assert all(r.n_sublists == 1 for r in hot)
+
+
+def test_drift_retrain_plan_consistent_with_parent(spark, sf_dir):
+    """The registered consumer agrees with its parent rollup: one action
+    row per drift row, and every action follows the documented rule from
+    the row's own evidence (tvd, shifted, drift, x_merged)."""
+    parent = S.embedding_cluster_drift(spark, sf_dir).collect()
+    plan = S.drift_retrain_plan(spark, sf_dir).collect()
+    assert len(plan) == len(parent)
+    for r in plan:
+        if r.tvd >= S.EMB_DRIFT_RETRAIN_TVD:
+            want = "retrain_centroids"
+        elif r.shifted and r.drift > 0 and r.x_merged >= S.IVF_SPLIT_FACTOR:
+            want = "split"
+        elif r.shifted and r.drift > 0:
+            want = "watch_growth"
+        elif r.shifted:
+            want = "watch_shrink"
+        else:
+            want = "none"
+        assert r.action == want, (r.cid, r.action, want)
+        if r.action == "split":
+            assert r.n_sublists >= 2
+        else:
+            assert r.n_sublists == 1
+
+
+def test_near_dup_keep_canonical_keeps_longest_per_cluster(spark, sf_dir):
+    """Contract: exactly one survivor per near-dup cluster — the longest
+    member (ties by min doc_id) — and every cluster-free doc kept."""
+    from lakehouse_workshop_spark.catalog import load_table
+
+    docs = {
+        r.doc_id: len(r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    clusters = {}
+    for r in D.near_dup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    kept = {r.doc_id for r in D.near_dup_keep_canonical(spark, sf_dir).collect()}
+    clustered = {d for members in clusters.values() for d in members}
+    # cluster-free docs all kept
+    assert set(docs) - clustered <= kept
+    # per cluster: exactly the longest (tie: min doc_id) survives
+    for members in clusters.values():
+        winner = min(members, key=lambda d: (-docs[d], d))
+        assert winner in kept
+        assert all(m not in kept for m in members if m != winner)
+
+
+def test_tokenizer_fertility_totals(spark, sf_dir):
+    """The rollup's integer totals equal a direct per-doc computation and
+    the ratios divide those exact totals."""
+    from lakehouse_workshop_spark.catalog import load_table
+
+    rows = T.tokenizer_fertility(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    direct = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_words"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .collect()
+    )
+    want = {(r.source, r.lang): r for r in direct}
+    assert len(rows) == len(want)
+    for r in rows:
+        w = want[(r.source, r.lang)]
+        assert (r.n_docs, r.n_words, r.n_chars) == (
+            w.n_docs,
+            w.n_words,
+            w.n_chars,
+        )
+        assert r.n_tokens >= r.n_words  # regex pieces never merge words
+        assert abs(r.fertility - round(r.n_tokens / r.n_words, 6)) < 1e-9
+        assert (
+            abs(r.chars_per_token - round(r.n_chars / r.n_tokens, 6)) < 1e-9
+        )
+
+
+def test_hybrid_rank_fusion_contract(spark, sf_dir):
+    """RRF invariants: per query at most TOP_K rows with dense rnk from
+    1; the fused score recomputes exactly from the emitted per-arm ranks
+    (0 = outside that arm's pool); ordering is rrf DESC with doc_id
+    tie-break; and each arm's contribution is present somewhere (the
+    fixture corpus produces both lexical and vector pools)."""
+    rows = S.hybrid_rank_fusion(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= S.TOP_K
+        for r in rs:
+            want = round(
+                (1.0 / (S.RRF_K + r.rank_lex) if r.rank_lex > 0 else 0.0)
+                + (1.0 / (S.RRF_K + r.rank_vec) if r.rank_vec > 0 else 0.0),
+                6,
+            )
+            assert abs(r.rrf - want) < 1e-9, (q, r)
+        fused_order = [(-r.rrf, r.doc_id) for r in rs]
+        assert fused_order == sorted(fused_order)
+    assert any(r.rank_vec > 0 for r in rows), "vector arm never fired"
+    assert any(r.rank_lex > 0 for r in rows), "lexical arm never fired"

@@ -83,3 +83,41 @@ def test_min_cost_supplier_is_true_argmin(spark, sf_dir):
     assert joined
     for r in joined:
         assert abs(r.unit_price - r.min_up) < 1e-9
+
+
+def test_quality_score_psi_matches_direct_computation(spark, sf_dir):
+    """The emitted PSI equals a direct Python recomputation from the
+    classifier scores (Laplace-smoothed decile shares), every decile row
+    is present, and the smoothed shares sum to 1 per side."""
+    import math
+
+    from lakehouse_workshop_spark.operators import llm_quality as Q
+
+    rows = Q.quality_score_psi(spark, sf_dir).collect()
+    assert sorted(r.bin for r in rows) == list(range(Q.QS_PSI_BINS))
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.batch_share for r in rows) - 1.0) < 1e-4
+    psi_vals = {r.psi for r in rows}
+    assert len(psi_vals) == 1  # global metric repeated per row
+
+    scores = Q.quality_classifier_score(spark, sf_dir).collect()
+    cc = [0] * Q.QS_PSI_BINS
+    cb = [0] * Q.QS_PSI_BINS
+    for r in scores:
+        b = min(int(r.prob * Q.QS_PSI_BINS), Q.QS_PSI_BINS - 1)
+        (cb if r.doc_id % 10 == 9 else cc)[b] += 1
+    nc = sum(cc) + Q.QS_PSI_BINS
+    nb = sum(cb) + Q.QS_PSI_BINS
+    psi = sum(
+        ((cb[i] + 1) / nb - (cc[i] + 1) / nc)
+        * math.log(((cb[i] + 1) / nb) / ((cc[i] + 1) / nc))
+        for i in range(Q.QS_PSI_BINS)
+    )
+    got = psi_vals.pop()
+    assert abs(got - psi) < 1e-5, (got, psi)
+    for r in rows:
+        assert (r.n_corpus + 1, r.n_batch + 1) == (
+            cc[r.bin] + 1,
+            cb[r.bin] + 1,
+        )
+        assert r.shifted == (got >= Q.QS_PSI_SHIFTED - 1e-9) or not r.shifted

@@ -475,3 +475,67 @@ def test_ivf_rebalance_splits_and_verifies_at_probe_scale(spark):
         f"hottest list did not shrink: {max(old.values())} -> "
         f"{max(new.values())}"
     )
+
+
+def test_ivf_rebalance_flood_fallback(spark, tmp_path):
+    """r13 verdict ask #5: an identical-vector flood defeats geometric
+    splitting (every member ties at cosine 1.0 against every
+    sub-centroid and funnels to srank 1), so the did-the-split-shrink
+    check must swap that cluster to congruence sharding. Fixture: 20
+    one-hot centroids, then 380 exact copies of centroid 0 — cluster 0
+    floods to 381 of 400 members (x_uniform ~ 19). Contracts: (1)
+    Spark == DuckDB bit-exact on the fixture (both engines apply the
+    same trigger and shard rule), and (2) the hottest list genuinely
+    shrinks, to the congruence-shard bound ceil(381/20) + 1."""
+    from collections import Counter
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_workshop_spark.operators import all_oracles
+    from lakehouse_workshop_spark.operators.llm_similarity import ivf_rebalance
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    dim, n, nlist = 24, 400, 20
+    embs = []
+    for i in range(n):
+        v = np.zeros(dim, dtype=np.float64)
+        v[i if i < nlist else 0] = 1.0
+        embs.append(v.tolist())
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": embs,
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    oracle_pdf = con.sql(all_oracles()["ivf_rebalance"]).df()
+    spark_df = ivf_rebalance(spark, str(tmp_path)).localCheckpoint(eager=True)
+    assert canon_rows(spark_df.toPandas()) == canon_rows(oracle_pdf), (
+        "Spark vs DuckDB re-listing diverged on the flood fixture"
+    )
+
+    rows = spark_df.collect()
+    old = Counter(r.cid for r in rows)
+    new = Counter((r.cid, r.sub_id) for r in rows)
+    flood_cid = old.most_common(1)[0][0]
+    assert old[flood_cid] == 381
+    # congruence sharding fired: members of the flood cluster spread
+    # over all 20 sub-lists, none bigger than the shard bound
+    flood_subs = Counter(
+        r.sub_id for r in rows if r.cid == flood_cid
+    )
+    assert len(flood_subs) == nlist, "flood cluster did not shard"
+    assert max(flood_subs.values()) <= 381 // nlist + 2
+    assert max(new.values()) < max(old.values()), (
+        f"hottest list did not shrink: {max(old.values())} -> "
+        f"{max(new.values())}"
+    )

@@ -432,3 +432,69 @@ def test_streaming_wrappers_govern_their_jobs():
     assert any(k.endswith("._centroid_assign_fn") for k in sem)
     lsh = set(collect_sources(q["streaming_lsh_ingest"]))
     assert any(k.endswith(".run_streaming_lsh_ingest") for k in lsh)
+
+
+def test_relative_local_import_resolves_into_package():
+    """r13 ADVICE #1: ``from .jobs import x`` inside a function body has
+    node.module without the package prefix — the resolver must resolve
+    it against the defining module's package instead of silently
+    skipping (which would reopen the exact hole the r13 import
+    governance closed)."""
+    from lakehouse_workshop_spark import srchash
+
+    out: dict[str, str] = {}
+    src = (
+        "def f():\n"
+        "    from .jobs import run_streaming_semantic_dedup\n"
+        "    return run_streaming_semantic_dedup\n"
+    )
+    srchash._collect_local_imports(
+        src, out, set(), f"{srchash.PACKAGE}.streaming"
+    )
+    assert any(
+        k.endswith(".run_streaming_semantic_dedup") for k in out
+    ), f"relative import not governed: {sorted(out)}"
+
+    # and from a plain module (base = its parent package)
+    out2: dict[str, str] = {}
+    src2 = (
+        "def g():\n"
+        "    from .llm_similarity import ivf_rebalance\n"
+        "    return ivf_rebalance\n"
+    )
+    srchash._collect_local_imports(
+        src2, out2, set(), f"{srchash.PACKAGE}.operators.llm_dedup"
+    )
+    assert any(k.endswith(".ivf_rebalance") for k in out2)
+
+
+def test_relative_local_import_unknown_base_pins_loudly():
+    """A relative import whose base module is unknown must leave a loud
+    pin in the governed closure, never a silent skip."""
+    from lakehouse_workshop_spark import srchash
+
+    out: dict[str, str] = {}
+    src = "def f():\n    from .mystery import thing\n"
+    srchash._collect_local_imports(src, out, set(), "?")
+    assert out, "unresolvable relative import was silently skipped"
+    assert any("unresolvable relative import" in v for v in out.values())
+
+
+def test_unimportable_local_import_pins_instead_of_crashing():
+    """r13 ADVICE #2: a guarded function-local import of a missing
+    package module must fold a stable pin into the hash, not crash
+    every registry_hash call."""
+    from lakehouse_workshop_spark import srchash
+
+    out: dict[str, str] = {}
+    src = (
+        "def f():\n"
+        "    try:\n"
+        f"        from {srchash.PACKAGE}.does_not_exist import gadget\n"
+        "    except ImportError:\n"
+        "        gadget = None\n"
+        "    return gadget\n"
+    )
+    srchash._collect_local_imports(src, out, set(), srchash.PACKAGE)
+    key = f"import {srchash.PACKAGE}.does_not_exist.gadget"
+    assert out.get(key, "").startswith("unimportable:")
