@@ -121,3 +121,39 @@ def test_quality_score_psi_matches_direct_computation(spark, sf_dir):
             cb[r.bin] + 1,
         )
         assert r.shifted == (got >= Q.QS_PSI_SHIFTED - 1e-9) or not r.shifted
+
+
+def test_quality_score_psi_edge_fixtures_cross_engine(spark):
+    """Degenerate inputs the real corpus never produces: an EMPTY corpus
+    side (every doc in the ingest batch — Laplace smoothing must carry
+    the denominator alone), boundary scores 0.0 and 1.0 (the 1.0 case
+    must clamp into the top decile, not bin 10), and a one-sided spike.
+    Contracts: Spark == DuckDB row-for-row, PSI >= 0 (it is a sum of
+    (p-q)ln(p/q) terms, each nonnegative), and all 10 spine rows
+    emitted."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_quality as Q
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    fixtures = {
+        # (doc_id, prob): doc_id % 10 = 9 -> batch
+        "empty_corpus": [(9, 0.0), (19, 1.0), (29, 0.55), (39, 0.999999)],
+        "boundary_probs": [(1, 0.0), (2, 1.0), (9, 0.0), (19, 1.0)],
+        "spike": [(i, 0.45) for i in range(1, 9)]
+        + [(9, 0.95), (19, 0.95), (29, 0.95)],
+    }
+    for name, rows in fixtures.items():
+        vals = ", ".join(f"({d}, CAST({p} AS DOUBLE))" for d, p in rows)
+        rel = f"SELECT * FROM (VALUES {vals}) AS t(doc_id, prob)"
+        duck_sql = Q._psi_sql(rel, Q._DUCK_BINS, Q._DUCK_FPLN)
+        spark_sql = Q._psi_sql(rel, Q._SPARK_BINS, Q._DUCK_FPLN)
+        con = duckdb.connect()
+        duck = con.sql(duck_sql).df()
+        got = spark.sql(spark_sql)
+        pdf = got.toPandas()
+        assert canon_rows(pdf) == canon_rows(duck), name
+        out = got.collect()
+        assert sorted(r.bin for r in out) == list(range(Q.QS_PSI_BINS)), name
+        assert all(r.psi >= -1e-12 for r in out), name
+        assert all(0 <= r.batch_share <= 1 for r in out), name
