@@ -539,3 +539,40 @@ def test_ivf_rebalance_flood_fallback(spark, tmp_path):
         f"hottest list did not shrink: {max(old.values())} -> "
         f"{max(new.values())}"
     )
+
+
+def test_drift_retrain_plan_fires_at_probe_scale(spark):
+    """The drift consumer where drift genuinely exists: the 10x probe
+    corpus's perturbed replicas shift cluster occupancy (TVD ~ 0.31 vs
+    the corpus-only geometry), so the TVD trigger must fire — the
+    geometry-is-stale verdict that supersedes per-list surgery. Two
+    contracts: (1) Spark == DuckDB bit-exact on the full emission at
+    probe scale (the same oracle the driver runs), and (2) the decision
+    layer recommends retrain_centroids corpus-wide with no split rows
+    (per-list surgery on a stale geometry is wasted work)."""
+    import duckdb
+
+    from bench import _probe_dir
+    from lakehouse_workshop_spark.operators import all_oracles
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        EMB_DRIFT_RETRAIN_TVD,
+        drift_retrain_plan,
+    )
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    probe = _probe_dir(spark, SF01)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{probe}/embeddings.parquet/*.parquet')"
+    )
+    oracle_pdf = con.sql(all_oracles()["drift_retrain_plan"]).df()
+    spark_df = drift_retrain_plan(spark, probe).localCheckpoint(eager=True)
+    assert canon_rows(spark_df.toPandas()) == canon_rows(oracle_pdf), (
+        "Spark vs DuckDB drift plan diverged at probe scale"
+    )
+    rows = spark_df.collect()
+    assert rows
+    assert all(r.tvd >= EMB_DRIFT_RETRAIN_TVD for r in rows)
+    assert all(r.action == "retrain_centroids" for r in rows)
+    assert all(r.n_sublists == 1 for r in rows)
