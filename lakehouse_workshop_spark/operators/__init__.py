@@ -58,7 +58,7 @@ DRIVER_ORDER: list[str] = [
     "train_val_test_split",
     "text_normalize",
     "unigram_lm_score",
-    # -- 4-49: the 46-row r10 cohort (stale at r15 under P=5) ------------
+    # -- 4-41: 38 of the 46-row r10 cohort (8 deferred — header #2) -------
     "blocklist_scrub",
     "cms_heavy_hitters",
     "dedup_exact",

@@ -1046,13 +1046,19 @@ def _psi_sql(score_rel: str, bins_rel: str, fpln: str) -> str:
         FROM counts c
     ),
     terms AS (
+        -- The cross-products promote to DECIMAL(38,0) BEFORE any
+        -- multiply (a BIGINT product would silently wrap in Spark at
+        -- ~1e12-doc counts while DuckDB's HUGEINT stayed exact — the
+        -- worst kind of cross-engine divergence); at 38 digits the
+        -- full term (counts² x 1e10 fixed-point ln ~ 1e34) keeps
+        -- headroom.
         SELECT t.bin, t.cc, t.cb, t.nc, t.nb,
-               CAST(((t.cb + 1) * t.nc - (t.cc + 1) * t.nb)
-                    * ({fpln.format(x="t.cb + 1")}
-                       - {fpln.format(x="t.nb")}
-                       - {fpln.format(x="t.cc + 1")}
-                       + {fpln.format(x="t.nc")})
-                    AS DECIMAL(38, 0)) AS num
+               (CAST(t.cb + 1 AS DECIMAL(38, 0)) * t.nc
+                - CAST(t.cc + 1 AS DECIMAL(38, 0)) * t.nb)
+               * ({fpln.format(x="t.cb + 1")}
+                  - {fpln.format(x="t.nb")}
+                  - {fpln.format(x="t.cc + 1")}
+                  + {fpln.format(x="t.nc")}) AS num
         FROM t
     ),
     agg AS (

@@ -2000,7 +2000,15 @@ def _drift_plan_sql(rollup_sql: str) -> str:
     ),
     m AS (
         SELECT t.*,
-               ROUND(CAST(xsum AS DOUBLE) / (2 * nb_total * nc_total), 6)
+               -- Empty-side guard: an empty ingest batch (or corpus) is
+               -- no drift EVIDENCE, not infinite drift — tvd pins to 0
+               -- (the parent rollup's NULL shares already push every
+               -- action to 'none'), instead of a NULL that Spark and
+               -- DuckDB could disagree on.
+               CASE WHEN nb_total = 0 OR nc_total = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE ROUND(CAST(xsum AS DOUBLE)
+                               / (2 * nb_total * nc_total), 6) END
                    AS tvd,
                ROUND((n_corpus + n_batch)
                      * CAST(GREATEST({IVF_NLIST_MIN},
@@ -2066,25 +2074,32 @@ def drift_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score(d) = sum over arms of 1/(k + rank_arm(d)), k = 60 — the
 # rank-only combiner every hybrid search stack (BM25 + ANN) ships
 # because it needs no score calibration between arms. Item universe:
-# the id-aligned prefix (vec_id < |documents|) — the fixture's "items
-# that carry both a text and an embedding representation"; queries are
-# the standard QUERY_FILTER ids within it.
+# the id-aligned prefix, ids < min(|documents|, |embeddings|) — the
+# fixture's "items that carry BOTH a text and an embedding
+# representation" (the min matters: either table can be the larger one
+# across SFs, and BOTH arms clip to the universe so neither pool can
+# rank an item the other arm cannot see); queries are the standard
+# QUERY_FILTER ids within it.
 RRF_K = 60
 RRF_POOL = 20
 
 
-def _hybrid_sql(prep: str, cos: str, tok_rel: str) -> str:
+def _hybrid_sql(prep: str, cos: str, tok_rel: str, universe: str) -> str:
     """Dialect-shared RRF SQL. Ranks are exact integers (ROUND-6dp
     argsorts with id tie-breaks — the module's assignment convention);
     the fused score sums two exact integer-denominator divisions and
     rounds once, so both engines emit identical doubles. A doc missing
     from an arm's pool contributes nothing there (the RRF rule) and
-    reports rank 0 as the out-of-pool sentinel."""
+    reports rank 0 as the out-of-pool sentinel. ``universe`` is the
+    item-universe bound min(|documents|, |embeddings|): the oracle
+    passes it as a scalar subquery; Spark inlines the driver-computed
+    literal (a CTE form re-expands the two COUNT subqueries per
+    reference — measured 42 exchanges pre-AQE vs 17 with the literal,
+    the ivf-nlist driver-derivation pattern)."""
     doc_query_filter = QUERY_FILTER.replace("vec_id", "doc_id")
     return f"""
     WITH e AS ({prep}),
-    nd AS (SELECT COUNT(*) AS n FROM documents),
-    items AS (SELECT * FROM e WHERE vec_id < (SELECT n FROM nd)),
+    items AS (SELECT * FROM e WHERE vec_id < {universe}),
     q AS (SELECT * FROM items WHERE {QUERY_FILTER}),
     vec_ranked AS (
         SELECT query_id, doc_id, rank_vec FROM (
@@ -2095,7 +2110,8 @@ def _hybrid_sql(prep: str, cos: str, tok_rel: str) -> str:
             FROM q a JOIN items b ON a.vec_id <> b.vec_id
         ) v WHERE rank_vec <= {RRF_POOL}
     ),
-    toks AS ({tok_rel}),
+    toks AS (SELECT * FROM ({tok_rel}) tk
+             WHERE doc_id < {universe}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     shared AS (
         SELECT qt.doc_id AS query_id, t.doc_id AS doc_id,
@@ -2157,7 +2173,13 @@ _DUCK_HYBRID_TOKS = """
 @query(
     "hybrid_rank_fusion",
     tier=2,
-    oracle=_hybrid_sql(_DUCK_PREP, _DUCK_COS, _DUCK_HYBRID_TOKS),
+    oracle=_hybrid_sql(
+        _DUCK_PREP,
+        _DUCK_COS,
+        _DUCK_HYBRID_TOKS,
+        "(SELECT LEAST((SELECT COUNT(*) FROM documents),"
+        " (SELECT COUNT(*) FROM embeddings)))",
+    ),
 )
 def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: for each standard
@@ -2188,11 +2210,18 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explode+DISTINCT subtree per reference (the
     # embedding_cluster_drift finding — measured 26 exchanges).
     # Materialize it once; each reference then scans the checkpoint.
-    spark.sql(_SPARK_HYBRID_TOKS).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("hybrid_toks")
+    n_universe = min(
+        spark.table("documents").count(),
+        spark.table("embeddings_raw").count(),
+    )
+    spark.sql(_SPARK_HYBRID_TOKS).where(
+        f"doc_id < {n_universe}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
     return spark.sql(
         _hybrid_sql(
-            _SPARK_PREP, _SPARK_COS, "SELECT doc_id, tok FROM hybrid_toks"
+            _SPARK_PREP,
+            _SPARK_COS,
+            "SELECT doc_id, tok FROM hybrid_toks",
+            str(n_universe),
         )
     )

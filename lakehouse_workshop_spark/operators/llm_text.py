@@ -715,6 +715,11 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # direct input to mixture weighting and token-budget planning — the same
 # decision `token_counts` feeds at document grain.
 
+# NOTE: token_counts (above) inlines this same literal twice — it had no
+# r14 window slot, so hoisting it onto this constant (which would drift
+# its governed hash) is queued for r15 when the deferred r10 rows
+# re-enter the window. Until then the two copies must stay character-
+# identical.
 _TOK_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 

@@ -316,13 +316,23 @@ def _collect_local_imports(
             import sys as _sys
 
             base_mod = _sys.modules.get(module)
-            base = getattr(base_mod, "__package__", None) or module
-            try:
-                target = importlib.util.resolve_name(
-                    "." * node.level + target, base
-                )
-            except (ImportError, ValueError):
+            base = getattr(base_mod, "__package__", None)
+            if not base:
+                # Unknown defining module (not in sys.modules, or no
+                # __package__): guessing a base here resolves a plain
+                # module's level-1 import one level too deep
+                # (pkg.mod + '.x' -> pkg.mod.x instead of pkg.x), which
+                # would pin a NONEXISTENT name and silently stop
+                # governing the real import target — the silent-skip
+                # class this resolver exists to close. Pin loudly.
                 target = ""
+            else:
+                try:
+                    target = importlib.util.resolve_name(
+                        "." * node.level + target, base
+                    )
+                except (ImportError, ValueError):
+                    target = ""
             if target != PACKAGE and not target.startswith(PACKAGE + "."):
                 # A relative import inside governed package source MUST
                 # resolve into the package — if it didn't, the base was

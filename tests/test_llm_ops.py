@@ -1261,3 +1261,34 @@ def test_hybrid_rank_fusion_contract(spark, sf_dir):
         assert fused_order == sorted(fused_order)
     assert any(r.rank_vec > 0 for r in rows), "vector arm never fired"
     assert any(r.rank_lex > 0 for r in rows), "lexical arm never fired"
+
+
+def test_drift_plan_empty_batch_is_no_evidence(spark):
+    """An empty ingest batch is no drift EVIDENCE, not infinite drift:
+    the parent rollup's batch shares go NULL, the plan's tvd guard pins
+    0.0, and every action falls through to 'none' — in both engines."""
+    import duckdb
+
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    fixture = """
+    SELECT cid, n_corpus, n_batch,
+           CAST(NULL AS DOUBLE) AS drift, CAST(NULL AS BOOLEAN) AS shifted
+    FROM (VALUES (1, 100, 0), (2, 50, 0), (3, 850, 0))
+         AS t(cid, n_corpus, n_batch)
+    """
+    sql = S._drift_plan_sql(fixture)
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 3
+    assert all(r.tvd == 0.0 for r in rows)
+    assert all(r.action == "none" for r in rows)
+    assert all(r.n_sublists == 1 for r in rows)
+    con = duckdb.connect()
+    # compare the decision columns cross-engine; the passed-through NULL
+    # drift/shifted columns differ only in pandas representation
+    # (None vs NaN), not value
+    cols = ["cid", "n_corpus", "n_batch", "tvd", "x_merged", "action",
+            "n_sublists"]
+    assert canon_rows(spark.sql(sql).toPandas()[cols]) == canon_rows(
+        con.sql(sql).df()[cols]
+    )

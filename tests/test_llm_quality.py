@@ -120,7 +120,7 @@ def test_quality_score_psi_matches_direct_computation(spark, sf_dir):
             cc[r.bin] + 1,
             cb[r.bin] + 1,
         )
-        assert r.shifted == (got >= Q.QS_PSI_SHIFTED - 1e-9) or not r.shifted
+        assert r.shifted == (got >= Q.QS_PSI_SHIFTED)
 
 
 def test_quality_score_psi_edge_fixtures_cross_engine(spark):
@@ -157,3 +157,18 @@ def test_quality_score_psi_edge_fixtures_cross_engine(spark):
         assert sorted(r.bin for r in out) == list(range(Q.QS_PSI_BINS)), name
         assert all(r.psi >= -1e-12 for r in out), name
         assert all(0 <= r.batch_share <= 1 for r in out), name
+    # the spike fixture separates corpus (bin 4) from batch (bin 9)
+    # hard enough to cross the action line — the shifted=True branch
+    # must fire (the real corpus never exercises it: PSI << 0.25 there)
+    vals = ", ".join(
+        f"({d}, CAST({p} AS DOUBLE))" for d, p in fixtures["spike"]
+    )
+    spike = spark.sql(
+        Q._psi_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(doc_id, prob)",
+            Q._SPARK_BINS,
+            Q._DUCK_FPLN,
+        )
+    ).collect()
+    assert spike[0].psi >= Q.QS_PSI_SHIFTED
+    assert all(r.shifted for r in spike)
