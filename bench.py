@@ -125,13 +125,14 @@ HEADLINE = [
     "embedding_cluster_drift",
     # r14: the drift consumer (a projection + window sums over the
     # drift rollup — expect ~ its parent's cost), the PSI score-drift
-    # monitor (one scan + 10-group agg), and hybrid RRF retrieval (the
-    # lexical inverted-index join + the brute vec arm whose scale twin
-    # is the IVF family — not probed at 10×: the vec arm is cosine_topk's
-    # fold plan, already priced by that family's rows)
+    # monitor (one scan + 10-group agg), and hybrid RRF retrieval — the
+    # exact-brute-arm baseline (not probed at 10×: its vec arm is
+    # cosine_topk's fold plan, already priced by that family's rows)
+    # plus its registered scale path, the IVF-armed twin
     "drift_retrain_plan",
     "quality_score_psi",
     "hybrid_rank_fusion",
+    "hybrid_rank_fusion_ivf",
     # r14: the near-dup canonicalizer (near_dup_clusters + a window over
     # cluster members + an anti-join) and the per-(source, lang)
     # fertility rollup (scan-speed agg)
@@ -417,6 +418,11 @@ PROBE_QUERIES = [
     # quality_classifier_score's probed row; the PSI layer is 10 rows),
     # same rationale as the codec family
     "drift_retrain_plan",
+    # r14: the fusion's production shape — its probed-vector-arm
+    # candidates grow 3·n^(3/4), so the 10× row is the evidence the
+    # scale-path claim rests on (the brute twin stays un-probed by the
+    # cosine-family rationale above)
+    "hybrid_rank_fusion_ivf",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no

@@ -25,40 +25,40 @@ TIERS: dict[str, int] = {}
 #      registrations (train_val_test_split, text_normalize,
 #      unigram_lm_score) — past the P=5 horizon at r14 start, the red
 #      check the r13 verdict flagged. They lead unconditionally.
-#   2. Positions 4-41: 38 of the 46-row r10 cohort. Eight rows are
-#      DEFERRED to the r15 window (token_counts, token_dist_shift,
-#      top_returned_customers, top_revenue_supplier, topic_assign,
-#      vocab_coverage, volume_shipping, weighted_sample_topk) — under
-#      P=6 they are not stale until the r16 build, and r15 has the
-#      capacity (its only other forced load is the r11 cohort's
-#      leading edge).
-#   3. Positions 42-45: the four changed-source re-verifies of this
+#   2. Positions 4-40: 37 of the 46-row r10 cohort. Nine rows are
+#      DEFERRED to the r15 window (tfidf_top_terms, token_counts,
+#      token_dist_shift, top_returned_customers, top_revenue_supplier,
+#      topic_assign, vocab_coverage, volume_shipping,
+#      weighted_sample_topk) — under P=6 they are not stale until the
+#      r16 build, and r15 has the capacity (its only other forced load
+#      is the r11 cohort's leading edge).
+#   3. Positions 41-44: the four changed-source re-verifies of this
 #      round's edits — ivf_rebalance (flood fallback implemented),
 #      ivf_split_plan + semantic_dedup_incremental +
 #      streaming_semantic_dedup (docstring-only, r13 ADVICE items 3-4;
 #      the transitive hash governs docstrings, so they re-verify).
 #      (semantic_dedup, also docstring-changed, sits in the r10 cohort.)
-#   4. Positions 46-50: the five round-14 registrations
+#   4. Positions 45-50: the six round-14 registrations
 #      (drift_retrain_plan — the embedding_cluster_drift consumer,
 #      r13 verdict ask #4; near_dup_keep_canonical; tokenizer_fertility;
-#      quality_score_psi; hybrid_rank_fusion — the latter two complete
-#      the r14 plan staged in bench.py's HEADLINE by the quiet-stamp
-#      session).
+#      quality_score_psi + hybrid_rank_fusion — completing the r14 plan
+#      staged in bench.py's HEADLINE by the quiet-stamp session; and
+#      hybrid_rank_fusion_ivf, the fusion's registered scale path).
 # Capacity decision (r13 verdict ask #1): the registry sat at 198 of
 # the P=5 capacity 200 (window*(P-1)). Round 14 ACCEPTS the P=6 trade:
-# registering to 203 self-relaxes the period to P = ceil(203/50)+1 = 6
+# registering to 204 self-relaxes the period to P = ceil(204/50)+1 = 6
 # (capacity 250), i.e. a 6-round staleness horizon in exchange for
 # headroom to keep registering operators through rounds 15-20. The
 # horizon stays bounded and the changed-source rule is unaffected.
-# Forward schedule under P=6: r15 = 8 deferred r10 rows + the r11
-# cohort's first 42; r16 = remaining r11 + r12 leading edge; the r12
+# Forward schedule under P=6: r15 = 9 deferred r10 rows + the r11
+# cohort's leading edge; r16 = remaining r11 + r12 leading edge; the r12
 # cohort must complete by r18, r13 by r19, this window by r20.
 DRIVER_ORDER: list[str] = [
     # -- 1-3: latest row r09 — past the P=5 horizon, lead the window ----
     "train_val_test_split",
     "text_normalize",
     "unigram_lm_score",
-    # -- 4-41: 38 of the 46-row r10 cohort (8 deferred — header #2) -------
+    # -- 4-40: 37 of the 46-row r10 cohort (9 deferred — header #2) -------
     "blocklist_scrub",
     "cms_heavy_hitters",
     "dedup_exact",
@@ -96,22 +96,22 @@ DRIVER_ORDER: list[str] = [
     "streaming_pq_ingest",
     "supplier_concentration",
     "table_expectations",
-    "tfidf_top_terms",
-    # (token_counts, token_dist_shift, top_returned_customers,
-    # top_revenue_supplier, topic_assign, vocab_coverage,
-    # volume_shipping, weighted_sample_topk: deferred to r15 — see
-    # header #2)
-    # -- 42-45: changed-source re-verifies (r14 edits) ---------------------
+    # (tfidf_top_terms, token_counts, token_dist_shift,
+    # top_returned_customers, top_revenue_supplier, topic_assign,
+    # vocab_coverage, volume_shipping, weighted_sample_topk: deferred
+    # to r15 — see header #2)
+    # -- 41-44: changed-source re-verifies (r14 edits) ---------------------
     "ivf_rebalance",
     "ivf_split_plan",
     "semantic_dedup_incremental",
     "streaming_semantic_dedup",
-    # -- 46-50: round-14 registrations -------------------------------------
+    # -- 45-50: round-14 registrations -------------------------------------
     "drift_retrain_plan",
     "near_dup_keep_canonical",
     "tokenizer_fertility",
     "quality_score_psi",
     "hybrid_rank_fusion",
+    "hybrid_rank_fusion_ivf",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

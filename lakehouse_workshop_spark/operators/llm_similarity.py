@@ -2084,32 +2084,85 @@ RRF_K = 60
 RRF_POOL = 20
 
 
-def _hybrid_sql(prep: str, cos: str, tok_rel: str, universe: str) -> str:
-    """Dialect-shared RRF SQL. Ranks are exact integers (ROUND-6dp
-    argsorts with id tie-breaks — the module's assignment convention);
-    the fused score sums two exact integer-denominator divisions and
-    rounds once, so both engines emit identical doubles. A doc missing
-    from an arm's pool contributes nothing there (the RRF rule) and
-    reports rank 0 as the out-of-pool sentinel. ``universe`` is the
-    item-universe bound min(|documents|, |embeddings|): the oracle
-    passes it as a scalar subquery; Spark inlines the driver-computed
-    literal (a CTE form re-expands the two COUNT subqueries per
-    reference — measured 42 exchanges pre-AQE vs 17 with the literal,
-    the ivf-nlist driver-derivation pattern)."""
-    doc_query_filter = QUERY_FILTER.replace("vec_id", "doc_id")
+def _brute_vec_arm(prep: str, cos: str, universe: str) -> str:
+    """The exact vector arm: brute cosine of each query against every
+    universe item (`cosine_topk`'s plan), pooled to the top RRF_POOL.
+    Emits (query_id, doc_id, rank_vec)."""
     return f"""
-    WITH e AS ({prep}),
-    items AS (SELECT * FROM e WHERE vec_id < {universe}),
-    q AS (SELECT * FROM items WHERE {QUERY_FILTER}),
-    vec_ranked AS (
         SELECT query_id, doc_id, rank_vec FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                       ORDER BY ROUND({cos}, 6) DESC,
                                                b.vec_id) AS rank_vec
-            FROM q a JOIN items b ON a.vec_id <> b.vec_id
+            FROM (SELECT * FROM ({prep}) qe
+                  WHERE vec_id < {universe} AND {QUERY_FILTER}) a
+            JOIN (SELECT * FROM ({prep}) ie
+                  WHERE vec_id < {universe}) b ON a.vec_id <> b.vec_id
         ) v WHERE rank_vec <= {RRF_POOL}
-    ),
+    """
+
+
+def _ivf_vec_arm(
+    prep: str, cos: str, universe: str, nlist: str, nprobe: str
+) -> str:
+    """The production vector arm: IVF over the universe (its OWN index
+    geometry — nlist = max(16, floor(sqrt(|universe|))) prefix
+    centroids, geometry-derived nprobe), scoring only the probed lists
+    (`_ivf_sql`'s shape restricted to the universe). Emits
+    (query_id, doc_id, rank_vec) over the probed candidates — ranks are
+    pool-local, exactly what RRF consumes (it never compares scores
+    across arms, so approximate ranks fuse as-is)."""
+    return f"""
+        SELECT query_id, doc_id, rank_vec FROM (
+            WITH items AS (SELECT * FROM ({prep}) pe
+                           WHERE vec_id < {universe}),
+            cent AS (SELECT vec_id AS cid, emb, nrm FROM items
+                     WHERE vec_id < {nlist}),
+            cdist AS (
+                SELECT a.vec_id, b.cid,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY ROUND({cos}, 6) DESC,
+                                                   b.cid) AS rn
+                FROM items a JOIN cent b ON 1 = 1
+            ),
+            clustered AS (
+                SELECT i.vec_id, i.emb, i.nrm, c.cid
+                FROM items i
+                JOIN (SELECT vec_id, cid FROM cdist WHERE rn = 1) c
+                  ON i.vec_id = c.vec_id
+            )
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({cos}, 6) DESC,
+                                               b.vec_id) AS rank_vec
+            FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
+                  FROM (SELECT * FROM clustered WHERE {QUERY_FILTER}) q
+                  JOIN (SELECT vec_id, cid FROM cdist
+                        WHERE rn <= {nprobe} AND {QUERY_FILTER}) p
+                    ON q.vec_id = p.vec_id) a
+            JOIN clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        ) v WHERE rank_vec <= {RRF_POOL}
+    """
+
+
+def _fuse_sql(vec_arm: str, tok_rel: str, universe: str) -> str:
+    """Dialect-shared RRF fusion core, parametrized by the vector arm
+    (brute = `_brute_vec_arm`, production = `_ivf_vec_arm` — RRF is
+    rank-only, so the arms swap without touching the fusion). Ranks are
+    exact integers (ROUND-6dp argsorts with id tie-breaks — the
+    module's assignment convention); the fused score sums two exact
+    integer-denominator divisions and rounds once, so both engines emit
+    identical doubles. A doc missing from an arm's pool contributes
+    nothing there (the RRF rule) and reports rank 0 as the out-of-pool
+    sentinel. ``universe`` is the item-universe bound
+    min(|documents|, |embeddings|): the oracle passes it as a scalar
+    subquery; Spark inlines the driver-computed literal (a CTE form
+    re-expands the two COUNT subqueries per reference — measured 42
+    exchanges pre-AQE vs 17 with the literal, the ivf-nlist
+    driver-derivation pattern)."""
+    doc_query_filter = QUERY_FILTER.replace("vec_id", "doc_id")
+    return f"""
+    WITH vec_ranked AS ({vec_arm}),
     toks AS (SELECT * FROM ({tok_rel}) tk
              WHERE doc_id < {universe}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
@@ -2160,6 +2213,21 @@ def _hybrid_sql(prep: str, cos: str, tok_rel: str, universe: str) -> str:
     """
 
 
+_DUCK_UNIVERSE = (
+    "(SELECT LEAST((SELECT COUNT(*) FROM documents),"
+    " (SELECT COUNT(*) FROM embeddings)))"
+)
+_DUCK_U_NLIST = (
+    f"(SELECT GREATEST({IVF_NLIST_MIN},"
+    f" CAST(FLOOR(SQRT({_DUCK_UNIVERSE})) AS BIGINT)))"
+)
+_DUCK_U_NPROBE = (
+    f"(SELECT GREATEST({IVF_NPROBE}, CAST(CEIL(3 * SQRT("
+    f"GREATEST({IVF_NLIST_MIN}, FLOOR(SQRT({_DUCK_UNIVERSE})))))"
+    " AS BIGINT)))"
+)
+
+
 _SPARK_HYBRID_TOKS = """
     SELECT DISTINCT doc_id, tok FROM (
         SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
@@ -2173,12 +2241,11 @@ _DUCK_HYBRID_TOKS = """
 @query(
     "hybrid_rank_fusion",
     tier=2,
-    oracle=_hybrid_sql(
-        _DUCK_PREP,
-        _DUCK_COS,
+    scale_path="hybrid_rank_fusion_ivf",
+    oracle=_fuse_sql(
+        _brute_vec_arm(_DUCK_PREP, _DUCK_COS, _DUCK_UNIVERSE),
         _DUCK_HYBRID_TOKS,
-        "(SELECT LEAST((SELECT COUNT(*) FROM documents),"
-        " (SELECT COUNT(*) FROM embeddings)))",
+        _DUCK_UNIVERSE,
     ),
 )
 def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2195,11 +2262,12 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the lexical arm is a query-side-tiny equi-join on token
     (the `decontaminate` posture — no pairwise scan); the vector arm
-    is the brute fold over queries x items whose production twin is
-    the IVF family (`ivf_topk` and friends — swap the arm, keep the
-    fusion); the fusion itself joins two pool-sized (queries x 20)
-    relations and windows per query. Ranks are integers and the RRF
-    sum has integer denominators, so both engines agree bit-exactly.
+    is the exact brute fold — correct as ground truth, wrong as the
+    scheduled operator at 100 TB, so the registered scale path is
+    `hybrid_rank_fusion_ivf` (same fusion, IVF-probed arm); the fusion
+    itself joins two pool-sized (queries x 20) relations and windows
+    per query. Ranks are integers and the RRF sum has integer
+    denominators, so both engines agree bit-exactly.
     """
     from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
 
@@ -2218,9 +2286,112 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"doc_id < {n_universe}"
     ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
     return spark.sql(
-        _hybrid_sql(
-            _SPARK_PREP,
-            _SPARK_COS,
+        _fuse_sql(
+            _brute_vec_arm(_SPARK_PREP, _SPARK_COS, str(n_universe)),
+            "SELECT doc_id, tok FROM hybrid_toks",
+            str(n_universe),
+        )
+    )
+
+
+@query(
+    "hybrid_rank_fusion_ivf",
+    tier=2,
+    oracle=_fuse_sql(
+        _ivf_vec_arm(
+            _DUCK_PREP, _DUCK_COS, _DUCK_UNIVERSE, _DUCK_U_NLIST, _DUCK_U_NPROBE
+        ),
+        _DUCK_HYBRID_TOKS,
+        _DUCK_UNIVERSE,
+    ),
+)
+def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of `hybrid_rank_fusion` (its registered
+    scale path): the same lexical arm and RRF fusion, with the vector
+    arm swapped from the brute fold to an IVF index over the item
+    universe — nlist = max(16, floor(sqrt(|universe|))) prefix
+    centroids, geometry-derived nprobe, per-list scoring of probed
+    candidates only (`ivf_topk`'s machinery). RRF is rank-only, so the
+    approximate arm's pool-local ranks fuse without any score
+    calibration — exactly why production hybrid stacks pair RRF with
+    ANN backends. Emission shape matches the exact twin row-for-row
+    (query_id, doc_id, per-arm ranks, fused rnk).
+
+    Scale: probed vector candidates grow 3·n^(3/4) (the `ivf_topk`
+    analysis) instead of the brute arm's n per query; the universe
+    assignment is checkpointed once and read by the probe ranking and
+    both sides of the cluster equi-join (at 100 TB the assignment is
+    `_matmul_assign`'s broadcast Arrow kernel — same plan shape, same
+    argmax semantics). The fusion layer is unchanged: two pool-sized
+    relations, one full-outer join, one window per query.
+    """
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    _emb_view(spark, sf_dir)
+    n_universe = min(
+        spark.table("documents").count(),
+        spark.table("embeddings_raw").count(),
+    )
+    import math
+
+    nlist = max(IVF_NLIST_MIN, int(n_universe**0.5))
+    nprobe = max(IVF_NPROBE, math.ceil(3 * math.sqrt(nlist)))
+    spark.sql(_SPARK_HYBRID_TOKS).where(
+        f"doc_id < {n_universe}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
+    # Universe assignment checkpointed ONCE (ivf_topk's pattern — the
+    # oracle's nested-CTE form would re-expand the cross join per
+    # reference through Spark views); the probe ranking and both sides
+    # of the cluster equi-join read it back. The assignment window is
+    # the identical ROUND-6dp argmax both dialects use.
+    spark.sql(_SPARK_PREP).where(
+        f"vec_id < {n_universe}"
+    ).createOrReplaceTempView("hyb_ivf_items")
+    spark.sql(
+        f"""
+        WITH cent AS (SELECT vec_id AS cid, emb, nrm FROM hyb_ivf_items
+                      WHERE vec_id < {nlist})
+        SELECT vec_id, emb, nrm, cid FROM (
+            SELECT /*+ BROADCAST(b) */ a.vec_id, a.emb, a.nrm, b.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({_SPARK_COS}, 6) DESC,
+                                               b.cid) AS rn
+            FROM hyb_ivf_items a JOIN cent b ON 1 = 1
+        ) asg WHERE rn = 1
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView(
+        "hyb_ivf_clustered"
+    )
+    spark_arm = f"""
+        SELECT query_id, doc_id, rank_vec FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({_SPARK_COS}, 6) DESC,
+                                               b.vec_id) AS rank_vec
+            FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
+                  FROM (SELECT * FROM hyb_ivf_clustered
+                        WHERE {QUERY_FILTER}) q
+                  JOIN (SELECT vec_id, cid FROM (
+                            SELECT /*+ BROADCAST(b) */ a.vec_id, b.cid,
+                                   ROW_NUMBER() OVER (
+                                       PARTITION BY a.vec_id
+                                       ORDER BY ROUND({_SPARK_COS}, 6) DESC,
+                                                b.cid) AS rn
+                            FROM (SELECT * FROM hyb_ivf_clustered
+                                  WHERE {QUERY_FILTER}) a
+                            JOIN (SELECT vec_id AS cid, emb, nrm
+                                  FROM hyb_ivf_clustered
+                                  WHERE vec_id < {nlist}) b ON 1 = 1
+                        ) pr WHERE rn <= {nprobe}) p
+                    ON q.vec_id = p.vec_id) a
+            JOIN hyb_ivf_clustered b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        ) v WHERE rank_vec <= {RRF_POOL}
+    """
+    return spark.sql(
+        _fuse_sql(
+            spark_arm,
             "SELECT doc_id, tok FROM hybrid_toks",
             str(n_universe),
         )

@@ -1292,3 +1292,38 @@ def test_drift_plan_empty_batch_is_no_evidence(spark):
     assert canon_rows(spark.sql(sql).toPandas()[cols]) == canon_rows(
         con.sql(sql).df()[cols]
     )
+
+
+def test_hybrid_fusion_ivf_twin_contract(spark, sf_dir):
+    """The registered scale path agrees with its exact twin where it
+    matters: same emission shape and rank/rrf invariants, same lexical
+    arm (identical rank_lex for every (query, doc) both emit), and the
+    fused top-10 overlaps the exact twin's at >= 0.75 mean / >= 0.5 per
+    query (measured 0.88 mean, 0.70 min — deterministic prefix
+    centroids, so the floor is stable, the `ann_topk_lsh` recall-floor
+    convention)."""
+    exact = {}
+    for r in S.hybrid_rank_fusion(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, {})[r.doc_id] = r
+    approx = {}
+    for r in S.hybrid_rank_fusion_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, {})[r.doc_id] = r
+    assert set(approx) == set(exact)
+    overlaps = []
+    for q, ex in exact.items():
+        ap = approx[q]
+        for d, r in ap.items():
+            want = round(
+                (1.0 / (S.RRF_K + r.rank_lex) if r.rank_lex > 0 else 0.0)
+                + (1.0 / (S.RRF_K + r.rank_vec) if r.rank_vec > 0 else 0.0),
+                6,
+            )
+            assert abs(r.rrf - want) < 1e-9
+            # the lexical arm is shared verbatim: where both twins emit
+            # a doc, its lexical rank is identical
+            if d in ex and r.rank_lex > 0 and ex[d].rank_lex > 0:
+                assert r.rank_lex == ex[d].rank_lex
+        ov = len(set(ex) & set(ap)) / len(ex)
+        overlaps.append(ov)
+        assert ov >= 0.5, (q, ov)
+    assert sum(overlaps) / len(overlaps) >= 0.75
