@@ -418,10 +418,11 @@ PROBE_QUERIES = [
     # quality_classifier_score's probed row; the PSI layer is 10 rows),
     # same rationale as the codec family
     "drift_retrain_plan",
-    # r14: the fusion's production shape — its probed-vector-arm
-    # candidates grow 3·n^(3/4), so the 10× row is the evidence the
-    # scale-path claim rests on (the brute twin stays un-probed by the
-    # cosine-family rationale above)
+    # r14: the fusion's production shape — at this decade BOTH twins
+    # are lexical-arm-dominated (BENCH_SCALING r14 note), so this row
+    # pins the twin's near-linear growth, not a same-decade vec-arm
+    # win; the crossover analysis lives with the operator (the brute
+    # twin stays un-probed by the cosine-family rationale above)
     "hybrid_rank_fusion_ivf",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is

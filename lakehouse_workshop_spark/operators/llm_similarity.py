@@ -2319,50 +2319,55 @@ def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: probed vector candidates grow 3·n^(3/4) (the `ivf_topk`
     analysis) instead of the brute arm's n per query; the universe
-    assignment is checkpointed once and read by the probe ranking and
-    both sides of the cluster equi-join (at 100 TB the assignment is
-    `_matmul_assign`'s broadcast Arrow kernel — same plan shape, same
-    argmax semantics). The fusion layer is unchanged: two pool-sized
-    relations, one full-outer join, one window per query.
+    assignment is the family's broadcast BLAS kernel
+    (`_centroid_assign_fn`), checkpointed once and read by the probe
+    ranking and both sides of the cluster equi-join. Honest decade
+    accounting (BENCH_SCALING r14): with queries scaling as n/100 the
+    vec-arm crossover is n ≳ 1e5 vectors, and at the driver SFs and
+    the 10× probe BOTH twins are dominated by the shared lexical arm —
+    the probe row pins this twin's near-linear growth, not a
+    same-decade win over brute. The fusion layer is unchanged: two
+    pool-sized relations, one full-outer join, one window per query.
     """
     from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
 
     _docs_view(spark, sf_dir)
     _emb_view(spark, sf_dir)
+    import math
+
     n_universe = min(
         spark.table("documents").count(),
         spark.table("embeddings_raw").count(),
     )
-    import math
-
     nlist = max(IVF_NLIST_MIN, int(n_universe**0.5))
     nprobe = max(IVF_NPROBE, math.ceil(3 * math.sqrt(nlist)))
     spark.sql(_SPARK_HYBRID_TOKS).where(
         f"doc_id < {n_universe}"
     ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
-    # Universe assignment checkpointed ONCE (ivf_topk's pattern — the
-    # oracle's nested-CTE form would re-expand the cross join per
-    # reference through Spark views); the probe ranking and both sides
-    # of the cluster equi-join read it back. The assignment window is
-    # the identical ROUND-6dp argmax both dialects use.
-    spark.sql(_SPARK_PREP).where(
-        f"vec_id < {n_universe}"
-    ).createOrReplaceTempView("hyb_ivf_items")
-    spark.sql(
-        f"""
-        WITH cent AS (SELECT vec_id AS cid, emb, nrm FROM hyb_ivf_items
-                      WHERE vec_id < {nlist})
-        SELECT vec_id, emb, nrm, cid FROM (
-            SELECT /*+ BROADCAST(b) */ a.vec_id, a.emb, a.nrm, b.cid,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                      ORDER BY ROUND({_SPARK_COS}, 6) DESC,
-                                               b.cid) AS rn
-            FROM hyb_ivf_items a JOIN cent b ON 1 = 1
-        ) asg WHERE rn = 1
-        """
-    ).localCheckpoint(eager=True).createOrReplaceTempView(
-        "hyb_ivf_clustered"
+    # Universe assignment: the family's broadcast BLAS kernel
+    # (`_centroid_assign_fn` — raw argmax + 2e-6-margin tie repair, the
+    # pinned equivalent of the oracle's round-6dp-first-max window),
+    # checkpointed ONCE; the probe ranking and both sides of the
+    # cluster equi-join read it back. (A first cut assigned via the SQL
+    # fold — measured 16.0s at the 10x probe vs the brute twin's 13.0s,
+    # an inverted scale path; the BLAS kernel is why `ivf_topk` wins at
+    # scale and it is the production assignment everywhere else in this
+    # module.)
+    import numpy as np
+
+    prepped = spark.sql(_SPARK_PREP).where(f"vec_id < {n_universe}")
+    cent_rows = (
+        prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
     )
+    cent_mat = np.array([r["emb"] for r in cent_rows], dtype=np.float64)
+    cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cent_mat, cids))
+    prepped.mapInPandas(
+        _centroid_assign_fn(bc, "hyb_ivf"), _SEM_ASSIGN_SCHEMA
+    ).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("hyb_ivf_clustered")
     spark_arm = f"""
         SELECT query_id, doc_id, rank_vec FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,

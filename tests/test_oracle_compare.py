@@ -58,6 +58,9 @@ def test_scale_paths_point_at_registered_twins():
         "cosine_topk": "exact_topk",
         "exact_topk": "ivf_topk",
         "order_percentiles": "order_percentiles_approx",
+        # r14: the hybrid retrieval baseline's brute vector arm names the
+        # IVF-armed twin (same lexical arm + fusion, probed candidates)
+        "hybrid_rank_fusion": "hybrid_rank_fusion_ivf",
     }
     for baseline, twin in paths.items():
         assert baseline in queries and twin in queries
