@@ -466,21 +466,34 @@ IVF_NPROBE = 8
 # assignment (n·nlist dots) and per-cluster search (n/nlist candidates per
 # query) are both O(n^1.5) — fixing nlist leaves search O(n²) (the
 # r02-measured 10.1× at the 10× probe, BENCH_SCALING.md).
-_IVF_NLIST_SQL = (
-    f"(SELECT GREATEST({IVF_NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
-    " FROM embeddings)"
-)
+def _geom_knobs(count: str, from_rel: str = "") -> tuple[str, str]:
+    """One builder for the IVF geometry knobs (nlist, nprobe) as SQL,
+    parametrized by the COUNT expression (and optional FROM relation)
+    the knobs derive from — the full corpus for the IVF family, the
+    item universe for the hybrid-fusion twin. A single source of truth
+    because the nprobe rule has already changed twice (r10, r11) for
+    measured recall decay, and a copy that misses the next change is
+    exactly the `_pq_knobs` constant-drift defect class. The emitted
+    strings are byte-identical to the r11 forms (pinned by the
+    governance hashes of every out-of-window IVF query)."""
+    tail = f" FROM {from_rel}" if from_rel else ""
+    nlist = (
+        f"(SELECT GREATEST({IVF_NLIST_MIN}, CAST(FLOOR(SQRT({count})) AS BIGINT))"
+        f"{tail})"
+    )
+    nprobe = (
+        f"(SELECT GREATEST({IVF_NPROBE}, CAST(CEIL(3 * SQRT("
+        f"GREATEST({IVF_NLIST_MIN}, FLOOR(SQRT({count}))))) AS BIGINT))"
+        f"{tail})"
+    )
+    return nlist, nprobe
 
-# Geometry-derived nprobe as an in-query scalar subquery (same COUNT both
-# engines evaluate): max(IVF_NPROBE, ceil(3·√nlist)). Kept as one
-# expression so the Spark and DuckDB dialects cannot drift. CEIL's
-# argument is 3·sqrt(integer) — exact IEEE doubles on both engines, so
-# the ceiling cannot straddle an engine-specific rounding boundary.
-_IVF_NPROBE_SQL = (
-    f"(SELECT GREATEST({IVF_NPROBE}, CAST(CEIL(3 * SQRT("
-    f"GREATEST({IVF_NLIST_MIN}, FLOOR(SQRT(COUNT(*)))))) AS BIGINT))"
-    " FROM embeddings)"
-)
+
+# nprobe: max(IVF_NPROBE, ceil(3·√nlist)) — one expression so the Spark
+# and DuckDB dialects cannot drift; CEIL's argument is 3·sqrt(integer),
+# exact IEEE doubles on both engines, so the ceiling cannot straddle an
+# engine-specific rounding boundary.
+_IVF_NLIST_SQL, _IVF_NPROBE_SQL = _geom_knobs("COUNT(*)", "embeddings")
 
 
 def _ivf_sql(prep: str, cos: str, centroid_filter: str) -> str:
@@ -2102,46 +2115,65 @@ def _brute_vec_arm(prep: str, cos: str, universe: str) -> str:
     """
 
 
-def _ivf_vec_arm(
-    prep: str, cos: str, universe: str, nlist: str, nprobe: str
-) -> str:
-    """The production vector arm: IVF over the universe (its OWN index
-    geometry — nlist = max(16, floor(sqrt(|universe|))) prefix
-    centroids, geometry-derived nprobe), scoring only the probed lists
-    (`_ivf_sql`'s shape restricted to the universe). Emits
-    (query_id, doc_id, rank_vec) over the probed candidates — ranks are
-    pool-local, exactly what RRF consumes (it never compares scores
-    across arms, so approximate ranks fuse as-is)."""
+def _ivf_arm_core(clustered: str, probe: str, cos: str) -> str:
+    """The IVF vector arm's scoring body, shared verbatim by the oracle
+    (`_ivf_vec_arm`, which derives ``clustered``/``probe`` from one
+    cdist CTE) and the Spark side (which reads them from the
+    checkpointed assignment) — ONE copy of the per-list scoring join
+    and its tie-break convention, because the two dialect arms must
+    stay structurally identical for bit-parity and a hand-synced pair
+    is the `_pq_knobs` drift class. Emits (query_id, doc_id, rank_vec)
+    pooled to RRF_POOL."""
     return f"""
         SELECT query_id, doc_id, rank_vec FROM (
-            WITH items AS (SELECT * FROM ({prep}) pe
-                           WHERE vec_id < {universe}),
-            cent AS (SELECT vec_id AS cid, emb, nrm FROM items
-                     WHERE vec_id < {nlist}),
-            cdist AS (
-                SELECT a.vec_id, b.cid,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                          ORDER BY ROUND({cos}, 6) DESC,
-                                                   b.cid) AS rn
-                FROM items a JOIN cent b ON 1 = 1
-            ),
-            clustered AS (
-                SELECT i.vec_id, i.emb, i.nrm, c.cid
-                FROM items i
-                JOIN (SELECT vec_id, cid FROM cdist WHERE rn = 1) c
-                  ON i.vec_id = c.vec_id
-            )
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                       ORDER BY ROUND({cos}, 6) DESC,
                                                b.vec_id) AS rank_vec
             FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
-                  FROM (SELECT * FROM clustered WHERE {QUERY_FILTER}) q
-                  JOIN (SELECT vec_id, cid FROM cdist
-                        WHERE rn <= {nprobe} AND {QUERY_FILTER}) p
-                    ON q.vec_id = p.vec_id) a
-            JOIN clustered b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+                  FROM (SELECT * FROM ({clustered}) cq
+                        WHERE {QUERY_FILTER}) q
+                  JOIN ({probe}) p ON q.vec_id = p.vec_id) a
+            JOIN ({clustered}) b ON a.cid = b.cid AND a.vec_id <> b.vec_id
         ) v WHERE rank_vec <= {RRF_POOL}
+    """
+
+
+def _ivf_vec_arm(
+    prep: str, cos: str, universe: str, nlist: str, nprobe: str
+) -> str:
+    """The production vector arm for the ORACLE dialect: IVF over the
+    universe (its OWN index geometry — nlist =
+    max(16, floor(sqrt(|universe|))) prefix centroids, geometry-derived
+    nprobe), with assignment and probe set derived from one cdist
+    ranking (`_ivf_sql`'s convention) and the scoring body shared with
+    the Spark side via `_ivf_arm_core`. Ranks are pool-local, exactly
+    what RRF consumes (it never compares scores across arms, so
+    approximate ranks fuse as-is)."""
+    return f"""
+        WITH u_items AS (SELECT * FROM ({prep}) pe
+                         WHERE vec_id < {universe}),
+        u_cent AS (SELECT vec_id AS cid, emb, nrm FROM u_items
+                   WHERE vec_id < {nlist}),
+        u_cdist AS (
+            SELECT a.vec_id, b.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({cos}, 6) DESC,
+                                               b.cid) AS rn
+            FROM u_items a JOIN u_cent b ON 1 = 1
+        ),
+        u_clustered AS (
+            SELECT i.vec_id, i.emb, i.nrm, c.cid
+            FROM u_items i
+            JOIN (SELECT vec_id, cid FROM u_cdist WHERE rn = 1) c
+              ON i.vec_id = c.vec_id
+        )
+        {_ivf_arm_core(
+            "SELECT * FROM u_clustered",
+            f"SELECT vec_id, cid FROM u_cdist "
+            f"WHERE rn <= {nprobe} AND {QUERY_FILTER}",
+            cos,
+        )}
     """
 
 
@@ -2217,15 +2249,9 @@ _DUCK_UNIVERSE = (
     "(SELECT LEAST((SELECT COUNT(*) FROM documents),"
     " (SELECT COUNT(*) FROM embeddings)))"
 )
-_DUCK_U_NLIST = (
-    f"(SELECT GREATEST({IVF_NLIST_MIN},"
-    f" CAST(FLOOR(SQRT({_DUCK_UNIVERSE})) AS BIGINT)))"
-)
-_DUCK_U_NPROBE = (
-    f"(SELECT GREATEST({IVF_NPROBE}, CAST(CEIL(3 * SQRT("
-    f"GREATEST({IVF_NLIST_MIN}, FLOOR(SQRT({_DUCK_UNIVERSE})))))"
-    " AS BIGINT)))"
-)
+# Universe-geometry knobs from the same builder the IVF family uses —
+# one rule, two count sources (see _geom_knobs).
+_DUCK_U_NLIST, _DUCK_U_NPROBE = _geom_knobs(_DUCK_UNIVERSE)
 
 
 _SPARK_HYBRID_TOKS = """
@@ -2236,6 +2262,40 @@ _DUCK_HYBRID_TOKS = """
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
     FROM documents
 """
+
+
+def _ivf_nlist(n: int) -> int:
+    """Driver-side twin of the `_geom_knobs` nlist rule —
+    max(16, floor(sqrt(n))). (The older call sites in
+    `_matmul_assign` / `ivf_kmeans_search` / `_sem_incr_centroids`
+    inline the same expression; folding them onto this helper drifts
+    their governed hashes, so adoption is queued for rounds where the
+    IVF family re-enters the driver window.)"""
+    return max(IVF_NLIST_MIN, int(n**0.5))
+
+
+def _hybrid_setup(spark: SparkSession, sf_dir: str) -> int:
+    """Shared twin setup: register the documents/embeddings views,
+    derive the item-universe bound min(|documents|, |embeddings|), and
+    checkpoint the universe-clipped distinct-token table ONCE as
+    `hybrid_toks` (the token table is referenced three times in the
+    fusion SQL; through a view Spark re-expands the explode+DISTINCT
+    subtree per reference — the embedding_cluster_drift finding,
+    measured 26 exchanges). One helper for both twins so the
+    'shared lexical arm, identical rank_lex' invariant the twin test
+    pins is structural, not copy-synced. Returns the universe bound."""
+    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+
+    _docs_view(spark, sf_dir)
+    _emb_view(spark, sf_dir)
+    n_universe = min(
+        spark.table("documents").count(),
+        spark.table("embeddings_raw").count(),
+    )
+    spark.sql(_SPARK_HYBRID_TOKS).where(
+        f"doc_id < {n_universe}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
+    return n_universe
 
 
 @query(
@@ -2269,22 +2329,7 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query. Ranks are integers and the RRF sum has integer
     denominators, so both engines agree bit-exactly.
     """
-    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
-
-    _docs_view(spark, sf_dir)
-    _emb_view(spark, sf_dir)
-    # The token table is referenced three times in the shared SQL (query
-    # side, index side, per-doc sizes); through a view Spark re-expands
-    # the explode+DISTINCT subtree per reference (the
-    # embedding_cluster_drift finding — measured 26 exchanges).
-    # Materialize it once; each reference then scans the checkpoint.
-    n_universe = min(
-        spark.table("documents").count(),
-        spark.table("embeddings_raw").count(),
-    )
-    spark.sql(_SPARK_HYBRID_TOKS).where(
-        f"doc_id < {n_universe}"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
+    n_universe = _hybrid_setup(spark, sf_dir)
     return spark.sql(
         _fuse_sql(
             _brute_vec_arm(_SPARK_PREP, _SPARK_COS, str(n_universe)),
@@ -2329,21 +2374,11 @@ def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-decade win over brute. The fusion layer is unchanged: two
     pool-sized relations, one full-outer join, one window per query.
     """
-    from lakehouse_workshop_spark.operators.llm_dedup import _docs_view
+    import numpy as np
 
-    _docs_view(spark, sf_dir)
-    _emb_view(spark, sf_dir)
-    import math
-
-    n_universe = min(
-        spark.table("documents").count(),
-        spark.table("embeddings_raw").count(),
-    )
-    nlist = max(IVF_NLIST_MIN, int(n_universe**0.5))
-    nprobe = max(IVF_NPROBE, math.ceil(3 * math.sqrt(nlist)))
-    spark.sql(_SPARK_HYBRID_TOKS).where(
-        f"doc_id < {n_universe}"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
+    n_universe = _hybrid_setup(spark, sf_dir)
+    nlist = _ivf_nlist(n_universe)
+    nprobe = _ivf_nprobe(nlist)
     # Universe assignment: the family's broadcast BLAS kernel
     # (`_centroid_assign_fn` — raw argmax + 2e-6-margin tie repair, the
     # pinned equivalent of the oracle's round-6dp-first-max window),
@@ -2352,9 +2387,9 @@ def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold — measured 16.0s at the 10x probe vs the brute twin's 13.0s,
     # an inverted scale path; the BLAS kernel is why `ivf_topk` wins at
     # scale and it is the production assignment everywhere else in this
-    # module.)
-    import numpy as np
-
+    # module. The centroid collect below mirrors `_matmul_assign`'s —
+    # folding in a universe bound there is queued for a round where the
+    # IVF family re-enters the driver window, see `_ivf_nlist`.)
     prepped = spark.sql(_SPARK_PREP).where(f"vec_id < {n_universe}")
     cent_rows = (
         prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
@@ -2368,35 +2403,28 @@ def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
         eager=True
     ).createOrReplaceTempView("hyb_ivf_clustered")
-    spark_arm = f"""
-        SELECT query_id, doc_id, rank_vec FROM (
-            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+    # The probe set is re-ranked from the checkpoint (the oracle reuses
+    # its one cdist CTE instead — same expression, same tie-break, so
+    # identical rn); the scoring body is the SHARED `_ivf_arm_core`.
+    probe = f"""
+        SELECT vec_id, cid FROM (
+            SELECT /*+ BROADCAST(b) */ a.vec_id, b.cid,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                       ORDER BY ROUND({_SPARK_COS}, 6) DESC,
-                                               b.vec_id) AS rank_vec
-            FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
-                  FROM (SELECT * FROM hyb_ivf_clustered
-                        WHERE {QUERY_FILTER}) q
-                  JOIN (SELECT vec_id, cid FROM (
-                            SELECT /*+ BROADCAST(b) */ a.vec_id, b.cid,
-                                   ROW_NUMBER() OVER (
-                                       PARTITION BY a.vec_id
-                                       ORDER BY ROUND({_SPARK_COS}, 6) DESC,
-                                                b.cid) AS rn
-                            FROM (SELECT * FROM hyb_ivf_clustered
-                                  WHERE {QUERY_FILTER}) a
-                            JOIN (SELECT vec_id AS cid, emb, nrm
-                                  FROM hyb_ivf_clustered
-                                  WHERE vec_id < {nlist}) b ON 1 = 1
-                        ) pr WHERE rn <= {nprobe}) p
-                    ON q.vec_id = p.vec_id) a
-            JOIN hyb_ivf_clustered b
-              ON a.cid = b.cid AND a.vec_id <> b.vec_id
-        ) v WHERE rank_vec <= {RRF_POOL}
+                                               b.cid) AS rn
+            FROM (SELECT * FROM hyb_ivf_clustered
+                  WHERE {QUERY_FILTER}) a
+            JOIN (SELECT vec_id AS cid, emb, nrm FROM hyb_ivf_clustered
+                  WHERE vec_id < {nlist}) b ON 1 = 1
+        ) pr WHERE rn <= {nprobe}
     """
     return spark.sql(
         _fuse_sql(
-            spark_arm,
+            _ivf_arm_core(
+                "SELECT vec_id, emb, nrm, cid FROM hyb_ivf_clustered",
+                probe,
+                _SPARK_COS,
+            ),
             "SELECT doc_id, tok FROM hybrid_toks",
             str(n_universe),
         )
