@@ -576,3 +576,53 @@ def test_drift_retrain_plan_fires_at_probe_scale(spark):
     assert all(r.tvd >= EMB_DRIFT_RETRAIN_TVD for r in rows)
     assert all(r.action == "retrain_centroids" for r in rows)
     assert all(r.n_sublists == 1 for r in rows)
+
+
+def test_geom_knobs_emit_pinned_byte_forms():
+    """`_geom_knobs` is the single source of the IVF geometry SQL; its
+    full-corpus emission is pinned BYTE-exact here because those strings
+    sit inside the oracle text of every IVF-family query — an accidental
+    reformat would drift every out-of-window governance hash at once
+    (make_driver_order would refuse the manifest, but this fails two
+    minutes earlier with a diff)."""
+    from lakehouse_workshop_spark.operators import llm_similarity as S
+
+    nlist, nprobe = S._geom_knobs("COUNT(*)", "embeddings")
+    assert nlist == (
+        "(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings)"
+    )
+    assert nprobe == (
+        "(SELECT GREATEST(8, CAST(CEIL(3 * SQRT(GREATEST(16, "
+        "FLOOR(SQRT(COUNT(*)))))) AS BIGINT)) FROM embeddings)"
+    )
+    assert (nlist, nprobe) == (S._IVF_NLIST_SQL, S._IVF_NPROBE_SQL)
+
+
+def test_driver_side_knobs_match_sql_evaluation():
+    """The hybrid twin inlines driver-computed nlist/nprobe literals
+    while its oracle evaluates the same rule in SQL — the two must agree
+    for every corpus size, including perfect squares and off-by-one
+    edges where a drifting sqrt convention (int-trunc vs FLOOR, **0.5 vs
+    SQRT) would first diverge."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators.llm_similarity import (
+        _geom_knobs,
+        _ivf_nlist,
+        _ivf_nprobe,
+    )
+
+    con = duckdb.connect()
+    sizes = [1, 15, 16, 17, 255, 256, 257, 2000, 3200, 9999, 10000,
+             10001, 123456, 10**8, 10**12]
+    for n in sizes:
+        nlist_sql, nprobe_sql = _geom_knobs(str(n))
+        got_nlist = con.sql(f"SELECT {nlist_sql}").fetchone()[0]
+        got_nprobe = con.sql(f"SELECT {nprobe_sql}").fetchone()[0]
+        assert got_nlist == _ivf_nlist(n), (n, got_nlist, _ivf_nlist(n))
+        assert got_nprobe == _ivf_nprobe(_ivf_nlist(n)), (
+            n,
+            got_nprobe,
+            _ivf_nprobe(_ivf_nlist(n)),
+        )
