@@ -138,6 +138,12 @@ HEADLINE = [
     # fertility rollup (scan-speed agg)
     "near_dup_keep_canonical",
     "tokenizer_fertility",
+    # r15: the drift family's last two decide stages — the PSI-driven
+    # gate recalibration (classifier scan + one global rank window +
+    # 10-row spine) and the fertility-driven token budget planner
+    # (driver-trivial rollup over the fertility emission)
+    "quality_gate_recalibrate",
+    "token_budget_plan",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

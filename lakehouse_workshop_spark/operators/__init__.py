@@ -17,101 +17,92 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 14. The driver's correctness pass
+# Explicit driver-pass order for round 15. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
-# round with tools/make_driver_order.py):
-#   1. Positions 1-3: the three r09 rows displaced by round-13
-#      registrations (train_val_test_split, text_normalize,
-#      unigram_lm_score) — past the P=5 horizon at r14 start, the red
-#      check the r13 verdict flagged. They lead unconditionally.
-#   2. Positions 4-40: 37 of the 46-row r10 cohort. Nine rows are
-#      DEFERRED to the r15 window (tfidf_top_terms, token_counts,
-#      token_dist_shift, top_returned_customers, top_revenue_supplier,
-#      topic_assign, vocab_coverage, volume_shipping,
-#      weighted_sample_topk) — under P=6 they are not stale until the
-#      r16 build, and r15 has the capacity (its only other forced load
-#      is the r11 cohort's leading edge).
-#   3. Positions 41-44: the four changed-source re-verifies of this
-#      round's edits — ivf_rebalance (flood fallback implemented),
-#      ivf_split_plan + semantic_dedup_incremental +
-#      streaming_semantic_dedup (docstring-only, r13 ADVICE items 3-4;
-#      the transitive hash governs docstrings, so they re-verify).
-#      (semantic_dedup, also docstring-changed, sits in the r10 cohort.)
-#   4. Positions 45-50: the six round-14 registrations
-#      (drift_retrain_plan — the embedding_cluster_drift consumer,
-#      r13 verdict ask #4; near_dup_keep_canonical; tokenizer_fertility;
-#      quality_score_psi + hybrid_rank_fusion — completing the r14 plan
-#      staged in bench.py's HEADLINE by the quiet-stamp session; and
-#      hybrid_rank_fusion_ivf, the fusion's registered scale path).
-# Capacity decision (r13 verdict ask #1): the registry sat at 198 of
-# the P=5 capacity 200 (window*(P-1)). Round 14 ACCEPTS the P=6 trade:
-# registering to 204 self-relaxes the period to P = ceil(204/50)+1 = 6
-# (capacity 250), i.e. a 6-round staleness horizon in exchange for
-# headroom to keep registering operators through rounds 15-20. The
-# horizon stays bounded and the changed-source rule is unaffected.
-# Forward schedule under P=6: r15 = 9 deferred r10 rows + the r11
-# cohort's leading edge; r16 = remaining r11 + r12 leading edge; the r12
-# cohort must complete by r18, r13 by r19, this window by r20.
+# round with tools/make_driver_order.py; --check = read-only validate):
+#   1. Positions 1-9: the nine r10 rows deferred from the r14 window
+#      (the oldest latest-rows in the registry — under P=6 they must
+#      re-verify in THIS window or go stale at the r16 build). This is
+#      exactly the forward schedule the r14 header committed to.
+#      token_counts is among them — which made its queued `_TOK_REGEX`
+#      hoist (r14 NOTE in llm_text.py) free this round.
+#   2. Positions 10-36: the r11 cohort's leading edge, registry order —
+#      27 of its 49 rows (ivf_topk / ivf_topk_kmeans, also r11, sit in
+#      the changed block below and count toward the cohort: 29 of 49
+#      covered, 20 remain for r16 per the schedule).
+#   3. Positions 37-48: the twelve changed-source re-verifies of this
+#      round's consolidation + ADVICE fixes — adopting `_ivf_nlist` in
+#      `_matmul_assign`/`ivf_kmeans_search`/`_sem_incr_centroids` and
+#      folding the hybrid universe bound + `_centroid_assign_fn` kernel
+#      into `_matmul_assign` (the r14-queued hash debt) drifts the IVF
+#      and semantic-dedup families; the drift-TVD DECIMAL(38,0)
+#      promotion (r14 ADVICE #1) drifts drift_retrain_plan; the
+#      PSI shifted-from-rounded fix (ADVICE #2) drifts
+#      quality_score_psi; constant-name docstring edits (ADVICE #3)
+#      ride along on already-drifted functions.
+#   4. Positions 49-50: the two round-15 registrations — the drift
+#      family's last two decide stages: quality_gate_recalibrate
+#      (quality_score_psi's consumer, r14 verdict ask #3) and
+#      token_budget_plan (tokenizer_fertility's consumer).
+# Forward schedule under P=6 (unchanged from the r14 header): r16 =
+# remaining 20 r11 rows + r12 leading edge; the r12 cohort must
+# complete by r18, r13 by r19, the r14 window by r20.
 DRIVER_ORDER: list[str] = [
-    # -- 1-3: latest row r09 — past the P=5 horizon, lead the window ----
-    "train_val_test_split",
-    "text_normalize",
-    "unigram_lm_score",
-    # -- 4-40: 37 of the 46-row r10 cohort (9 deferred — header #2) -------
-    "blocklist_scrub",
-    "cms_heavy_hitters",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "doc_quality",
-    "dormant_rich_customers",
-    "dup_span_scrub",
-    "dup_span_stats",
-    "embedding_component_variance",
-    "embedding_norm_outliers",
-    "event_transitions",
-    "forecast_revenue_discount",
-    "ivf_opq_topk",
-    "ivf_pq_incremental",
-    "lang_id_confusion",
-    "late_shipment_priority",
-    "market_share",
-    "min_cost_supplier",
-    "minhash_band_stats",
-    "minhash_lsh_incremental",
-    "minhash_lsh_pairs",
-    "monthly_sales_1997",
-    "nation_revenue_share",
-    "ngram_jaccard_pairs_capped",
-    "ngram_novelty",
-    "pii_redact",
-    "promo_revenue_monthly",
-    "quality_classifier_score",
-    "semantic_dedup",
-    "sequence_packing",
-    "simhash_near_pairs",
-    "small_quantity_avg_yearly",
-    "source_balanced_sample",
-    "streaming_event_transitions",
-    "streaming_pq_ingest",
-    "supplier_concentration",
-    "table_expectations",
-    # (tfidf_top_terms, token_counts, token_dist_shift,
-    # top_returned_customers, top_revenue_supplier, topic_assign,
-    # vocab_coverage, volume_shipping, weighted_sample_topk: deferred
-    # to r15 — see header #2)
-    # -- 41-44: changed-source re-verifies (r14 edits) ---------------------
+    # -- 1-9: the r10 rows deferred from r14 — oldest in the registry ----
+    "tfidf_top_terms",
+    "token_counts",
+    "token_dist_shift",
+    "top_returned_customers",
+    "top_revenue_supplier",
+    "topic_assign",
+    "vocab_coverage",
+    "volume_shipping",
+    "weighted_sample_topk",
+    # -- 10-36: r11 cohort leading edge (registry order) -----------------
+    "rfm_summary",
+    "corr_frequency_monetary",
+    "order_value_buckets",
+    "top10_orders",
+    "frequency_bands",
+    "customer_value_bands",
+    "order_percentiles_approx",
+    "revenue_by_nation",
+    "active_or_rich_customers",
+    "sales_rollup",
+    "orders_pivot_status",
+    "sessionize_events",
+    "churned_customers",
+    "cumulative_monthly_revenue",
+    "event_props_agg",
+    "scd2_customer_history",
+    "scd2_asof_lookup",
+    "snapshot_diff_orders",
+    "clv_distributed",
+    "clv_segment_rollup",
+    "streaming_scd2_history",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "materialize_training_set",
+    "materialize_training_set_v2",
+    "bloom_dedup",
+    # -- 37-48: changed-source re-verifies (r15 consolidation edits) -----
+    "ivf_topk",
+    "ivf_topk_kmeans",
+    "ivf_cluster_balance",
     "ivf_rebalance",
     "ivf_split_plan",
+    "semantic_dedup",
     "semantic_dedup_incremental",
     "streaming_semantic_dedup",
-    # -- 45-50: round-14 registrations -------------------------------------
+    "embedding_cluster_drift",
     "drift_retrain_plan",
-    "near_dup_keep_canonical",
-    "tokenizer_fertility",
     "quality_score_psi",
-    "hybrid_rank_fusion",
     "hybrid_rank_fusion_ivf",
+    # -- 49-50: round-15 registrations ------------------------------------
+    "quality_gate_recalibrate",
+    "token_budget_plan",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -1073,7 +1073,10 @@ def _psi_sql(score_rel: str, bins_rel: str, fpln: str) -> str:
            ROUND((cb + 1) / CAST(nb AS DOUBLE), 6) AS batch_share,
            ROUND(CAST(psi_num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb * 100000000.0), 6)
                AS psi,
-           CAST(psi_num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb * 100000000.0)
+           -- shifted derives from the SAME rounded expression emitted as
+           -- `psi`, so the flag always matches the visible value (an
+           -- unrounded 0.2499996 must not display psi=0.25/shifted=false)
+           ROUND(CAST(psi_num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb * 100000000.0), 6)
                >= {QS_PSI_SHIFTED} AS shifted
     FROM agg
     """
@@ -1100,8 +1103,10 @@ def quality_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tonight's ingest batch (doc_id % 10 = 9): per score-decile corpus
     and batch populations, Laplace-smoothed shares, the global PSI
     (repeated per row as a decision input, the `embedding_cluster_drift`
-    convention), and ``shifted`` (PSI >= 0.25, the standard
-    re-calibrate/re-train action line). A drifted score distribution
+    convention), and ``shifted`` (the emitted 6-dp PSI at or above
+    QS_PSI_SHIFTED, the standard re-calibrate/re-train action line —
+    the flag derives from the same rounded expression it is read
+    against). A drifted score distribution
     means yesterday's keep-threshold no longer cuts at the same
     quantile -- the gate must be re-calibrated BEFORE the batch is
     filtered, which is exactly when this monitor runs.
@@ -1120,5 +1125,125 @@ def quality_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT doc_id, prob FROM qs_psi_scores",
             _SPARK_BINS,
             _DUCK_FPLN,
+        )
+    )
+
+
+# --- quality-gate recalibration (round 15) ------------------------------------
+# The consumer `quality_score_psi` existed for (r14 verdict ask: the
+# score-axis `shifted` flag finally drives a decision, closing the last
+# report-without-decision gap in the drift family — token/source-KL feed
+# mixture weights, embedding drift feeds `drift_retrain_plan`, and now
+# the score axis feeds the gate threshold). A shifted score distribution
+# means yesterday's keep-threshold cuts tonight's merged corpus+batch
+# population at the wrong quantile; the re-calibrated threshold is the
+# merged-distribution score whose keep-rate preserves the CORPUS
+# keep-rate — pure integer rank arithmetic (rank·Nc <= Nm·Kc), the
+# family's bit-parity idiom, no float share computation.
+QGATE_THRESHOLD = 0.5  # the classifier's sign gate: logit >= 0 <=> prob >= 0.5
+
+
+def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
+    """Dialect-shared recalibration: one decision row. The merged
+    corpus+batch scores rank by (prob DESC, doc_id); the recalibrated
+    threshold is the prob at the last rank satisfying
+    rank * n_corpus <= n_merged * n_keep_corpus (ties at the cut value
+    keep marginally more than the exact rate — the standard >= -
+    threshold semantics). An all-drop corpus (kc = 0) recalibrates to
+    1.0 — above every 6-dp-rounded sigmoid except a saturated 1.0,
+    matching "keep nothing" as closely as a >= gate can."""
+    return f"""
+    WITH s AS ({scores_rel}),
+    p AS (SELECT MAX(psi) AS psi, MAX(shifted) AS shifted
+          FROM ({psi_rel}) pr),
+    c AS (
+        SELECT COALESCE(SUM(CASE WHEN NOT ({_QS_BATCH}) THEN 1 END), 0)
+                   AS nc,
+               COALESCE(SUM(CASE WHEN NOT ({_QS_BATCH}) AND keep
+                                 THEN 1 END), 0) AS kc,
+               COALESCE(SUM(CASE WHEN {_QS_BATCH} THEN 1 END), 0) AS nb
+        FROM s
+    ),
+    m AS (
+        SELECT prob,
+               ROW_NUMBER() OVER (ORDER BY prob DESC, doc_id) AS rnk,
+               COUNT(*) OVER () AS nm
+        FROM s
+    ),
+    -- the rank cut promotes to DECIMAL(38,0) before multiplying: at
+    -- ~3e9 merged docs rnk*nc crosses BIGINT and non-ANSI Spark would
+    -- wrap silently while DuckDB stayed exact (the `_psi_sql` terms
+    -- idiom)
+    r AS (
+        SELECT MIN(prob) AS thr FROM m, c
+        WHERE CAST(m.rnk AS DECIMAL(38, 0)) * c.nc
+              <= CAST(m.nm AS DECIMAL(38, 0)) * c.kc
+    )
+    SELECT p.psi, p.shifted,
+           CAST(c.nc AS BIGINT) AS n_corpus,
+           CAST(c.kc AS BIGINT) AS n_keep_corpus,
+           CAST(c.nb AS BIGINT) AS n_batch,
+           CASE WHEN c.nc = 0 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND(c.kc / CAST(c.nc AS DOUBLE), 6) END
+               AS corpus_keep_rate,
+           CAST({QGATE_THRESHOLD} AS DOUBLE) AS threshold_old,
+           COALESCE(r.thr, CAST(1 AS DOUBLE)) AS threshold_recal,
+           CASE WHEN p.shifted THEN COALESCE(r.thr, CAST(1 AS DOUBLE))
+                ELSE CAST({QGATE_THRESHOLD} AS DOUBLE) END AS threshold_used
+    FROM p, c, r
+    """
+
+
+@query(
+    "quality_gate_recalibrate",
+    tier=2,
+    oracle=_qgate_recal_sql(
+        "SELECT doc_id, prob, keep FROM ("
+        + _ORACLES["quality_classifier_score"]
+        + ") qs",
+        _psi_sql(
+            "SELECT doc_id, prob FROM ("
+            + _ORACLES["quality_classifier_score"]
+            + ") qp",
+            _DUCK_BINS,
+            _DUCK_FPLN,
+        ),
+    ),
+)
+def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume `quality_score_psi`'s report into the gate DECISION — the
+    drift family's score-axis decide stage. One row: the PSI evidence
+    (psi, shifted), the corpus/batch populations, the exact corpus
+    keep-rate under the standing QGATE_THRESHOLD sign gate, the
+    recalibrated threshold (the merged corpus+batch score quantile that
+    preserves the corpus keep-rate — integer rank arithmetic over
+    6-dp-identical probs, so both engines cut at the identical score),
+    and ``threshold_used``: the recalibrated value when ``shifted``,
+    else the standing one. Downstream the batch filter is
+    ``prob >= threshold_used`` — re-calibrated BEFORE the batch is
+    gated, which is exactly when `quality_score_psi` says to run it.
+
+    Scale: the classifier scores once (one scan + one doc_id hash agg,
+    checkpointed — the PSI layer, the count rollup, and the rank all
+    read the same materialization); the global rank is ONE total-order
+    window over scored docs — at 100 TB the same rule runs as the
+    two-pass range-partitioned rank (`global_cumsum`'s construction);
+    everything after is a 10-row spine and three scalar CTEs.
+    """
+    scored = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "prob", "keep"
+    )
+    scored.localCheckpoint(eager=True).createOrReplaceTempView(
+        "qgate_scores"
+    )
+    spark.sql(
+        _psi_sql(
+            "SELECT doc_id, prob FROM qgate_scores", _SPARK_BINS, _DUCK_FPLN
+        )
+    ).createOrReplaceTempView("qgate_psi")
+    return spark.sql(
+        _qgate_recal_sql(
+            "SELECT doc_id, prob, keep FROM qgate_scores",
+            "SELECT psi, shifted FROM qgate_psi",
         )
     )

@@ -108,7 +108,9 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     ).createOrReplaceTempView("embeddings")
 
 
-def _matmul_assign(spark: SparkSession) -> DataFrame:
+def _matmul_assign(
+    spark: SparkSession, n_universe: int | None = None
+) -> DataFrame:
     """Cluster assignment as one broadcast matmul per Arrow batch.
 
     The SQL form (vectors × centroids cross join, per-pair 64-element
@@ -118,28 +120,30 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
     ``vec_id < nlist`` prefix, cid-ascending) collect once and broadcast
     (√n·d doubles: 16 MB at a billion 64-dim vectors — the same thing
     ``ivf_topk_kmeans`` already ships as literal cluster centers), and
-    each Arrow batch scores against them with BLAS.
+    each Arrow batch scores against them with BLAS (the
+    ``_centroid_assign_fn`` kernel: raw argmax + 2e-6-margin tie repair
+    ≡ the oracle's round-6dp-then-first-max over the cid-ascending
+    axis; see its docstring for the half-to-even caveat).
 
-    Semantics pin to the SQL argmax — round to 6 dp, then FIRST maximum
-    over the cid-ascending centroid axis (the oracle's ``ORDER BY ccos
-    DESC, cid``) — implemented as raw argmax with a 2e-6-margin tie
-    repair, which is equivalent without rounding the full n×nlist block
-    (any index whose rounded sim ties the rounded max has raw sim within
-    1e-6 of the raw max). (One caveat: np.round is half-to-even while
-    SQL ROUND is half-away-from-zero, so an exact .5 tie at the 6th
-    decimal could diverge — measure-zero for real cosines; parity has
-    stayed bit-green.) Returns (vec_id, emb, nrm, cid, ccos).
+    ``n_universe`` clips the corpus to the id-aligned prefix
+    ``vec_id < n_universe`` (the hybrid-retrieval item universe) and is
+    then also the corpus size, so the geometry derives from the clipped
+    relation without a count job. Without it the corpus size comes from
+    the RAW embeddings relation, not from ``prepped``: counting the
+    prepped form would execute its repartition exchange (a full shuffle
+    of every vector) as a separate job before the query even starts —
+    the raw count is a zero-column scan; only nlist — a scalar —
+    depends on it. Returns (vec_id, emb, nrm, cid, ccos).
     """
     import numpy as np
 
     prepped = spark.sql(_SPARK_PREP)
-    # Corpus size from the RAW embeddings relation, not from ``prepped``:
-    # counting the prepped form would execute its repartition exchange
-    # (a full shuffle of every vector) as a separate job before the query
-    # even starts. The raw count is a zero-column scan; only nlist — a
-    # scalar — depends on it.
-    n = spark.table("embeddings_raw").select("vec_id").count()
-    nlist = max(IVF_NLIST_MIN, int(n**0.5))
+    if n_universe is not None:
+        prepped = prepped.where(F.col("vec_id") < n_universe)
+        n = n_universe
+    else:
+        n = spark.table("embeddings_raw").select("vec_id").count()
+    nlist = _ivf_nlist(n)
     cent_rows = (
         prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
     )
@@ -147,56 +151,9 @@ def _matmul_assign(spark: SparkSession) -> DataFrame:
     cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
     cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     bc = spark.sparkContext.broadcast((cent_mat, cids))
-
-    def assign(batches):
-        import pandas as pd
-
-        c_mat, c_ids = bc.value
-        for pdf in batches:
-            m = np.stack(pdf["emb"].to_numpy()) / pdf["nrm"].to_numpy()[:, None]
-            n = len(m)
-            # raw argmax + tie repair ≡ round(·,6)-then-first-max (any
-            # index whose rounded sim equals the rounded max has raw sim
-            # within 1e-6 of the raw max) — same rule as the PQ encoder;
-            # avoids np.round over the full n×nlist block, and the score
-            # block lands in a reused worker buffer (_WORKER_BUFS).
-            s = np.matmul(
-                m, c_mat.T, out=_worker_buf("ivf_assign_s", (n, len(c_mat)))
-            )
-            best = s.argmax(axis=1)
-            mx = s[np.arange(n), best]
-            close = (s >= (mx - 2e-6)[:, None]).sum(axis=1) > 1
-            for i in np.nonzero(close)[0]:
-                cand = np.nonzero(s[i] >= mx[i] - 2e-6)[0]
-                best[i] = cand[np.round(s[i][cand], 6).argmax()]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "emb": pdf["emb"],
-                    "nrm": pdf["nrm"].to_numpy(),
-                    "cid": c_ids[best],
-                    "ccos": np.round(s[np.arange(n), best], 6),
-                }
-            )
-
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
+    return prepped.mapInPandas(
+        _centroid_assign_fn(bc, "ivf_assign_s"), _SEM_ASSIGN_SCHEMA
     )
-
-    schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("emb", ArrayType(DoubleType())),
-            StructField("nrm", DoubleType()),
-            StructField("cid", LongType()),
-            StructField("ccos", DoubleType()),
-        ]
-    )
-    return prepped.mapInPandas(assign, schema)
 
 
 def _topk_sql(cos: str, prep: str) -> str:
@@ -779,7 +736,7 @@ def ivf_kmeans_search(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("vec_id") < KMEANS_TRAIN_N).alias("n_prefix"),
     ).collect()[0]
-    nlist = max(IVF_NLIST_MIN, int(stats["n"] ** 0.5))
+    nlist = _ivf_nlist(stats["n"])
     if nprobe is None:
         nprobe = _ivf_nprobe(nlist)
     # Deterministic training sample: the vec_id prefix (same rule as the
@@ -1110,7 +1067,7 @@ def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The consumer `ivf_cluster_balance` existed for (r12 verdict ask
     #6): turn the per-cluster skew factor into the split DECISION an
     index maintainer executes — ``needs_split`` (x_uniform >=
-    IVF_SPLIT_FACTOR = 2.0), ``n_sublists`` = ceil(x_uniform) (the sub-list
+    IVF_SPLIT_FACTOR), ``n_sublists`` = ceil(x_uniform) (the sub-list
     count that provably restores the balanced expectation:
     x_post_split = x_uniform / n_sublists <= 1, pinned by
     tests/test_recall.py::test_ivf_split_plan_restores_balance), and
@@ -1287,7 +1244,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector gets its cluster (deterministic seeded centroids, same index
     shape as ``ivf_topk``), a within-cluster centrality rank, and a
     ``kept`` verdict — False iff a more-central member of the same
-    cluster sits within cosine SEM_DEDUP_THRESHOLD = 0.4 of it.
+    cluster sits within cosine SEM_DEDUP_THRESHOLD of it.
 
     Scale: centroids are a broadcast-size table (sqrt(n) rows); the only
     quadratic work is inside clusters — O(n^2/nlist) = O(n^1.5) total
@@ -1455,7 +1412,7 @@ def _sem_incr_centroids(spark: SparkSession):
         .select("vec_id")
         .count()
     )
-    nlist = max(IVF_NLIST_MIN, int(n_corpus**0.5))
+    nlist = _ivf_nlist(n_corpus)
     cent_rows = (
         spark.sql(_SPARK_PREP)
         .where(f"NOT ({SEM_INCR_SPLIT})")
@@ -1625,7 +1582,7 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per batch vector: its cluster under the CORPUS-ONLY centroid geometry
     (the standing index — the batch must not move it), its batch-local
     centrality rank, and three verdicts: ``dup_vs_corpus`` (within
-    cosine SEM_DEDUP_THRESHOLD = 0.4 of a KEPT standing member of its cluster
+    cosine SEM_DEDUP_THRESHOLD of a KEPT standing member of its cluster
     — dropped corpus members are not standing targets; they don't exist
     in the standing table), ``dup_vs_batch`` (within threshold of a
     more-central member of the same ingest batch, the flat
@@ -1991,13 +1948,17 @@ EMB_DRIFT_RETRAIN_TVD = 0.1
 
 def _drift_plan_sql(rollup_sql: str) -> str:
     """Decision layer over the `_drift_rollup_sql` emission. TVD is
-    computed from exact integer cross-products, |nb*Nc - nc*Nb| summed
-    as BIGINT and divided once by 2*Nb*Nc — no per-row double sums, so
-    both engines see identical doubles before the single 6-dp round.
-    (At 100 TB-scale counts the products need DECIMAL(38) headroom;
-    BIGINT is exact to ~3e9 rows per side.) nlist is re-derived from
-    the rollup's own corpus total — the corpus-prefix convention
-    (`_SEM_INCR_NLIST_SQL`) the drift assignment itself used."""
+    computed from exact integer cross-products, |nb*Nc - nc*Nb|
+    promoted to DECIMAL(38,0) BEFORE multiplying (a BIGINT product
+    would silently wrap in non-ANSI Spark beyond ~3e9 rows per side —
+    the 100 TB scale this targets — while DuckDB's HUGEINT errored or
+    stayed exact: the worst kind of cross-engine divergence, the same
+    class `_psi_sql`'s terms CTE avoids), summed in DECIMAL and
+    divided once by 2*Nb*Nc — no per-row double sums, so both engines
+    see identical doubles before the single 6-dp round. nlist is
+    re-derived from the rollup's own corpus total — the corpus-prefix
+    convention (`_SEM_INCR_NLIST_SQL`) the drift assignment itself
+    used."""
     return f"""
     WITH t0 AS (
         SELECT r.*,
@@ -2007,8 +1968,9 @@ def _drift_plan_sql(rollup_sql: str) -> str:
     ),
     t AS (
         SELECT t0.*,
-               SUM(ABS(n_batch * nc_total - n_corpus * nb_total)) OVER ()
-                   AS xsum
+               SUM(ABS(CAST(n_batch AS DECIMAL(38, 0)) * nc_total
+                       - CAST(n_corpus AS DECIMAL(38, 0)) * nb_total))
+                   OVER () AS xsum
         FROM t0
     ),
     m AS (
@@ -2017,11 +1979,14 @@ def _drift_plan_sql(rollup_sql: str) -> str:
                -- no drift EVIDENCE, not infinite drift — tvd pins to 0
                -- (the parent rollup's NULL shares already push every
                -- action to 'none'), instead of a NULL that Spark and
-               -- DuckDB could disagree on.
+               -- DuckDB could disagree on. The denominator promotes to
+               -- DECIMAL(38,0) for the same ~3e9-row headroom reason as
+               -- xsum (2*Nb*Nc overflows BIGINT first, at ~2.1e9/side).
                CASE WHEN nb_total = 0 OR nc_total = 0
                     THEN CAST(0 AS DOUBLE)
                     ELSE ROUND(CAST(xsum AS DOUBLE)
-                               / (2 * nb_total * nc_total), 6) END
+                               / CAST(2 * CAST(nb_total AS DECIMAL(38, 0))
+                                      * nc_total AS DOUBLE), 6) END
                    AS tvd,
                ROUND((n_corpus + n_batch)
                      * CAST(GREATEST({IVF_NLIST_MIN},
@@ -2059,10 +2024,11 @@ def drift_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ivf_cluster_balance`). Emits per cluster: the drift evidence, the
     corpus-vs-batch total variation distance (global, repeated per row
     as a decision input), the projected post-merge skew factor
-    x_merged, and the action: ``retrain_centroids`` when TVD >= 0.1
-    (the geometry is stale — supersedes per-list surgery), ``split``
-    (+ ``n_sublists`` = ceil(x_merged), the `ivf_split_plan` rule) for
-    a shifted growing cluster crossing the split factor 2.0,
+    x_merged, and the action: ``retrain_centroids`` when TVD crosses
+    EMB_DRIFT_RETRAIN_TVD (the geometry is stale — supersedes per-list
+    surgery), ``split`` (+ ``n_sublists`` = ceil(x_merged), the
+    `ivf_split_plan` rule) for a shifted growing cluster crossing
+    IVF_SPLIT_FACTOR,
     ``watch_growth`` / ``watch_shrink`` for shifted clusters below it
     (a shrinking list is a merge candidate, not a split), else
     ``none``.
@@ -2266,11 +2232,10 @@ _DUCK_HYBRID_TOKS = """
 
 def _ivf_nlist(n: int) -> int:
     """Driver-side twin of the `_geom_knobs` nlist rule —
-    max(16, floor(sqrt(n))). (The older call sites in
-    `_matmul_assign` / `ivf_kmeans_search` / `_sem_incr_centroids`
-    inline the same expression; folding them onto this helper drifts
-    their governed hashes, so adoption is queued for rounds where the
-    IVF family re-enters the driver window.)"""
+    max(IVF_NLIST_MIN, floor(sqrt(n))) — the ONE place the IVF list
+    geometry is derived driver-side (`_matmul_assign`,
+    `ivf_kmeans_search`, `_sem_incr_centroids`, and the hybrid fusion
+    twin all call it)."""
     return max(IVF_NLIST_MIN, int(n**0.5))
 
 
@@ -2374,35 +2339,23 @@ def hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-decade win over brute. The fusion layer is unchanged: two
     pool-sized relations, one full-outer join, one window per query.
     """
-    import numpy as np
-
     n_universe = _hybrid_setup(spark, sf_dir)
     nlist = _ivf_nlist(n_universe)
     nprobe = _ivf_nprobe(nlist)
-    # Universe assignment: the family's broadcast BLAS kernel
-    # (`_centroid_assign_fn` — raw argmax + 2e-6-margin tie repair, the
-    # pinned equivalent of the oracle's round-6dp-first-max window),
-    # checkpointed ONCE; the probe ranking and both sides of the
-    # cluster equi-join read it back. (A first cut assigned via the SQL
-    # fold — measured 16.0s at the 10x probe vs the brute twin's 13.0s,
-    # an inverted scale path; the BLAS kernel is why `ivf_topk` wins at
-    # scale and it is the production assignment everywhere else in this
-    # module. The centroid collect below mirrors `_matmul_assign`'s —
-    # folding in a universe bound there is queued for a round where the
-    # IVF family re-enters the driver window, see `_ivf_nlist`.)
-    prepped = spark.sql(_SPARK_PREP).where(f"vec_id < {n_universe}")
-    cent_rows = (
-        prepped.where(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    # Universe assignment: the family's broadcast BLAS kernel via
+    # `_matmul_assign` with the universe bound folded in (raw argmax +
+    # 2e-6-margin tie repair, the pinned equivalent of the oracle's
+    # round-6dp-first-max window), checkpointed ONCE; the probe ranking
+    # and both sides of the cluster equi-join read it back. (A first
+    # cut assigned via the SQL fold — measured 16.0s at the 10x probe
+    # vs the brute twin's 13.0s, an inverted scale path; the BLAS
+    # kernel is why `ivf_topk` wins at scale and it is the production
+    # assignment everywhere else in this module.)
+    _matmul_assign(spark, n_universe=n_universe).select(
+        "vec_id", "emb", "nrm", "cid"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(
+        "hyb_ivf_clustered"
     )
-    cent_mat = np.array([r["emb"] for r in cent_rows], dtype=np.float64)
-    cent_mat /= np.array([r["nrm"] for r in cent_rows])[:, None]
-    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((cent_mat, cids))
-    prepped.mapInPandas(
-        _centroid_assign_fn(bc, "hyb_ivf"), _SEM_ASSIGN_SCHEMA
-    ).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("hyb_ivf_clustered")
     # The probe set is re-ranked from the checkpoint (the oracle reuses
     # its one cdist CTE instead — same expression, same tie-break, so
     # identical rn); the scoring body is the SHARED `_ivf_arm_core`.

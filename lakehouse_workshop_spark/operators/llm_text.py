@@ -333,12 +333,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The BPE-ish tokenizer regex (letter runs, digit runs, single symbols)
+# shared by `token_counts` and `tokenizer_fertility` — the two operators
+# price the same tokenization, so the pattern exists exactly once.
+_TOK_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 @query(
     "token_counts",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{_TOK_REGEX}')) AS BIGINT)
                AS n_tokens_regex,
            CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
     FROM documents
@@ -351,7 +357,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.selectExpr(
         "doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens_ws",
-        r"CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"
+        f"CAST(size(regexp_extract_all(text, '{_TOK_REGEX}', 0)) AS BIGINT)"
         " AS n_tokens_regex",
         "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est",
     )
@@ -715,14 +721,6 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # direct input to mixture weighting and token-budget planning — the same
 # decision `token_counts` feeds at document grain.
 
-# NOTE: token_counts (above) inlines this same literal twice — it had no
-# r14 window slot, so hoisting it onto this constant (which would drift
-# its governed hash) is queued for r15 when the deferred r10 rows
-# re-enter the window. Until then the two copies must stay character-
-# identical.
-_TOK_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-
-
 @query(
     "tokenizer_fertility",
     tier=2,
@@ -783,3 +781,98 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --- token budget plan (round 15) ---------------------------------------------
+# The consumer `tokenizer_fertility` existed for: turn the per-source
+# token pricing into the sampling DECISION a mixture executor runs.
+# Target = uniform-over-sources (the `domain_mixture_weights`
+# convention): each source owes TOKEN_BUDGET / n_sources tokens of the
+# training budget; epochs_needed = that share over the source's own
+# token supply says HOW to sample it — subsample (< 1 pass), repeat
+# (> 1 pass), or cap at MAX_DATA_EPOCHS passes with an explicit deficit
+# (repetition beyond ~4 epochs stops buying loss — Muennighoff et al.
+# 2023, "Scaling Data-Constrained Language Models" — so the plan says
+# what the budget CANNOT buy instead of silently over-repeating).
+TOKEN_BUDGET = 30_000  # stand-in experiment budget, in _TOK_REGEX tokens
+MAX_DATA_EPOCHS = 4
+
+
+def _budget_plan_sql(fert_rel: str) -> str:
+    """Dialect-shared budget planner over a `tokenizer_fertility`-shaped
+    relation (source, lang, n_docs, n_tokens, ...). Exact integer sums
+    roll the fertility grain up to source; every emitted ratio divides
+    those integers once and rounds at 6 dp, and the action CASE reads
+    the already-rounded epochs so the branch is bit-identical
+    cross-engine."""
+    return f"""
+    WITH f AS ({fert_rel}),
+    per_src AS (
+        SELECT source,
+               SUM(n_docs) AS n_docs,
+               SUM(n_tokens) AS n_tokens
+        FROM f GROUP BY source
+    ),
+    t AS (
+        SELECT p.*,
+               SUM(n_tokens) OVER () AS nt_total,
+               COUNT(*) OVER () AS n_sources
+        FROM per_src p
+    ),
+    e AS (
+        SELECT t.*,
+               ROUND({TOKEN_BUDGET} / CAST(n_sources AS DOUBLE), 6)
+                   AS budget_tokens,
+               ROUND({TOKEN_BUDGET}
+                     / (CAST(n_sources AS DOUBLE) * n_tokens), 6)
+                   AS epochs_needed
+        FROM t
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / CAST(nt_total AS DOUBLE), 6) AS token_share,
+           budget_tokens,
+           epochs_needed,
+           LEAST(epochs_needed, CAST({MAX_DATA_EPOCHS} AS DOUBLE))
+               AS epochs_used,
+           CASE WHEN epochs_needed > {MAX_DATA_EPOCHS} THEN 'cap_repeat'
+                WHEN epochs_needed > 1 THEN 'repeat'
+                ELSE 'sample' END AS action,
+           ROUND(GREATEST(epochs_needed - {MAX_DATA_EPOCHS},
+                          CAST(0 AS DOUBLE)) * n_tokens, 6)
+               AS deficit_tokens
+    FROM e
+    """
+
+
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
+
+
+@query(
+    "token_budget_plan",
+    tier=2,
+    oracle=_budget_plan_sql(_ORACLES["tokenizer_fertility"]),
+)
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume `tokenizer_fertility`'s rollup into the per-source
+    sampling DECISION for a uniform-target token budget: each source's
+    exact doc/token supply, its budget share (TOKEN_BUDGET /
+    n_sources), ``epochs_needed`` (budget share over own supply),
+    ``epochs_used`` (capped at MAX_DATA_EPOCHS), the ``action`` —
+    ``sample`` (subsample, < 1 epoch), ``repeat`` (1-MAX_DATA_EPOCHS
+    epochs), ``cap_repeat`` (the budget share is unbuyable from this
+    source) — and ``deficit_tokens``, the share the cap leaves unfilled
+    (the mixture re-weighter's input for redistributing it).
+
+    Determinism: the fertility grain rolls up as exact BIGINT sums;
+    every ratio divides those integers once (IEEE-identical doubles
+    cross-engine) and rounds at 6 dp BEFORE the action branch reads it.
+
+    Scale: the fertility rollup is |sources|x|langs| rows, so this
+    whole layer — one re-aggregation, two unpartitioned window sums, a
+    CASE — is driver-trivial at any corpus size; the one real pass is
+    the parent's scan-speed rollup.
+    """
+    tokenizer_fertility(spark, sf_dir).createOrReplaceTempView("tb_fert")
+    return spark.sql(_budget_plan_sql("SELECT * FROM tb_fert"))

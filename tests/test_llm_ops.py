@@ -1327,3 +1327,68 @@ def test_hybrid_fusion_ivf_twin_contract(spark, sf_dir):
         overlaps.append(ov)
         assert ov >= 0.5, (q, ov)
     assert sum(overlaps) / len(overlaps) >= 0.75
+
+
+def test_token_budget_plan_contract(spark, sf_dir):
+    """One row per source; shares sum to 1; epochs_needed matches the
+    direct integer recomputation (budget over n_sources * own supply);
+    the action branch reads the rounded epochs; deficit is zero below
+    the cap and exactly (epochs - MAX_DATA_EPOCHS) * n_tokens above."""
+    out = T.token_budget_plan(spark, sf_dir).collect()
+    fert = T.tokenizer_fertility(spark, sf_dir).collect()
+    per_src = {}
+    for r in fert:
+        d, t = per_src.get(r.source, (0, 0))
+        per_src[r.source] = (d + r.n_docs, t + r.n_tokens)
+    assert {r.source for r in out} == set(per_src)
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-4
+    ns = len(per_src)
+    for r in out:
+        nd, nt = per_src[r.source]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert r.epochs_needed == round(T.TOKEN_BUDGET / (ns * nt), 6)
+        assert r.budget_tokens == round(T.TOKEN_BUDGET / ns, 6)
+        assert r.epochs_used == min(r.epochs_needed, float(T.MAX_DATA_EPOCHS))
+        if r.epochs_needed > T.MAX_DATA_EPOCHS:
+            assert r.action == "cap_repeat"
+            assert r.deficit_tokens == round(
+                (r.epochs_needed - T.MAX_DATA_EPOCHS) * nt, 6
+            )
+        elif r.epochs_needed > 1:
+            assert r.action == "repeat"
+            assert r.deficit_tokens == 0.0
+        else:
+            assert r.action == "sample"
+            assert r.deficit_tokens == 0.0
+
+
+def test_token_budget_plan_cap_branch_cross_engine(spark):
+    """The cap_repeat branch (a source too small for its budget share)
+    never fires on the synthetic corpus — pin it on a fixture, Spark ==
+    DuckDB row-for-row: a 10-token source owes TOKEN_BUDGET/2 tokens ->
+    epochs >> MAX_DATA_EPOCHS, capped with an explicit deficit, while
+    its large sibling subsamples."""
+    import duckdb
+
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    rel = (
+        "SELECT * FROM (VALUES "
+        "('tiny', 'en', 2, 10), ('big', 'en', 1000, 100000)"
+        ") AS t(source, lang, n_docs, n_tokens)"
+    )
+    sql = T._budget_plan_sql(rel)
+    con = duckdb.connect()
+    duck = con.sql(sql).df()
+    got = spark.sql(sql)
+    assert canon_rows(got.toPandas()) == canon_rows(duck)
+    rows = {r.source: r for r in got.collect()}
+    tiny, big = rows["tiny"], rows["big"]
+    assert tiny.action == "cap_repeat"
+    assert tiny.epochs_used == float(T.MAX_DATA_EPOCHS)
+    assert tiny.deficit_tokens == round(
+        (tiny.epochs_needed - T.MAX_DATA_EPOCHS) * 10, 6
+    )
+    assert tiny.deficit_tokens > 0
+    assert big.action == "sample"
+    assert big.deficit_tokens == 0.0

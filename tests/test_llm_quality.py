@@ -172,3 +172,93 @@ def test_quality_score_psi_edge_fixtures_cross_engine(spark):
     ).collect()
     assert spike[0].psi >= Q.QS_PSI_SHIFTED
     assert all(r.shifted for r in spike)
+
+
+def test_quality_gate_recalibrate_contract(spark, sf_dir):
+    """The decision row agrees with `quality_score_psi`'s emission
+    (same psi/shifted), the populations match a direct recomputation
+    from the classifier scores, ``threshold_recal`` is exactly the
+    merged-distribution prob at the corpus-keep-rate rank cut
+    (rank*Nc <= Nm*Kc), and ``threshold_used`` switches on shifted."""
+    out = Q.quality_gate_recalibrate(spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    psi_rows = Q.quality_score_psi(spark, sf_dir).collect()
+    assert row.psi == psi_rows[0].psi
+    assert row.shifted == psi_rows[0].shifted
+
+    scores = Q.quality_classifier_score(spark, sf_dir).collect()
+    corpus = [r for r in scores if r.doc_id % 10 != 9]
+    batch = [r for r in scores if r.doc_id % 10 == 9]
+    kc = sum(1 for r in corpus if r.keep)
+    assert (row.n_corpus, row.n_keep_corpus, row.n_batch) == (
+        len(corpus),
+        kc,
+        len(batch),
+    )
+    merged = sorted(scores, key=lambda r: (-r.prob, r.doc_id))
+    nm, nc = len(merged), len(corpus)
+    cut = max(
+        (rnk for rnk in range(1, nm + 1) if rnk * nc <= nm * kc), default=0
+    )
+    expect_thr = merged[cut - 1].prob if cut else 1.0
+    assert row.threshold_recal == expect_thr
+    assert row.threshold_used == (
+        row.threshold_recal if row.shifted else Q.QGATE_THRESHOLD
+    )
+    # the recalibrated gate preserves the corpus keep-rate on the merged
+    # population up to cut-value ties (>= -threshold semantics)
+    kept_at_thr = sum(1 for r in merged if r.prob >= expect_thr)
+    assert kept_at_thr >= cut
+    assert all(r.prob != expect_thr for r in merged[cut:]) or (
+        kept_at_thr > cut
+    )
+
+
+def test_quality_gate_recalibrate_edge_fixtures_cross_engine(spark):
+    """Degenerate inputs, Spark == DuckDB row-for-row: an all-drop
+    corpus (kc=0 -> recal pins to 1.0), a shifted psi row (the
+    recalibrated threshold must be the one used), and a stable psi row
+    (the standing threshold must be the one used)."""
+    import duckdb
+
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    fixtures = {
+        # (scores rows, psi rows)
+        "all_drop_corpus": (
+            [(1, 0.4, False), (2, 0.3, False), (9, 0.9, True)],
+            [(0.5, True)],
+        ),
+        "shifted_uses_recal": (
+            [(1, 0.8, True), (2, 0.6, True), (3, 0.2, False), (9, 0.7, True)],
+            [(0.3, True)],
+        ),
+        "stable_uses_standing": (
+            [(1, 0.8, True), (2, 0.6, True), (3, 0.2, False), (9, 0.7, True)],
+            [(0.01, False)],
+        ),
+    }
+    for name, (score_rows, psi_rows) in fixtures.items():
+        svals = ", ".join(
+            f"({d}, CAST({p} AS DOUBLE), {str(k).upper()})"
+            for d, p, k in score_rows
+        )
+        pvals = ", ".join(
+            f"(CAST({p} AS DOUBLE), {str(s).upper()})" for p, s in psi_rows
+        )
+        srel = f"SELECT * FROM (VALUES {svals}) AS t(doc_id, prob, keep)"
+        prel = f"SELECT * FROM (VALUES {pvals}) AS t(psi, shifted)"
+        sql = Q._qgate_recal_sql(srel, prel)
+        con = duckdb.connect()
+        duck = con.sql(sql).df()
+        got = spark.sql(sql)
+        assert canon_rows(got.toPandas()) == canon_rows(duck), name
+        row = got.collect()[0]
+        if name == "all_drop_corpus":
+            assert row.threshold_recal == 1.0
+            assert row.n_keep_corpus == 0
+        if name == "shifted_uses_recal":
+            assert row.threshold_used == row.threshold_recal
+        if name == "stable_uses_standing":
+            assert row.threshold_used == Q.QGATE_THRESHOLD

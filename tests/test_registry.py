@@ -263,6 +263,34 @@ def test_never_verified_queries_are_windowed():
     )
 
 
+def test_make_driver_order_check_is_read_only():
+    """``--check`` (r14 verdict ask #6) validates without writing: the
+    manifest must be byte-identical after the run — a round-start
+    diagnostic that mutates governance state is a footgun (the r13
+    verdict's prescribed --check form was silently ignored and
+    rewrote the manifest on every invocation)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest_path = os.path.join(repo, "tools", "driver_manifest.json")
+    before = open(manifest_path, "rb").read()
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "make_driver_order.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    after = open(manifest_path, "rb").read()
+    assert before == after, "--check must leave the manifest byte-identical"
+    # exit 0 (window satisfies demands) or 1 (slots missing) are both
+    # legitimate validation outcomes; anything else is a crash.
+    assert proc.returncode in (0, 1), proc.stderr
+    if proc.returncode == 0:
+        assert "manifest untouched" in proc.stdout
+
+
 def test_scale_path_targets_resolve():
     paths = ops.all_scale_paths()
     assert paths, "scale-path registry should map each baseline to a twin"

@@ -31,6 +31,12 @@ their previous manifest hash (their old row vouches for the old source).
 Run at each round start AFTER updating DRIVER_ORDER:
 
     python tools/make_driver_order.py
+
+``--check`` validates without writing (the manifest is left
+byte-identical): exit 0 when no query requiring a window slot sits
+outside the window, exit 1 otherwise — the read-only round-start
+diagnostic (r14 verdict: the default mode rewriting governance state on
+every invocation was a footgun for a diagnostic).
 """
 
 from __future__ import annotations
@@ -58,7 +64,7 @@ def latest_rows() -> tuple[dict[str, int], int]:
     return latest, max_round
 
 
-def main() -> None:
+def main(check_only: bool = False) -> None:
     from lakehouse_workshop_spark.operators import all_queries
     from lakehouse_workshop_spark.srchash import registry_hash
 
@@ -127,6 +133,9 @@ def main() -> None:
         print(f"!! queries requiring a window slot but outside it: {problems}")
         print("!! manifest NOT written — rebuild DRIVER_ORDER first")
         sys.exit(1)
+    if check_only:
+        print("--check: window satisfies all slot demands; manifest untouched")
+        return
 
     manifest = {
         # The governance tests read as_of_round to evaluate staleness as
@@ -180,4 +189,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(check_only="--check" in sys.argv[1:])
