@@ -1149,9 +1149,16 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     threshold is the prob at the last rank satisfying
     rank * n_corpus <= n_merged * n_keep_corpus (ties at the cut value
     keep marginally more than the exact rate — the standard >= -
-    threshold semantics). An all-drop corpus (kc = 0) recalibrates to
-    1.0 — above every 6-dp-rounded sigmoid except a saturated 1.0,
-    matching "keep nothing" as closely as a >= gate can."""
+    threshold semantics). The corpus keep count derives from the SAME
+    gate the threshold drives (``prob >= QGATE_THRESHOLD`` over the
+    6-dp-rounded prob), NOT the classifier's raw-sign ``keep`` flag —
+    the two disagree where a barely-negative logit rounds prob to
+    exactly the threshold, and an operator must report the keep-rate
+    its own published threshold realizes. A keep-nothing corpus
+    (kc = 0, including the degenerate all-batch nc = 0 case, which the
+    predicate guards explicitly) recalibrates to 1.0 — above every
+    6-dp-rounded sigmoid except a saturated 1.0, matching "keep
+    nothing" as closely as a >= gate can."""
     return f"""
     WITH s AS ({scores_rel}),
     p AS (SELECT MAX(psi) AS psi, MAX(shifted) AS shifted
@@ -1159,7 +1166,8 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     c AS (
         SELECT COALESCE(SUM(CASE WHEN NOT ({_QS_BATCH}) THEN 1 END), 0)
                    AS nc,
-               COALESCE(SUM(CASE WHEN NOT ({_QS_BATCH}) AND keep
+               COALESCE(SUM(CASE WHEN NOT ({_QS_BATCH})
+                                      AND prob >= {QGATE_THRESHOLD}
                                  THEN 1 END), 0) AS kc,
                COALESCE(SUM(CASE WHEN {_QS_BATCH} THEN 1 END), 0) AS nb
         FROM s
@@ -1173,10 +1181,14 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     -- the rank cut promotes to DECIMAL(38,0) before multiplying: at
     -- ~3e9 merged docs rnk*nc crosses BIGINT and non-ANSI Spark would
     -- wrap silently while DuckDB stayed exact (the `_psi_sql` terms
-    -- idiom)
+    -- idiom). The nc > 0 guard keeps the empty-corpus case on the
+    -- keep-nothing contract: without it, rnk*0 <= nm*0 holds for every
+    -- row and the cut would collapse to min(prob) — keep EVERYTHING —
+    -- on exactly the input with zero evidence for any keep-rate.
     r AS (
         SELECT MIN(prob) AS thr FROM m, c
-        WHERE CAST(m.rnk AS DECIMAL(38, 0)) * c.nc
+        WHERE c.nc > 0
+          AND CAST(m.rnk AS DECIMAL(38, 0)) * c.nc
               <= CAST(m.nm AS DECIMAL(38, 0)) * c.kc
     )
     SELECT p.psi, p.shifted,
@@ -1198,25 +1210,25 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     "quality_gate_recalibrate",
     tier=2,
     oracle=_qgate_recal_sql(
-        "SELECT doc_id, prob, keep FROM ("
+        "SELECT doc_id, prob FROM ("
         + _ORACLES["quality_classifier_score"]
         + ") qs",
-        _psi_sql(
-            "SELECT doc_id, prob FROM ("
-            + _ORACLES["quality_classifier_score"]
-            + ") qp",
-            _DUCK_BINS,
-            _DUCK_FPLN,
-        ),
+        # the parent's REGISTERED oracle string, not a hand-rebuilt
+        # twin — if quality_score_psi's registration ever changes, this
+        # consumer's embedded PSI moves with it instead of silently
+        # diverging from the parent it claims to consume
+        _ORACLES["quality_score_psi"],
     ),
 )
 def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consume `quality_score_psi`'s report into the gate DECISION — the
     drift family's score-axis decide stage. One row: the PSI evidence
     (psi, shifted), the corpus/batch populations, the exact corpus
-    keep-rate under the standing QGATE_THRESHOLD sign gate, the
-    recalibrated threshold (the merged corpus+batch score quantile that
-    preserves the corpus keep-rate — integer rank arithmetic over
+    keep-rate under the standing ``prob >= QGATE_THRESHOLD`` gate (the
+    same gate the emitted threshold drives — see `_qgate_recal_sql` for
+    why the classifier's raw-sign ``keep`` flag is NOT the yardstick),
+    the recalibrated threshold (the merged corpus+batch score quantile
+    that preserves that keep-rate — integer rank arithmetic over
     6-dp-identical probs, so both engines cut at the identical score),
     and ``threshold_used``: the recalibrated value when ``shifted``,
     else the standing one. Downstream the batch filter is
@@ -1231,7 +1243,7 @@ def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is a 10-row spine and three scalar CTEs.
     """
     scored = quality_classifier_score(spark, sf_dir).select(
-        "doc_id", "prob", "keep"
+        "doc_id", "prob"
     )
     scored.localCheckpoint(eager=True).createOrReplaceTempView(
         "qgate_scores"
@@ -1243,7 +1255,7 @@ def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("qgate_psi")
     return spark.sql(
         _qgate_recal_sql(
-            "SELECT doc_id, prob, keep FROM qgate_scores",
+            "SELECT doc_id, prob FROM qgate_scores",
             "SELECT psi, shifted FROM qgate_psi",
         )
     )

@@ -190,7 +190,10 @@ def test_quality_gate_recalibrate_contract(spark, sf_dir):
     scores = Q.quality_classifier_score(spark, sf_dir).collect()
     corpus = [r for r in scores if r.doc_id % 10 != 9]
     batch = [r for r in scores if r.doc_id % 10 == 9]
-    kc = sum(1 for r in corpus if r.keep)
+    # the keep-rate yardstick is the prob gate the threshold drives,
+    # not the classifier's raw-sign keep flag (they disagree where a
+    # barely-negative logit rounds prob to exactly the threshold)
+    kc = sum(1 for r in corpus if r.prob >= Q.QGATE_THRESHOLD)
     assert (row.n_corpus, row.n_keep_corpus, row.n_batch) == (
         len(corpus),
         kc,
@@ -206,48 +209,55 @@ def test_quality_gate_recalibrate_contract(spark, sf_dir):
     assert row.threshold_used == (
         row.threshold_recal if row.shifted else Q.QGATE_THRESHOLD
     )
-    # the recalibrated gate preserves the corpus keep-rate on the merged
-    # population up to cut-value ties (>= -threshold semantics)
+    # >= -threshold semantics: every rank-cut row passes the published
+    # gate, rows can only be ADDED past the cut by ties at the cut
+    # value, and everything beyond the tie block is excluded
+    assert all(merged[i].prob >= expect_thr for i in range(cut))
     kept_at_thr = sum(1 for r in merged if r.prob >= expect_thr)
     assert kept_at_thr >= cut
-    assert all(r.prob != expect_thr for r in merged[cut:]) or (
-        kept_at_thr > cut
-    )
+    assert all(r.prob < expect_thr for r in merged[kept_at_thr:])
+    assert all(r.prob == expect_thr for r in merged[cut:kept_at_thr])
 
 
 def test_quality_gate_recalibrate_edge_fixtures_cross_engine(spark):
     """Degenerate inputs, Spark == DuckDB row-for-row: an all-drop
-    corpus (kc=0 -> recal pins to 1.0), a shifted psi row (the
-    recalibrated threshold must be the one used), and a stable psi row
-    (the standing threshold must be the one used)."""
+    corpus (kc=0 -> recal pins to 1.0), an EMPTY corpus (nc=0 — the
+    rank predicate's 0 <= 0 degeneracy must not collapse the cut to
+    min(prob)/keep-everything), a shifted psi row (the recalibrated
+    threshold must be the one used), and a stable psi row (the
+    standing threshold must be the one used)."""
     import duckdb
 
     from lakehouse_workshop_spark.oracle import canon_rows
 
     fixtures = {
-        # (scores rows, psi rows)
+        # (scores rows as (doc_id, prob) — corpus = doc_id % 10 != 9,
+        #  keep under the prob gate = prob >= 0.5; psi rows)
         "all_drop_corpus": (
-            [(1, 0.4, False), (2, 0.3, False), (9, 0.9, True)],
+            [(1, 0.4), (2, 0.3), (9, 0.9)],
+            [(0.5, True)],
+        ),
+        "empty_corpus": (
+            [(9, 0.7), (19, 0.2)],
             [(0.5, True)],
         ),
         "shifted_uses_recal": (
-            [(1, 0.8, True), (2, 0.6, True), (3, 0.2, False), (9, 0.7, True)],
+            [(1, 0.8), (2, 0.6), (3, 0.2), (9, 0.7)],
             [(0.3, True)],
         ),
         "stable_uses_standing": (
-            [(1, 0.8, True), (2, 0.6, True), (3, 0.2, False), (9, 0.7, True)],
+            [(1, 0.8), (2, 0.6), (3, 0.2), (9, 0.7)],
             [(0.01, False)],
         ),
     }
     for name, (score_rows, psi_rows) in fixtures.items():
         svals = ", ".join(
-            f"({d}, CAST({p} AS DOUBLE), {str(k).upper()})"
-            for d, p, k in score_rows
+            f"({d}, CAST({p} AS DOUBLE))" for d, p in score_rows
         )
         pvals = ", ".join(
             f"(CAST({p} AS DOUBLE), {str(s).upper()})" for p, s in psi_rows
         )
-        srel = f"SELECT * FROM (VALUES {svals}) AS t(doc_id, prob, keep)"
+        srel = f"SELECT * FROM (VALUES {svals}) AS t(doc_id, prob)"
         prel = f"SELECT * FROM (VALUES {pvals}) AS t(psi, shifted)"
         sql = Q._qgate_recal_sql(srel, prel)
         con = duckdb.connect()
@@ -258,7 +268,15 @@ def test_quality_gate_recalibrate_edge_fixtures_cross_engine(spark):
         if name == "all_drop_corpus":
             assert row.threshold_recal == 1.0
             assert row.n_keep_corpus == 0
+        if name == "empty_corpus":
+            # keep-nothing contract, NOT min(prob)/keep-everything
+            assert row.n_corpus == 0
+            assert row.threshold_recal == 1.0
+            assert row.threshold_used == 1.0
         if name == "shifted_uses_recal":
             assert row.threshold_used == row.threshold_recal
+            # corpus kc=2 of nc=3, merged 0.8,0.7,0.6,0.2 -> cut at
+            # rank 2 -> threshold 0.7
+            assert row.threshold_recal == 0.7
         if name == "stable_uses_standing":
             assert row.threshold_used == Q.QGATE_THRESHOLD

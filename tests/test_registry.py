@@ -285,10 +285,25 @@ def test_make_driver_order_check_is_read_only():
     after = open(manifest_path, "rb").read()
     assert before == after, "--check must leave the manifest byte-identical"
     # exit 0 (window satisfies demands) or 1 (slots missing) are both
-    # legitimate validation outcomes; anything else is a crash.
+    # legitimate validation outcomes — but each must show its banner,
+    # else an uncaught exception (also exit 1) would pass as a verdict.
     assert proc.returncode in (0, 1), proc.stderr
+    assert "Traceback" not in proc.stderr, proc.stderr
     if proc.returncode == 0:
         assert "manifest untouched" in proc.stdout
+    else:
+        assert "manifest NOT written" in proc.stdout
+    # a typo of --check must refuse loudly, not fall through to the
+    # write path
+    typo = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "make_driver_order.py"),
+         "--chekc"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert typo.returncode == 2, (typo.returncode, typo.stdout)
+    assert open(manifest_path, "rb").read() == before
 
 
 def test_scale_path_targets_resolve():

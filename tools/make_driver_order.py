@@ -189,4 +189,12 @@ def main(check_only: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(check_only="--check" in sys.argv[1:])
+    _args = sys.argv[1:]
+    _unknown = [a for a in _args if a != "--check"]
+    if _unknown:
+        # A typo of --check must NOT fall through to the default WRITE
+        # path — that is the governance-state footgun the flag exists
+        # to eliminate.
+        print(f"unknown arguments: {_unknown} (only --check is accepted)")
+        sys.exit(2)
+    main(check_only="--check" in _args)
