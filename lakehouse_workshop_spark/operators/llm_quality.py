@@ -732,12 +732,12 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT st.source,
            CAST(MAX(ts.t_s) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
-           ROUND(CAST(SUM(CAST(st.c_st * (
+           ROUND(CAST(SUM(CAST(st.c_st AS DECIMAL(38, 0)) * (
                       CAST(ROUND(LN(st.c_st) * 100000000) AS BIGINT)
                     - CAST(ROUND(LN(ts.t_s) * 100000000) AS BIGINT)
                     - CAST(ROUND(LN(ct.c_t) * 100000000) AS BIGINT)
                     + CAST(ROUND(LN(tt.t) * 100000000) AS BIGINT)
-                 ) AS DECIMAL(38,0))) AS DOUBLE)
+                 )) AS DOUBLE)
                  / (MAX(ts.t_s) * 100000000.0), 6) AS kl_divergence
     FROM st JOIN ct USING (tok) JOIN ts USING (source) CROSS JOIN tt
     GROUP BY st.source
@@ -753,8 +753,11 @@ def token_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL = Σ_tok (c_st/t_s)·[ln c_st − ln t_s − ln c_t + ln T]: LN only
     ever sees integer counts (identical doubles in both engines), each
     ln is 1e8-fixed-pointed to BIGINT (the ``bigram_lm_score`` idiom),
-    the per-token term multiplies by the integer c_st and accumulates in
-    DECIMAL(38,0) — exact and order-independent — and the single
+    the per-token term multiplies by c_st PROMOTED to DECIMAL(38,0)
+    first — a BIGINT product wraps silently in non-ANSI Spark once a
+    single token's per-source count crosses ~2e9 (a head token in a
+    100 TB source), the `_psi_sql` terms-CTE divergence class — and
+    accumulates in DECIMAL, exact and order-independent; the single
     division by t_s·1e8 happens once per source.
 
     Scale: one explode → (source, tok) map-side-combined count; the tok
@@ -776,9 +779,9 @@ def token_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fp(col):
         return F.round(F.log(col) * 100000000).cast("bigint")
 
-    term = (
-        F.col("c_st") * (fp("c_st") - fp("t_s") - fp("c_t") + fp("t"))
-    ).cast("decimal(38,0)")
+    term = F.col("c_st").cast("decimal(38,0)") * (
+        fp("c_st") - fp("t_s") - fp("c_t") + fp("t")
+    )
     return (
         st.join(ct, "tok")
         .join(F.broadcast(ts), "source")
