@@ -1392,3 +1392,45 @@ def test_token_budget_plan_cap_branch_cross_engine(spark):
     assert tiny.deficit_tokens > 0
     assert big.action == "sample"
     assert big.deficit_tokens == 0.0
+
+
+def test_drift_plan_tvd_headroom_at_corpus_scale_counts(spark):
+    """The DECIMAL(38,0) promotion of the TVD cross-products (r14
+    ADVICE #1) carries real 100 TB-scale counts: with per-cluster
+    populations at 1e14-1e15 the products nb*Nc reach ~6e29 — far past
+    BIGINT, where the pre-fix SQL wrapped silently in non-ANSI Spark
+    and errored in DuckDB. Both engines must agree with the exact
+    integer reference."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_similarity as S
+    from lakehouse_workshop_spark.oracle import canon_rows
+
+    rows = [
+        (1, 4 * 10**14, 6 * 10**14, 0.2, True),
+        (2, 6 * 10**14, 4 * 10**14, -0.2, True),
+    ]
+    vals = ", ".join(
+        f"({c}, {nc}, {nb}, CAST({d} AS DOUBLE), {str(s).upper()})"
+        for c, nc, nb, d, s in rows
+    )
+    fixture = (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(cid, n_corpus, n_batch, drift, shifted)"
+    )
+    sql = S._drift_plan_sql(fixture)
+    con = duckdb.connect()
+    duck = con.sql(sql).df()
+    got = spark.sql(sql)
+    assert canon_rows(got.toPandas()) == canon_rows(duck)
+    # exact integer reference, mirroring the SQL's one-division shape
+    NC = sum(r[1] for r in rows)
+    NB = sum(r[2] for r in rows)
+    xsum = sum(abs(r[2] * NC - r[1] * NB) for r in rows)
+    want_tvd = round(float(xsum) / float(2 * NB * NC), 6)
+    out = {r.cid: r for r in got.collect()}
+    assert all(abs(r.tvd - want_tvd) < 1e-12 for r in out.values())
+    assert want_tvd == 0.2  # by construction: shares 0.4/0.6 vs 0.6/0.4
+    # TVD >= the retrain line -> geometry surgery supersedes per-list work
+    assert all(r.action == "retrain_centroids" for r in out.values())
+    assert all(r.n_sublists == 1 for r in out.values())

@@ -242,3 +242,132 @@ def test_bpe_is_lossless_for_any_corpus(words, n_merges):
         assert "".join(toks) == w + END_OF_WORD
         # merges only ever concatenate — token count is bounded by chars+1
         assert 1 <= len(toks) <= len(w) + 1
+
+
+# ---------------------------------------------------------------------------
+# Drift-family decision SQL properties (DuckDB-driven per example — running
+# Spark per hypothesis example would be pathological; the Spark twin of each
+# SQL is pinned cross-engine on fixed fixtures in test_llm_quality/test_llm_ops
+# and by the registered oracles)
+# ---------------------------------------------------------------------------
+
+_qgate_scores = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),  # doc_id (% 10 = 9 -> batch)
+        st.integers(min_value=0, max_value=1_000_000),  # prob on the 1e-6 grid
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_qgate_scores, st.booleans())
+def test_qgate_recal_sql_matches_reference(rows, shifted):
+    """`_qgate_recal_sql`'s rank-cut threshold equals an independent
+    Python implementation of the contract on random score sets —
+    corpus-empty, all-drop, tie-heavy, and batch-only inputs all arise
+    naturally. Probs live on the 1e-6 grid so SQL literals and Python
+    floats are the identical doubles."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_quality as Q
+
+    scores = [(d, p / 1_000_000.0) for d, p in rows]
+    svals = ", ".join(f"({d}, CAST({p!r} AS DOUBLE))" for d, p in scores)
+    srel = f"SELECT * FROM (VALUES {svals}) AS t(doc_id, prob)"
+    prel = (
+        "SELECT CAST(0.3 AS DOUBLE) AS psi, "
+        f"{str(shifted).upper()} AS shifted"
+    )
+    con = duckdb.connect()
+    row = con.sql(Q._qgate_recal_sql(srel, prel)).fetchall()
+    assert len(row) == 1
+    (psi, got_shifted, n_corpus, n_keep, n_batch, keep_rate,
+     thr_old, thr_recal, thr_used) = row[0]
+
+    corpus = [(d, p) for d, p in scores if d % 10 != 9]
+    nc, nb = len(corpus), len(scores) - len(corpus)
+    kc = sum(1 for _, p in corpus if p >= Q.QGATE_THRESHOLD)
+    merged = sorted(scores, key=lambda t: (-t[1], t[0]))
+    nm = len(merged)
+    cut = max(
+        (r for r in range(1, nm + 1) if nc > 0 and r * nc <= nm * kc),
+        default=0,
+    )
+    want_thr = merged[cut - 1][1] if cut else 1.0
+
+    assert (n_corpus, n_keep, n_batch) == (nc, kc, nb)
+    assert got_shifted == shifted
+    assert thr_old == Q.QGATE_THRESHOLD
+    assert thr_recal == want_thr
+    assert thr_used == (want_thr if shifted else Q.QGATE_THRESHOLD)
+    if nc:
+        assert abs(keep_rate - round(kc / nc, 6)) < 1e-9
+    else:
+        assert keep_rate == 0.0
+
+
+_budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),  # source index
+        st.integers(min_value=1, max_value=1_000_000),  # n_docs
+        st.integers(min_value=1, max_value=10**12),  # n_tokens
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_budget_rows)
+def test_budget_plan_sql_invariants(rows):
+    """`_budget_plan_sql` structural invariants on random fertility
+    rollups: inputs echo exactly, token shares sum to 1, epochs_used
+    caps at MAX_DATA_EPOCHS, the action branch is consistent with the
+    EMITTED (rounded) epochs, and deficit is positive exactly on the
+    cap branch. Rounded doubles compare with tolerance (SQL ROUND is
+    half-away-from-zero, Python's is half-even)."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_text as T
+
+    vals = ", ".join(
+        f"('s{i}', 'en', {d}, {t})" for i, d, t in rows
+    )
+    rel = f"SELECT * FROM (VALUES {vals}) AS t(source, lang, n_docs, n_tokens)"
+    con = duckdb.connect()
+    out = con.sql(T._budget_plan_sql(rel)).fetchall()
+    assert len(out) == len(rows)
+    by_src = {r[0]: r for r in out}
+    ns = len(rows)
+    nt_total = sum(t for _, _, t in rows)
+    share_sum = 0.0
+    for i, d, t in rows:
+        (src, n_docs, n_tokens, token_share, budget_tokens,
+         epochs_needed, epochs_used, action, deficit) = by_src[f"s{i}"]
+        assert (n_docs, n_tokens) == (d, t)
+        share_sum += token_share
+        assert abs(token_share - t / nt_total) < 1e-6
+        assert abs(budget_tokens - T.TOKEN_BUDGET / ns) < 1e-6
+        assert (
+            abs(epochs_needed - T.TOKEN_BUDGET / (ns * t)) < 1e-6
+            or abs(epochs_needed / (T.TOKEN_BUDGET / (ns * t)) - 1) < 1e-6
+        )
+        assert epochs_used == min(epochs_needed, float(T.MAX_DATA_EPOCHS))
+        if epochs_needed > T.MAX_DATA_EPOCHS:
+            assert action == "cap_repeat"
+            assert deficit > 0
+            assert (
+                abs(deficit - (epochs_needed - T.MAX_DATA_EPOCHS) * t)
+                <= max(1e-6 * deficit, 1e-6)
+            )
+        elif epochs_needed > 1:
+            assert action == "repeat"
+            assert deficit == 0.0
+        else:
+            assert action == "sample"
+            assert deficit == 0.0
+    assert abs(share_sum - 1.0) < 1e-4
