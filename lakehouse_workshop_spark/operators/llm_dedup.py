@@ -1132,7 +1132,17 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cross-source duplication matrix (round 6) -----------------------------
 
-
+# NOTE (r15 overflow-class audit, queued like the r14 _TOK_REGEX debt):
+# the pair counts below multiply per-(hash, source) duplicate counts in
+# BIGINT — cnt*(cnt-1)/2 wraps once a single text has ~4.3e9 copies in
+# one source (degenerate boilerplate at 100 TB: empty strings, cookie
+# banners), the drift_retrain_plan/token_dist_shift divergence class.
+# The fix is the same one-line DECIMAL(38,0) promotion of a.cnt, but
+# cross_source_dup_matrix sits OUTSIDE the r15 driver window — editing
+# it now would make governance refuse the manifest. (The near-dup twin
+# is NOT exposed: it counts emitted LSH pairs, no count product.)
+# Promote when the cohort re-enters the window per the DRIVER_ORDER
+# forward schedule.
 _DUP_MATRIX_SQL = """
     WITH hs AS (
         SELECT md5(text) AS h, source, COUNT(*) AS cnt
