@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.catalog import load_table
+
+# ORACLES import contract (r15 ADVICE #3): the operators package defines
+# the QUERIES/ORACLES dicts BEFORE it imports any operator module, so a
+# top-of-module import of the partially-initialized package is safe —
+# but entries only exist once their registering module has run. Consumers
+# below (`quality_gate_recalibrate`) index parents registered EARLIER IN
+# THIS FILE, so by decoration time the key is present; indexing a missing
+# parent fails loudly at import with a KeyError naming it.
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
 from lakehouse_workshop_spark.operators import query
 from lakehouse_workshop_spark.operators.llm_similarity import EMB_DIM
 
@@ -1085,8 +1094,6 @@ def _psi_sql(score_rel: str, bins_rel: str, fpln: str) -> str:
     """
 
 
-from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
-
 _DUCK_FPLN = "CAST(ROUND(LN({x}) * 100000000) AS BIGINT)"
 _DUCK_BINS = f"SELECT unnest(generate_series(0, {QS_PSI_BINS - 1})) AS bin"
 _SPARK_BINS = f"SELECT explode(sequence(0, {QS_PSI_BINS - 1})) AS bin"
@@ -1146,7 +1153,9 @@ def quality_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 QGATE_THRESHOLD = 0.5  # the classifier's sign gate: logit >= 0 <=> prob >= 0.5
 
 
-def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
+def _qgate_recal_sql(
+    scores_rel: str, psi_rel: str, ranked_rel: str | None = None
+) -> str:
     """Dialect-shared recalibration: one decision row. The merged
     corpus+batch scores rank by (prob DESC, doc_id); the recalibrated
     threshold is the prob at the last rank satisfying
@@ -1161,7 +1170,21 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     (kc = 0, including the degenerate all-batch nc = 0 case, which the
     predicate guards explicitly) recalibrates to 1.0 — above every
     6-dp-rounded sigmoid except a saturated 1.0, matching "keep
-    nothing" as closely as a >= gate can."""
+    nothing" as closely as a >= gate can.
+
+    ``ranked_rel`` is the dialect split for the merged rank: when None
+    (the DuckDB oracle) the rank is a plain total-order window; the
+    Spark caller passes a pre-ranked relation built with the two-pass
+    range-partitioned ``functions.exprs.global_row_number`` instead —
+    a bare ``ROW_NUMBER() OVER (ORDER BY ...)`` holds every scored doc
+    in ONE partition (the r15 verdict's one scale-killer). The merged
+    count ``nm`` is a scalar aggregate CTE for the same reason (the old
+    ``COUNT(*) OVER ()`` rode the same unpartitioned window)."""
+    ranked = ranked_rel or f"""
+        SELECT prob,
+               ROW_NUMBER() OVER (ORDER BY prob DESC, doc_id) AS rnk
+        FROM s
+    """
     return f"""
     WITH s AS ({scores_rel}),
     p AS (SELECT MAX(psi) AS psi, MAX(shifted) AS shifted
@@ -1175,12 +1198,8 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
                COALESCE(SUM(CASE WHEN {_QS_BATCH} THEN 1 END), 0) AS nb
         FROM s
     ),
-    m AS (
-        SELECT prob,
-               ROW_NUMBER() OVER (ORDER BY prob DESC, doc_id) AS rnk,
-               COUNT(*) OVER () AS nm
-        FROM s
-    ),
+    n AS (SELECT COUNT(*) AS nm FROM s),
+    m AS ({ranked}),
     -- the rank cut promotes to DECIMAL(38,0) before multiplying: at
     -- ~3e9 merged docs rnk*nc crosses BIGINT and non-ANSI Spark would
     -- wrap silently while DuckDB stayed exact (the `_psi_sql` terms
@@ -1189,10 +1208,10 @@ def _qgate_recal_sql(scores_rel: str, psi_rel: str) -> str:
     -- row and the cut would collapse to min(prob) — keep EVERYTHING —
     -- on exactly the input with zero evidence for any keep-rate.
     r AS (
-        SELECT MIN(prob) AS thr FROM m, c
+        SELECT MIN(prob) AS thr FROM m, c, n
         WHERE c.nc > 0
           AND CAST(m.rnk AS DECIMAL(38, 0)) * c.nc
-              <= CAST(m.nm AS DECIMAL(38, 0)) * c.kc
+              <= CAST(n.nm AS DECIMAL(38, 0)) * c.kc
     )
     SELECT p.psi, p.shifted,
            CAST(c.nc AS BIGINT) AS n_corpus,
@@ -1240,11 +1259,16 @@ def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the classifier scores once (one scan + one doc_id hash agg,
     checkpointed — the PSI layer, the count rollup, and the rank all
-    read the same materialization); the global rank is ONE total-order
-    window over scored docs — at 100 TB the same rule runs as the
-    two-pass range-partitioned rank (`global_cumsum`'s construction);
-    everything after is a 10-row spine and three scalar CTEs.
+    read the same materialization); the merged rank RUNS as the
+    two-pass range-partitioned `functions.exprs.global_row_number`
+    (per-partition row_number + broadcast offsets — no stage holds the
+    scored corpus in one partition; the DuckDB oracle keeps the plain
+    window, which is fine single-node) and the merged count is a
+    scalar aggregate, not a `COUNT(*) OVER ()`; everything after is a
+    10-row spine and three scalar CTEs.
     """
+    from lakehouse_workshop_spark.functions.exprs import global_row_number
+
     scored = quality_classifier_score(spark, sf_dir).select(
         "doc_id", "prob"
     )
@@ -1256,9 +1280,14 @@ def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT doc_id, prob FROM qgate_scores", _SPARK_BINS, _DUCK_FPLN
         )
     ).createOrReplaceTempView("qgate_psi")
+    global_row_number(
+        spark.table("qgate_scores"), F.desc("prob"), F.col("doc_id"),
+        name="rnk",
+    ).select("prob", "rnk").createOrReplaceTempView("qgate_ranked")
     return spark.sql(
         _qgate_recal_sql(
             "SELECT doc_id, prob FROM qgate_scores",
             "SELECT psi, shifted FROM qgate_psi",
+            ranked_rel="SELECT prob, rnk FROM qgate_ranked",
         )
     )

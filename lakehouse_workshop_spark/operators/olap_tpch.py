@@ -646,23 +646,51 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — the standard value-segmentation report (top decile share is
     the classic 80/20 readout).
 
-    Scale: spend aggregates first (one row per customer), so the NTILE
-    window ranks the reduced set; the deterministic (spend, custkey)
-    order makes band boundaries reproducible. NTILE over a global order
-    is single-partition — at 100 TB swap for a percent_rank over the
-    two-pass distributed rank (functions/exprs.global_row_number), same
-    bands; at customer cardinality the single sort is the cheaper plan.
+    Scale: spend aggregates first (one row per customer), then the
+    Spark side bands via the two-pass distributed rank
+    (``functions/exprs.global_row_number`` — range-partitioned
+    per-partition row_number + broadcast offsets, no stage holding all
+    customers in one partition; a bare NTILE window is the
+    single-partition sort this repo bans at 100 TB, and it survives
+    only in the single-node DuckDB oracle). The bands are the exact
+    NTILE closed form over the same deterministic (spend DESC,
+    custkey) total order: with q = N div K and m = N mod K, NTILE(K)
+    gives the FIRST m buckets q+1 rows and the rest q — so rank r maps
+    to ``ceil(r / (q+1))`` while r <= (q+1)·m, else
+    ``m + ceil((r - (q+1)·m) / q)``. (NOT the tempting
+    ``(r-1)·K div N + 1``, which spreads the m oversized buckets
+    evenly across the range instead of front-loading them the way
+    NTILE does — row-identical only when the remainder pattern
+    coincides; the hypothesis pin in tests/test_properties.py caught
+    exactly that.) Identical to NTILE for EVERY N and K including
+    N < K, where q = 0 keeps all rows on the first branch (r <= m) and
+    the else branch is never evaluated. All rank arithmetic stays in
+    BIGINT — it binds only past ~9.2e17 customers.
     """
-    from pyspark.sql import Window
+    from lakehouse_workshop_spark.functions.exprs import global_row_number
 
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(dec_sum("o_totalprice", scale=2).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    ranked = global_row_number(
+        spend, F.desc("spend"), F.col("o_custkey"), name="rnk"
+    )
+    ncust = ranked.groupBy().agg(F.count("*").alias("n_cust"))
     return (
-        spend.withColumn("decile", F.ntile(LTV_DECILES).over(w).cast("int"))
+        ranked.crossJoin(F.broadcast(ncust))
+        .withColumn("_q", F.expr(f"n_cust DIV {LTV_DECILES}"))
+        .withColumn("_m", F.expr(f"n_cust % {LTV_DECILES}"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN rnk <= (_q + 1) * _m"
+                " THEN (CAST(rnk AS BIGINT) + _q) DIV (_q + 1)"
+                " ELSE _m + (CAST(rnk AS BIGINT) - (_q + 1) * _m + _q - 1)"
+                " DIV _q END AS INT)"
+            ),
+        )
         .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),

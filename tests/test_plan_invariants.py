@@ -116,3 +116,30 @@ def test_excess_shipped_suppliers_semi_join_is_broadcast(spark, sf_dir):
     # HAVING-filtered IN subquery -> broadcast LEFT SEMI into supplier
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_qgate_recalibrate_rank_is_two_pass_not_global_window(spark, sf_dir):
+    """r16 (r15 verdict ask #1): the merged-corpus rank must run as the
+    two-pass `global_row_number` — every row_number window in the plan
+    partitions by the `_rank_pid` stamp; an unpartitioned row_number
+    (the single-partition sort of every scored doc) must not reappear.
+    The merged count rides a scalar aggregate, so no unpartitioned
+    count window either."""
+    plan = _plan(spark, sf_dir, "quality_gate_recalibrate")
+    rank_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rank_lines, "rank stage missing from plan"
+    for ln in rank_lines:
+        assert "_rank_pid" in ln, f"unpartitioned global rank: {ln.strip()}"
+
+
+def test_customer_ltv_deciles_bands_without_global_ntile(spark, sf_dir):
+    """r16: deciles band via the exact NTILE rank equivalence over the
+    two-pass `global_row_number` — no ntile window (single-partition
+    sort) anywhere in the plan, and every row_number partitions by the
+    `_rank_pid` stamp."""
+    plan = _plan(spark, sf_dir, "customer_ltv_deciles")
+    assert "ntile" not in plan.lower()
+    rank_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rank_lines, "rank stage missing from plan"
+    for ln in rank_lines:
+        assert "_rank_pid" in ln, f"unpartitioned global rank: {ln.strip()}"
