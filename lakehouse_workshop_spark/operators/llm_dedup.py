@@ -1132,26 +1132,43 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cross-source duplication matrix (round 6) -----------------------------
 
-# NOTE (r15 overflow-class audit, queued like the r14 _TOK_REGEX debt):
-# the pair counts below multiply per-(hash, source) duplicate counts in
-# BIGINT — cnt*(cnt-1)/2 wraps once a single text has ~4.3e9 copies in
-# one source (degenerate boilerplate at 100 TB: empty strings, cookie
+# r16: the queued r15 overflow debt is PAID — pair counts used to
+# multiply per-(hash, source) duplicate counts in BIGINT, so
+# cnt*(cnt-1)/2 wrapped once a single text had ~4.3e9 copies in one
+# source (degenerate boilerplate at 100 TB: empty strings, cookie
 # banners), the drift_retrain_plan/token_dist_shift divergence class.
-# The fix is the same one-line DECIMAL(38,0) promotion of a.cnt, but
-# cross_source_dup_matrix sits OUTSIDE the r15 driver window — editing
-# it now would make governance refuse the manifest. (The near-dup twin
-# is NOT exposed: it counts emitted LSH pairs, no count product.)
-# Promote when the cohort re-enters the window per the DRIVER_ORDER
-# forward schedule.
-_DUP_MATRIX_SQL = """
-    WITH hs AS (
+# Every count product now promotes to DECIMAL(38,0) BEFORE multiplying,
+# and the /2 folds into whichever factor of cnt·(cnt−1) is even via
+# integer division (the only dialect split: DuckDB `//` vs Spark `div`)
+# so no decimal value is ever divided — exact at any cnt. The emitted
+# BIGINT total binds only past ~9.2e18 pairs per source pair, the
+# output contract's own limit. (The near-dup twin is NOT exposed: it
+# counts emitted LSH pairs, no count product.)
+
+
+def _dup_matrix_sql(intdiv: str, hs_rel: str | None = None) -> str:
+    """``intdiv`` formats exact integer halving of an even BIGINT
+    expression: ``"({x}) // 2"`` (DuckDB) or ``"({x}) div 2"`` (Spark).
+    ``hs_rel`` overrides the (hash, source, cnt) counts relation so the
+    overflow property test can inject counts near the old BIGINT wrap
+    point (~4.3e9 copies) that no test corpus can physically reach."""
+    half_even = intdiv.format(x="a.cnt")
+    half_odd = intdiv.format(x="a.cnt - 1")
+    hs = hs_rel or """
         SELECT md5(text) AS h, source, COUNT(*) AS cnt
         FROM documents GROUP BY 1, 2
-    )
+    """
+    return f"""
+    WITH hs AS ({hs})
     SELECT a.source AS source_a, b.source AS source_b,
-           CAST(SUM(CASE WHEN a.source = b.source
-                         THEN (a.cnt * (a.cnt - 1)) / 2
-                         ELSE a.cnt * b.cnt END) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN a.source = b.source THEN
+                         CASE WHEN a.cnt % 2 = 0
+                              THEN CAST({half_even} AS DECIMAL(38, 0))
+                                   * (a.cnt - 1)
+                              ELSE CAST(a.cnt AS DECIMAL(38, 0))
+                                   * ({half_odd}) END
+                         ELSE CAST(a.cnt AS DECIMAL(38, 0)) * b.cnt END)
+                AS BIGINT) AS n_dup_pairs,
            CAST(COUNT(*) AS BIGINT) AS n_shared_texts
     FROM hs a JOIN hs b
       ON a.h = b.h AND a.source <= b.source
@@ -1160,7 +1177,7 @@ _DUP_MATRIX_SQL = """
     """
 
 
-@query("cross_source_dup_matrix", tier=2, oracle=_DUP_MATRIX_SQL)
+@query("cross_source_dup_matrix", tier=2, oracle=_dup_matrix_sql("({x}) // 2"))
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources duplicate each other: for every source pair (incl.
     a source against itself), the number of exact-duplicate document
@@ -1172,14 +1189,13 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus reduces map-side to (content-hash, source) counts
     — at most |sources| rows per distinct text — and the self-join keys
     on the uniform md5 hash with per-key fan-out bounded by |sources|.
-    Pair counts are products of exact integers (cnt·(cnt−1) is even, so
-    the /2 is exact in both engines); output is ≤ |sources|² rows.
+    Pair counts are exact integer DECIMAL(38,0) products (the /2 folds
+    into the even factor of cnt·(cnt−1) via integer division BEFORE the
+    promotion, so no BIGINT product and no decimal division anywhere —
+    see `_dup_matrix_sql`); output is ≤ |sources|² rows.
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(
-        _DUP_MATRIX_SQL.replace("(a.cnt * (a.cnt - 1)) / 2",
-                                "(a.cnt * (a.cnt - 1)) div 2")
-    )
+    return spark.sql(_dup_matrix_sql("({x}) div 2"))
 
 
 # --- cross-source NEAR-dup matrix (round 12) --------------------------------
