@@ -144,6 +144,9 @@ HEADLINE = [
     # (driver-trivial rollup over the fertility emission)
     "quality_gate_recalibrate",
     "token_budget_plan",
+    # r16: the planner wired to domain_mixture_weights' target vector
+    # (two tiny-rollup parents + a |sources|-row join — driver-trivial)
+    "token_budget_plan_mixture",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

@@ -538,3 +538,137 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _docs_view(spark, sf_dir)
     return spark.sql(_dup_hist_sql())
+
+
+# --- mixture-wired token budget plan (round 16) --------------------------------
+# r15 verdict ask #4: `token_budget_plan` (llm_text.py) planned against a
+# HARDCODED uniform target while `domain_mixture_weights` above already
+# computes the principled target vector. This twin is the same planner
+# (`_budget_plan_sql`, shared skeleton) with its target CTE wired to the
+# REGISTERED mixture operator's emitted shares: target_share_s =
+# mix_weight_s · token_share_s (the parent's own definition of the target
+# mixture — weight = target/observed, so weight·observed recovers the
+# target, from the exact 6-dp values the parent publishes). Swap the
+# target vector per experiment by swapping the relation; the uniform
+# planner stays registered as the degenerate default.
+# Import-order contract: `_ORACLES["domain_mixture_weights"]` is indexed
+# at decoration time, and that parent registers EARLIER IN THIS FILE;
+# `tokenizer_fertility` registers in llm_text, which the operators
+# package imports before this module (see the hoist comment there).
+
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
+from lakehouse_workshop_spark.operators.llm_text import (
+    _budget_plan_sql,
+    tokenizer_fertility,
+)
+
+_MIX_TARGET_SQL = """
+    SELECT source, ROUND(mix_weight * token_share, 6) AS target_share
+    FROM ({mix_rel}) mw
+"""
+
+
+@query(
+    "token_budget_plan_mixture",
+    tier=2,
+    oracle=_budget_plan_sql(
+        _ORACLES["tokenizer_fertility"],
+        target_rel=_MIX_TARGET_SQL.format(
+            mix_rel=_ORACLES["domain_mixture_weights"]
+        ),
+    ),
+)
+def token_budget_plan_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`token_budget_plan` wired to `domain_mixture_weights`: the
+    per-source sampling decision for the budget split the MIXTURE
+    operator targets, not a constant-uniform assumption. Each source's
+    normalized ``target_share`` comes from the parent's emitted
+    (mix_weight · token_share) — both registered 6-dp values, so the
+    composition consumes exactly what the sibling publishes —
+    normalized through an exact DECIMAL window sum; ``budget_tokens`` =
+    TOKEN_BUDGET · target_share; epochs/action/deficit follow the
+    shared planner semantics (`_budget_plan_sql`), with
+    ``deficit_tokens`` computed exactly from the unrounded budget
+    share.
+
+    Scale: both parents are scan-speed rollups to |sources|(×|langs|)
+    rows; this layer joins two tiny aggregates and windows over the
+    |sources| rollup — driver-trivial at any corpus size.
+    """
+    tokenizer_fertility(spark, sf_dir).createOrReplaceTempView("tbm_fert")
+    domain_mixture_weights(spark, sf_dir).createOrReplaceTempView("tbm_mix")
+    return spark.sql(
+        _budget_plan_sql(
+            "SELECT * FROM tbm_fert",
+            target_rel=_MIX_TARGET_SQL.format(
+                mix_rel="SELECT * FROM tbm_mix"
+            ),
+        )
+    )
+
+
+# --- mixture-wired token budget plan (round 16) --------------------------------
+# r15 verdict ask #4: `token_budget_plan` (llm_text.py) planned against a
+# HARDCODED uniform target while `domain_mixture_weights` above already
+# computes the principled target vector. This twin is the same planner
+# (`_budget_plan_sql`, shared skeleton) with its target CTE wired to the
+# REGISTERED mixture operator's emitted shares: target_share_s =
+# mix_weight_s · token_share_s (the parent's own definition of the target
+# mixture — weight = target/observed, so weight·observed recovers the
+# target, from the exact 6-dp values the parent publishes). Swap the
+# target vector per experiment by swapping the relation; the uniform
+# planner stays registered as the degenerate default.
+# Import-order contract: `_ORACLES["domain_mixture_weights"]` is indexed
+# at decoration time, and that parent registers EARLIER IN THIS FILE;
+# `tokenizer_fertility` registers in llm_text, which the operators
+# package imports before this module (see the hoist comment there).
+
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
+from lakehouse_workshop_spark.operators.llm_text import (
+    _budget_plan_sql,
+    tokenizer_fertility,
+)
+
+_MIX_TARGET_SQL = """
+    SELECT source, ROUND(mix_weight * token_share, 6) AS target_share
+    FROM ({mix_rel}) mw
+"""
+
+
+@query(
+    "token_budget_plan_mixture",
+    tier=2,
+    oracle=_budget_plan_sql(
+        _ORACLES["tokenizer_fertility"],
+        target_rel=_MIX_TARGET_SQL.format(
+            mix_rel=_ORACLES["domain_mixture_weights"]
+        ),
+    ),
+)
+def token_budget_plan_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`token_budget_plan` wired to `domain_mixture_weights`: the
+    per-source sampling decision for the budget split the MIXTURE
+    operator targets, not a constant-uniform assumption. Each source's
+    normalized ``target_share`` comes from the parent's emitted
+    (mix_weight * token_share) — both registered 6-dp values, so the
+    composition consumes exactly what the sibling publishes —
+    normalized through an exact DECIMAL window sum; ``budget_tokens`` =
+    TOKEN_BUDGET * target_share; epochs/action/deficit follow the
+    shared planner semantics (`_budget_plan_sql`), with
+    ``deficit_tokens`` computed exactly from the unrounded budget
+    share.
+
+    Scale: both parents are scan-speed rollups to |sources|(x|langs|)
+    rows; this layer joins two tiny aggregates and windows over the
+    |sources| rollup — driver-trivial at any corpus size.
+    """
+    tokenizer_fertility(spark, sf_dir).createOrReplaceTempView("tbm_fert")
+    domain_mixture_weights(spark, sf_dir).createOrReplaceTempView("tbm_mix")
+    return spark.sql(
+        _budget_plan_sql(
+            "SELECT * FROM tbm_fert",
+            target_rel=_MIX_TARGET_SQL.format(
+                mix_rel="SELECT * FROM tbm_mix"
+            ),
+        )
+    )

@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.catalog import load_table
+
+# ORACLES import contract (r15 ADVICE #3): the operators package defines
+# the QUERIES/ORACLES dicts BEFORE it imports any operator module, so a
+# top-of-module import of the partially-initialized package is safe —
+# but entries only exist once their registering module has run.
+# `token_budget_plan` indexes a parent registered earlier in this file
+# (`tokenizer_fertility`); a violated order fails loudly at import with
+# a KeyError naming the missing parent. (The mixture-wired variant
+# lives in llm_mixture.py because THAT parent registers after this
+# module — same contract, enforced by the package import order.)
+from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
 from lakehouse_workshop_spark.operators import query
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
@@ -798,13 +809,27 @@ TOKEN_BUDGET = 30_000  # stand-in experiment budget, in _TOK_REGEX tokens
 MAX_DATA_EPOCHS = 4
 
 
-def _budget_plan_sql(fert_rel: str) -> str:
+def _budget_plan_sql(fert_rel: str, target_rel: str | None = None) -> str:
     """Dialect-shared budget planner over a `tokenizer_fertility`-shaped
     relation (source, lang, n_docs, n_tokens, ...). Exact integer sums
     roll the fertility grain up to source; every emitted ratio divides
-    those integers once and rounds at 6 dp, and the action CASE reads
+    exact operands once and rounds at 6 dp, and the action CASE reads
     the already-rounded epochs so the branch is bit-identical
-    cross-engine."""
+    cross-engine.
+
+    ``target_rel`` supplies the target mixture as (source, target_share)
+    — any non-negative vector; the planner normalizes it with an exact
+    DECIMAL window sum (order-independent, so cross-engine-stable even
+    though float addition isn't). None = the uniform default (every
+    source owes an equal share — a constant-1 vector). ``deficit_tokens``
+    is computed EXACTLY from the unrounded budget share minus
+    MAX_DATA_EPOCHS·n_tokens — one division, one final round — instead
+    of multiplying the 6-dp-rounded epochs back by n_tokens, which
+    amplified the rounding error by up to ~5e-7·n_tokens (~500k tokens
+    on a 1e12-token source; r15 ADVICE #1). The deficit gates on the
+    same rounded ``epochs_needed`` the emitted ``action`` reads, so the
+    two columns can never disagree about whether the cap binds."""
+    tgt = target_rel or "SELECT source, 1 AS target_share FROM per_src"
     return f"""
     WITH f AS ({fert_rel}),
     per_src AS (
@@ -813,25 +838,40 @@ def _budget_plan_sql(fert_rel: str) -> str:
                SUM(n_tokens) AS n_tokens
         FROM f GROUP BY source
     ),
+    tgt AS ({tgt}),
+    ts AS (
+        SELECT source,
+               CAST(target_share AS DECIMAL(18, 6)) AS tshare,
+               SUM(CAST(target_share AS DECIMAL(18, 6))) OVER ()
+                   AS tshare_total
+        FROM tgt
+    ),
     t AS (
         SELECT p.*,
-               SUM(n_tokens) OVER () AS nt_total,
-               COUNT(*) OVER () AS n_sources
-        FROM per_src p
+               s.tshare,
+               s.tshare_total,
+               SUM(n_tokens) OVER () AS nt_total
+        FROM per_src p JOIN ts s ON p.source = s.source
     ),
     e AS (
         SELECT t.*,
-               ROUND({TOKEN_BUDGET} / CAST(n_sources AS DOUBLE), 6)
-                   AS budget_tokens,
-               ROUND({TOKEN_BUDGET}
-                     / (CAST(n_sources AS DOUBLE) * n_tokens), 6)
-                   AS epochs_needed
+               {TOKEN_BUDGET} * (CAST(tshare AS DOUBLE)
+                                 / CAST(tshare_total AS DOUBLE))
+                   AS budget_exact
         FROM t
+    ),
+    e2 AS (
+        SELECT e.*,
+               ROUND(budget_exact, 6) AS budget_tokens,
+               ROUND(budget_exact / n_tokens, 6) AS epochs_needed
+        FROM e
     )
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(n_tokens / CAST(nt_total AS DOUBLE), 6) AS token_share,
+           ROUND(CAST(tshare AS DOUBLE) / CAST(tshare_total AS DOUBLE), 6)
+               AS target_share,
            budget_tokens,
            epochs_needed,
            LEAST(epochs_needed, CAST({MAX_DATA_EPOCHS} AS DOUBLE))
@@ -839,10 +879,13 @@ def _budget_plan_sql(fert_rel: str) -> str:
            CASE WHEN epochs_needed > {MAX_DATA_EPOCHS} THEN 'cap_repeat'
                 WHEN epochs_needed > 1 THEN 'repeat'
                 ELSE 'sample' END AS action,
-           ROUND(GREATEST(epochs_needed - {MAX_DATA_EPOCHS},
-                          CAST(0 AS DOUBLE)) * n_tokens, 6)
+           CASE WHEN epochs_needed > {MAX_DATA_EPOCHS}
+                THEN ROUND(GREATEST(
+                         budget_exact - {MAX_DATA_EPOCHS} * n_tokens,
+                         CAST(0 AS DOUBLE)), 6)
+                ELSE CAST(0 AS DOUBLE) END
                AS deficit_tokens
-    FROM e
+    FROM e2
     """
 
 
@@ -857,16 +900,22 @@ from lakehouse_workshop_spark.operators import ORACLES as _ORACLES
 def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consume `tokenizer_fertility`'s rollup into the per-source
     sampling DECISION for a uniform-target token budget: each source's
-    exact doc/token supply, its budget share (TOKEN_BUDGET /
-    n_sources), ``epochs_needed`` (budget share over own supply),
-    ``epochs_used`` (capped at MAX_DATA_EPOCHS), the ``action`` —
-    ``sample`` (subsample, < 1 epoch), ``repeat`` (1-MAX_DATA_EPOCHS
-    epochs), ``cap_repeat`` (the budget share is unbuyable from this
-    source) — and ``deficit_tokens``, the share the cap leaves unfilled
-    (the mixture re-weighter's input for redistributing it).
+    exact doc/token supply, its normalized ``target_share`` (the
+    uniform default — `token_budget_plan_mixture` in llm_mixture.py is
+    the same planner wired to `domain_mixture_weights`' target vector),
+    its ``budget_tokens`` (TOKEN_BUDGET · target_share),
+    ``epochs_needed`` (budget share over own supply), ``epochs_used``
+    (capped at MAX_DATA_EPOCHS), the ``action`` — ``sample``
+    (subsample, < 1 epoch), ``repeat`` (1-MAX_DATA_EPOCHS epochs),
+    ``cap_repeat`` (the budget share is unbuyable from this source) —
+    and ``deficit_tokens``, the share the cap leaves unfilled (the
+    mixture re-weighter's input for redistributing it), computed
+    exactly from the unrounded budget share (r15 ADVICE #1; see
+    `_budget_plan_sql`).
 
-    Determinism: the fertility grain rolls up as exact BIGINT sums;
-    every ratio divides those integers once (IEEE-identical doubles
+    Determinism: the fertility grain rolls up as exact BIGINT sums; the
+    target vector normalizes through an exact DECIMAL window sum; every
+    ratio divides exact operands once (IEEE-identical doubles
     cross-engine) and rounds at 6 dp BEFORE the action branch reads it.
 
     Scale: the fertility rollup is |sources|x|langs| rows, so this

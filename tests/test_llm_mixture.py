@@ -155,3 +155,39 @@ def test_km_probe_positions_pairwise_distinct():
         h2p = h2 - h2 % 2 + 1  # the SQL's force-odd spelling
         pos = [(h1 + i * h2p) % BLOOM_M for i in range(BLOOM_K)]
         assert len(set(pos)) == BLOOM_K
+
+
+def test_budget_plan_mixture_follows_mixture_target(spark, sf_dir):
+    """r16 (r15 verdict ask #4): `token_budget_plan_mixture`'s budget
+    split follows `domain_mixture_weights`' emitted target vector —
+    budget_tokens ∝ (mix_weight · token_share) normalized — budgets
+    reconcile to TOKEN_BUDGET, and deficit_tokens reconciles exactly
+    against the unrounded budget share on every cap_repeat row."""
+    from lakehouse_workshop_spark.operators.llm_text import (
+        MAX_DATA_EPOCHS,
+        TOKEN_BUDGET,
+    )
+
+    q = all_queries()
+    mix = {
+        r.source: round(r.mix_weight * r.token_share, 6)
+        for r in q["domain_mixture_weights"](spark, sf_dir).collect()
+    }
+    rows = q["token_budget_plan_mixture"](spark, sf_dir).collect()
+    assert sorted(r.source for r in rows) == sorted(mix)
+    total = sum(mix.values())
+    budget_sum = 0.0
+    for r in rows:
+        want_share = mix[r.source] / total
+        # python round() is half-even vs SQL's half-away: allow one
+        # 1e-6 grid step of slack on anything derived from mix values
+        assert abs(r.target_share - want_share) < 2e-6, r.source
+        budget_exact = TOKEN_BUDGET * (mix[r.source] / total)
+        assert abs(r.budget_tokens - budget_exact) < 0.1, r.source
+        budget_sum += r.budget_tokens
+        if r.action == "cap_repeat":
+            want = max(budget_exact - MAX_DATA_EPOCHS * r.n_tokens, 0.0)
+            assert abs(r.deficit_tokens - want) < 0.1, r.source
+        else:
+            assert r.deficit_tokens == 0.0, r.source
+    assert abs(budget_sum - TOKEN_BUDGET) < 0.1

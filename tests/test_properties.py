@@ -325,11 +325,16 @@ _budget_rows = st.lists(
 @given(_budget_rows)
 def test_budget_plan_sql_invariants(rows):
     """`_budget_plan_sql` structural invariants on random fertility
-    rollups: inputs echo exactly, token shares sum to 1, epochs_used
+    rollups (uniform default target): inputs echo exactly, token shares
+    sum to 1, the normalized target is exactly uniform, epochs_used
     caps at MAX_DATA_EPOCHS, the action branch is consistent with the
-    EMITTED (rounded) epochs, and deficit is positive exactly on the
-    cap branch. Rounded doubles compare with tolerance (SQL ROUND is
-    half-away-from-zero, Python's is half-even)."""
+    EMITTED (rounded) epochs, and deficit — computed exactly from the
+    unrounded budget share (r15 ADVICE #1), NOT by multiplying rounded
+    epochs back by n_tokens — matches the double-for-double Python
+    mirror of the SQL expression even at n_tokens = 1e12, where the old
+    form drifted by up to ~5e5 tokens. Rounded doubles compare with
+    tolerance (SQL ROUND is half-away-from-zero, Python's is
+    half-even)."""
     import duckdb
 
     from lakehouse_workshop_spark.operators import llm_text as T
@@ -346,24 +351,26 @@ def test_budget_plan_sql_invariants(rows):
     nt_total = sum(t for _, _, t in rows)
     share_sum = 0.0
     for i, d, t in rows:
-        (src, n_docs, n_tokens, token_share, budget_tokens,
+        (src, n_docs, n_tokens, token_share, target_share, budget_tokens,
          epochs_needed, epochs_used, action, deficit) = by_src[f"s{i}"]
         assert (n_docs, n_tokens) == (d, t)
         share_sum += token_share
         assert abs(token_share - t / nt_total) < 1e-6
-        assert abs(budget_tokens - T.TOKEN_BUDGET / ns) < 1e-6
+        assert abs(target_share - 1.0 / ns) < 1e-6
+        # the SQL's exact path: DECIMAL(18,6) 1.000000 / ns.000000 both
+        # cast to double, so the Python mirror is bit-identical
+        budget_exact = T.TOKEN_BUDGET * (1.0 / ns)
+        assert abs(budget_tokens - budget_exact) < 1e-6
         assert (
-            abs(epochs_needed - T.TOKEN_BUDGET / (ns * t)) < 1e-6
-            or abs(epochs_needed / (T.TOKEN_BUDGET / (ns * t)) - 1) < 1e-6
+            abs(epochs_needed - budget_exact / t) < 1e-6
+            or abs(epochs_needed / (budget_exact / t) - 1) < 1e-6
         )
         assert epochs_used == min(epochs_needed, float(T.MAX_DATA_EPOCHS))
         if epochs_needed > T.MAX_DATA_EPOCHS:
             assert action == "cap_repeat"
             assert deficit > 0
-            assert (
-                abs(deficit - (epochs_needed - T.MAX_DATA_EPOCHS) * t)
-                <= max(1e-6 * deficit, 1e-6)
-            )
+            want = max(budget_exact - T.MAX_DATA_EPOCHS * t, 0.0)
+            assert abs(deficit - want) <= 1e-6
         elif epochs_needed > 1:
             assert action == "repeat"
             assert deficit == 0.0
@@ -371,3 +378,192 @@ def test_budget_plan_sql_invariants(rows):
             assert action == "sample"
             assert deficit == 0.0
     assert abs(share_sum - 1.0) < 1e-4
+
+
+_mix_budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),  # source index
+        st.integers(min_value=1, max_value=1_000_000),  # n_docs
+        st.integers(min_value=1, max_value=10**12),  # n_tokens
+        st.integers(min_value=0, max_value=1_000_000),  # target on 1e-6 grid
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+).filter(lambda rows: sum(r[3] for r in rows) > 0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mix_budget_rows)
+def test_budget_plan_sql_follows_target_vector(rows):
+    """`_budget_plan_sql(target_rel=...)` with an arbitrary non-negative
+    target vector (r16: the `token_budget_plan_mixture` wiring):
+    budget_tokens follows the NORMALIZED vector exactly (targets live on
+    the 1e-6 grid so the DECIMAL(18,6) casts are exact and the Python
+    double mirror is bit-identical), budgets reconcile to TOKEN_BUDGET,
+    and deficit reconciles exactly against the unrounded budget share on
+    the cap branch."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_text as T
+
+    vals = ", ".join(f"('s{i}', 'en', {d}, {t})" for i, d, t, _ in rows)
+    rel = f"SELECT * FROM (VALUES {vals}) AS t(source, lang, n_docs, n_tokens)"
+    tvals = ", ".join(
+        f"('s{i}', CAST({w / 1_000_000.0!r} AS DOUBLE))" for i, _, _, w in rows
+    )
+    trel = f"SELECT * FROM (VALUES {tvals}) AS t(source, target_share)"
+    con = duckdb.connect()
+    out = con.sql(T._budget_plan_sql(rel, target_rel=trel)).fetchall()
+    assert len(out) == len(rows)
+    by_src = {r[0]: r for r in out}
+    total_micro = sum(w for _, _, _, w in rows)
+    budget_sum = 0.0
+    for i, d, t, w in rows:
+        (_, n_docs, n_tokens, _token_share, target_share, budget_tokens,
+         epochs_needed, epochs_used, action, deficit) = by_src[f"s{i}"]
+        assert (n_docs, n_tokens) == (d, t)
+        # mirror the SQL double-for-double: DECIMAL(18,6) -> DOUBLE on
+        # both operands, one division, one multiply
+        tshare_d = w / 1_000_000
+        total_d = total_micro / 1_000_000
+        budget_exact = T.TOKEN_BUDGET * (tshare_d / total_d)
+        assert abs(target_share - tshare_d / total_d) < 1e-6
+        assert abs(budget_tokens - budget_exact) < 1e-6
+        budget_sum += budget_tokens
+        if epochs_needed > T.MAX_DATA_EPOCHS:
+            assert action == "cap_repeat"
+            want = max(budget_exact - T.MAX_DATA_EPOCHS * t, 0.0)
+            assert abs(deficit - want) <= 1e-6
+        else:
+            assert deficit == 0.0
+    # budgets reconcile: rounding each share at 6 dp costs < 5e-7 * n
+    assert abs(budget_sum - T.TOKEN_BUDGET) < 1e-5 * len(rows) + 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ltv_decile_rank_formula_matches_ntile(vals):
+    """The exact NTILE closed form `customer_ltv_deciles` now bands with
+    on the Spark side — with q = N div K, m = N mod K: rank r maps to
+    ceil(r/(q+1)) while r <= (q+1)*m, else m + ceil((r-(q+1)*m)/q) —
+    agrees with SQL NTILE row-for-row for EVERY N, including N < K
+    (ties, constant columns, and skewed values all arise naturally).
+    This pin originally caught the tempting (r-1)*K div N + 1 form
+    spreading the oversized buckets instead of front-loading them the
+    way NTILE does (falsified at N=12, K=10, all-equal values). The
+    DuckDB oracle keeps NTILE, so this pins the two forms to each
+    other."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators.olap_tpch import LTV_DECILES
+
+    K = LTV_DECILES
+    rows = ", ".join(f"({i}, {v})" for i, v in enumerate(vals))
+    q = f"""
+    WITH s AS (SELECT * FROM (VALUES {rows}) AS t(id, spend)),
+    r AS (SELECT ROW_NUMBER() OVER (ORDER BY spend DESC, id) AS rnk,
+                 NTILE({K}) OVER (ORDER BY spend DESC, id) AS nt,
+                 COUNT(*) OVER () AS n
+          FROM s)
+    SELECT COUNT(*) FROM r
+    WHERE nt <> CASE WHEN rnk <= (n // {K} + 1) * (n % {K})
+                     THEN (rnk + n // {K}) // (n // {K} + 1)
+                     ELSE n % {K}
+                          + (rnk - (n // {K} + 1) * (n % {K})
+                             + n // {K} - 1) // (n // {K})
+                END
+    """
+    assert duckdb.sql(q).fetchone()[0] == 0
+
+
+# One deterministic giant row whose OLD BIGINT pair-count product
+# (cnt*(cnt-1) = 1.369e19) wraps past BIGINT max (9.22e18) while the
+# pair count itself (6.8e18) still fits the emitted BIGINT — exactly
+# the r15-queued overflow class the DECIMAL(38,0) promotion pays.
+_GIANT_CNT = 3_700_000_000
+
+_dup_small_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # hash index
+        st.integers(min_value=0, max_value=3),  # source index
+        st.integers(min_value=1, max_value=1000),  # cnt
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _dup_matrix_reference(rows):
+    """Independent Python-int mirror of the dup-matrix contract."""
+    pairs: dict[tuple[str, str], int] = {}
+    shared: dict[tuple[str, str], int] = {}
+    for ha, sa, ca in rows:
+        for hb, sb, cb in rows:
+            if ha != hb or sa > sb:
+                continue
+            if sa == sb:  # (h, source) unique => the self-joined row
+                if ca < 2:
+                    continue
+                n = ca * (ca - 1) // 2
+            else:
+                n = ca * cb
+            key = (sa, sb)
+            pairs[key] = pairs.get(key, 0) + n
+            shared[key] = shared.get(key, 0) + 1
+    return sorted(
+        (sa, sb, pairs[(sa, sb)], shared[(sa, sb)]) for sa, sb in pairs
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(_dup_small_rows)
+def test_dup_matrix_pair_counts_exact_past_bigint_wrap(rows):
+    """`_dup_matrix_sql`'s pair counts stay exact when one text has
+    3.7e9 copies in one source — the count whose cnt*(cnt-1) product
+    wrapped the pre-r16 BIGINT form — mixed with random small counts
+    (the r15 NOTE's degenerate-boilerplate scenario). Verified against
+    arbitrary-precision Python ints."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_dedup as D
+
+    named = [(f"h{h}", f"s{s}", c) for h, s, c in rows]
+    named.append(("hG", "s0", _GIANT_CNT))
+    vals = ", ".join(
+        f"('{h}', '{s}', CAST({c} AS BIGINT))" for h, s, c in named
+    )
+    rel = f"SELECT * FROM (VALUES {vals}) AS t(h, source, cnt)"
+    con = duckdb.connect()
+    out = con.sql(D._dup_matrix_sql("({x}) // 2", hs_rel=rel)).fetchall()
+    assert sorted(tuple(r) for r in out) == _dup_matrix_reference(named)
+
+
+def test_dup_matrix_spark_div_halving_matches_reference(spark):
+    """The Spark dialect of the same arithmetic (`div` halving of the
+    even factor, DECIMAL(38,0) products) reproduces the Python-int
+    reference on the giant-count fixture — pinning that Spark's `div`
+    and `%` on BIGINT behave as the oracle's `//` does."""
+    from lakehouse_workshop_spark.operators import llm_dedup as D
+
+    named = [
+        ("hG", "s0", _GIANT_CNT),
+        ("hG", "s1", 7),
+        ("h0", "s0", 2),
+        ("h0", "s1", 1),
+        ("h1", "s2", 3_700_000_001),  # odd giant: the other halving branch
+    ]
+    vals = ", ".join(
+        f"('{h}', '{s}', CAST({c} AS BIGINT))" for h, s, c in named
+    )
+    rel = f"SELECT * FROM (VALUES {vals}) AS t(h, source, cnt)"
+    out = spark.sql(D._dup_matrix_sql("({x}) div 2", hs_rel=rel)).collect()
+    got = sorted((r[0], r[1], r[2], r[3]) for r in out)
+    assert got == _dup_matrix_reference(named)
