@@ -17,92 +17,92 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 15. The driver's correctness pass
+# Explicit driver-pass order for round 16. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py; --check = read-only validate):
-#   1. Positions 1-9: the nine r10 rows deferred from the r14 window
-#      (the oldest latest-rows in the registry — under P=6 they must
-#      re-verify in THIS window or go stale at the r16 build). This is
-#      exactly the forward schedule the r14 header committed to.
-#      token_counts is among them — which made its queued `_TOK_REGEX`
-#      hoist (r14 NOTE in llm_text.py) free this round.
-#   2. Positions 10-36: the r11 cohort's leading edge, registry order —
-#      27 of its 49 rows (ivf_topk / ivf_topk_kmeans, also r11, sit in
-#      the changed block below and count toward the cohort: 29 of 49
-#      covered, 20 remain for r16 per the schedule).
-#   3. Positions 37-48: the twelve changed-source re-verifies of this
-#      round's consolidation + ADVICE fixes — adopting `_ivf_nlist` in
-#      `_matmul_assign`/`ivf_kmeans_search`/`_sem_incr_centroids` and
-#      folding the hybrid universe bound + `_centroid_assign_fn` kernel
-#      into `_matmul_assign` (the r14-queued hash debt) drifts the IVF
-#      and semantic-dedup families; the drift-TVD DECIMAL(38,0)
-#      promotion (r14 ADVICE #1) drifts drift_retrain_plan; the
-#      PSI shifted-from-rounded fix (ADVICE #2) drifts
-#      quality_score_psi; constant-name docstring edits (ADVICE #3)
-#      ride along on already-drifted functions.
-#   4. Positions 49-50: the two round-15 registrations — the drift
-#      family's last two decide stages: quality_gate_recalibrate
-#      (quality_score_psi's consumer, r14 verdict ask #3) and
-#      token_budget_plan (tokenizer_fertility's consumer).
-# Forward schedule under P=6 (unchanged from the r14 header): r16 =
-# remaining 20 r11 rows + r12 leading edge; the r12 cohort must
-# complete by r18, r13 by r19, the r14 window by r20.
+#   1. Positions 1-20: the r11 cohort's remaining 20 rows (registration
+#      order) — exactly the forward schedule the r14/r15 headers
+#      committed to (r11 rows fall formally due at the r17 build; the
+#      schedule front-runs by one round to keep capacity smooth).
+#   2. Positions 21-45: the r12 cohort's leading edge, registration
+#      order — 25 of its 49 rows (the remaining 24 go to r17, inside
+#      the "r12 complete by r18" schedule). domain_mixture_weights is
+#      among them — the mixture parent re-verifies in the same window
+#      its budget-planner consumer registers (position 50).
+#   3. Positions 46-49: the four changed-source re-verifies of this
+#      round's fixes — quality_gate_recalibrate's merged rank moved
+#      off the unpartitioned ROW_NUMBER onto the two-pass
+#      `global_row_number` (r15 verdict ask #1); customer_ltv_deciles'
+#      NTILE moved onto the same primitive via the exact NTILE rank
+#      equivalence (ask #3's queued twin); cross_source_dup_matrix's
+#      queued DECIMAL(38,0) pair-count promotion is PAID (r15 NOTE in
+#      llm_dedup.py); token_budget_plan gained the exact integer-form
+#      deficit + normalized target vector (r15 ADVICE #1 / verdict
+#      ask #4). The ORACLES import hoists (ADVICE #3) were verified
+#      hash-neutral (imports are not in any function's governed
+#      closure).
+#   4. Position 50: the round-16 registration — token_budget_plan_mixture
+#      (the planner wired to domain_mixture_weights' target vector,
+#      verdict ask #4).
+# Forward schedule under P=6 (unchanged): r17 = remaining 24 r12 rows +
+# r13 leading edge; the r13 cohort must complete by r19, the r14 window
+# by r20, the r15 window by r21.
 DRIVER_ORDER: list[str] = [
-    # -- 1-9: the r10 rows deferred from r14 — oldest in the registry ----
-    "tfidf_top_terms",
-    "token_counts",
-    "token_dist_shift",
-    "top_returned_customers",
-    "top_revenue_supplier",
-    "topic_assign",
-    "vocab_coverage",
-    "volume_shipping",
-    "weighted_sample_topk",
-    # -- 10-36: r11 cohort leading edge (registry order) -----------------
-    "rfm_summary",
-    "corr_frequency_monetary",
-    "order_value_buckets",
-    "top10_orders",
-    "frequency_bands",
-    "customer_value_bands",
-    "order_percentiles_approx",
-    "revenue_by_nation",
-    "active_or_rich_customers",
-    "sales_rollup",
-    "orders_pivot_status",
-    "sessionize_events",
-    "churned_customers",
-    "cumulative_monthly_revenue",
-    "event_props_agg",
-    "scd2_customer_history",
-    "scd2_asof_lookup",
-    "snapshot_diff_orders",
-    "clv_distributed",
-    "clv_segment_rollup",
-    "streaming_scd2_history",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "materialize_training_set",
-    "materialize_training_set_v2",
-    "bloom_dedup",
-    # -- 37-48: changed-source re-verifies (r15 consolidation edits) -----
-    "ivf_topk",
-    "ivf_topk_kmeans",
-    "ivf_cluster_balance",
-    "ivf_rebalance",
-    "ivf_split_plan",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
-    "streaming_semantic_dedup",
-    "embedding_cluster_drift",
-    "drift_retrain_plan",
-    "quality_score_psi",
-    "hybrid_rank_fusion_ivf",
-    # -- 49-50: round-15 registrations ------------------------------------
+    # -- 1-20: r11 cohort remainder (registration order) ------------------
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "streaming_bloom_dedup",
+    "cosine_topk",
+    "embedding_quantize_int8",
+    "exact_topk",
+    "ivf_pq_topk",
+    "ivf_pq_topk_kmeans",
+    "image_decode_stats",
+    "png_decode_stats",
+    "audio_decode_stats",
+    "image_resize_stats",
+    "jpeg_decode_stats",
+    "pricing_summary",
+    "product_type_profit",
+    "supplier_part_variety",
+    "excess_shipped_suppliers",
+    "part_copurchase_pagerank",
+    "dsir_importance_weights",
+    # -- 21-45: r12 cohort leading edge (registration order) --------------
+    "monthly_sales",
+    "profit_by_returnflag",
+    "count_distinct_customers",
+    "count_distinct_customers_approx",
+    "customers_by_status",
+    "rfm_summary_grouped",
+    "distinct_parts",
+    "orders_in_1995",
+    "customer_recast",
+    "customers_ranked_by_spend",
+    "top_customer_per_nation",
+    "latest_order_asof_event",
+    "clv_rfm_input",
+    "cross_source_near_dup_matrix",
+    "ngram_containment_pairs",
+    "ngram_containment_capped",
+    "packing_efficiency",
+    "materialize_training_set_incremental",
+    "domain_mixture_weights",
+    "lang_source_mix",
+    "token_entropy",
+    "zipf_slope",
+    "curriculum_stages",
+    "contamination_by_benchmark",
+    "source_token_kl",
+    # -- 46-49: changed-source re-verifies (r16 fixes) ---------------------
     "quality_gate_recalibrate",
+    "customer_ltv_deciles",
+    "cross_source_dup_matrix",
     "token_budget_plan",
+    # -- 50: round-16 registration -----------------------------------------
+    "token_budget_plan_mixture",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

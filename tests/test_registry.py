@@ -345,3 +345,31 @@ def test_plans_md_current():
         f"PLANS.md out of date — missing: {missing}, stale: {stale}; "
         "rerun tools/plan_audit.py"
     )
+
+
+def test_vouched_hash_promotes_on_landed_artifact():
+    """r16 governance fix: `make_driver_order.vouched` must treat the
+    staged hash as verified once a driver row exists for the staged
+    round (latest >= window_round) — even though the manifest file's
+    `verified_hash` field only updates on the next write. Validating on
+    the raw field spuriously flagged all 14 of r15's verified-in-window
+    source changes as drifted at r16 start and refused the manifest."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_driver_order", "/root/repo/tools/make_driver_order.py"
+    )
+    mdo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mdo)
+
+    staged = {"hash": "new", "verified_hash": "old", "window_round": 15}
+    # artifact for r15 landed -> staged hash is the vouched one
+    assert mdo.vouched(staged, 15) == "new"
+    # artifact not yet landed (staged for 16, latest row is 15) -> the
+    # previously-verified hash keeps vouching
+    assert mdo.vouched({**staged, "window_round": 16}, 15) == "old"
+    # never verified at all -> nothing vouches
+    assert mdo.vouched({"hash": "new"}, 0) is None
+    # legacy entry without verified_hash: staged for 12 but latest row
+    # is 11 -> falls through to the recorded hash (a real row exists)
+    assert mdo.vouched({"hash": "h", "window_round": 12}, 11) == "h"

@@ -53,6 +53,23 @@ MANIFEST = REPO / "tools" / "driver_manifest.json"
 DRIVER_WINDOW = 50
 
 
+def vouched(p: dict, latest_n: int) -> str | None:
+    """The hash a REAL driver row vouches for, with the promotion rule
+    applied: once a CORRECTNESS row exists for the round an entry was
+    staged into (latest_n >= window_round), the staged hash is the
+    verified one — whether or not the manifest file has been rewritten
+    since the artifact landed. Used by BOTH the validation pass and the
+    write loop; validating on the raw ``verified_hash`` field would
+    spuriously flag every verified-last-round source change as drifted
+    at the next round's start (first hit at r16) and refuse the write."""
+    wr = p.get("window_round")
+    if wr is not None and latest_n >= wr:
+        return p.get("hash")  # the staged hash earned its driver row
+    if "verified_hash" in p:
+        return p["verified_hash"]
+    return p.get("hash") if latest_n > 0 else None
+
+
 def latest_rows() -> tuple[dict[str, int], int]:
     latest: dict[str, int] = {}
     max_round = 0
@@ -108,13 +125,21 @@ def main(check_only: bool = False) -> None:
     # in a later same-round write would otherwise compare new-vs-new and
     # escape the changed-source rule entirely (r13 review finding #3).
     # verified_hash only advances when a CORRECTNESS row lands for the
-    # round the staged hash was written for (see the write loop).
+    # round the staged hash was written for — and that promotion must
+    # apply HERE too, not only in the write loop below: at round start
+    # the previous round's artifact has landed but the manifest file
+    # still carries the pre-stage verified_hash, so comparing the raw
+    # field would spuriously flag every source-changed-last-round,
+    # verified-last-round, out-of-this-window entry as changed and
+    # refuse the write (first hit at r16: the 12 r15 consolidation
+    # re-verifies + token_counts/token_dist_shift, all r15-green,
+    # all correctly outside the r16 window). See :func:`vouched`.
     changed = [
         n
         for n in names
         if n in prev
         and prev[n].get("window_round") is not None
-        and prev[n].get("verified_hash", prev[n]["hash"]) != registry_hash(n)
+        and vouched(prev[n], latest.get(n, 0)) != registry_hash(n)
     ]
     print(f"registry: {len(names)}, window: {len(window)}, "
           f"latest driver round: r{max_round:02d}")
@@ -154,13 +179,8 @@ def main(check_only: bool = False) -> None:
         # when the driver row for its window_round exists. Until then the
         # previously-verified hash keeps vouching (legacy manifests
         # without the field fall back to the recorded hash when a real
-        # row exists at all).
-        if wr is not None and latest_n >= wr:
-            vh = p.get("hash")
-        elif "verified_hash" in p:
-            vh = p["verified_hash"]
-        else:
-            vh = p.get("hash") if latest_n > 0 else None
+        # row exists at all). Same rule as the validation above.
+        vh = vouched(p, latest_n)
         if n in window:
             entry = {
                 "hash": registry_hash(n),
