@@ -79,6 +79,25 @@ MEDIAN_GATE = 1.10
 FRAC_GATE = 0.25
 ROW_RATIO = 1.30
 
+# Elevation-profile diagnostic (r16, per the r15 verdict's third-refusal
+# clause): split the cohort by plan shape — PLANS.md exchange counts —
+# so a TAXED verdict also says WHICH resource is contended. Scan-bound
+# rows (<= 1 exchange: the cost is the parquet scan + one partial agg)
+# elevate under host CPU/memory contention; shuffle-heavy rows (>= 2
+# exchanges) additionally pay shuffle-file I/O, so a profile where
+# shuffle rows elevate disproportionately (class-median gap >~ 0.15)
+# points at shuffle-filesystem contention instead. Read the two medians
+# together; the gate itself is unchanged.
+SCAN_BOUND = {
+    "blocklist_scrub",       # 0 exchanges
+    "dedup_exact",           # 1
+    "dedup_keep_canonical",  # 1
+    "disjunctive_part_revenue",  # 1
+    "doc_chunks",            # 1
+    "embedding_normalized",  # 1
+    "hot_keys_events",       # 1
+}
+
 
 def _rows(path: str) -> dict[str, float]:
     doc = json.load(open(path))
@@ -117,6 +136,23 @@ def check(candidate: str, references: list[str]) -> int:
         print(f"  (unresolvable canaries skipped: {missing})")
     print(f"median ratio: {med:.3f} (gate {MEDIAN_GATE}); "
           f"rows >= {ROW_RATIO}x: {frac:.0%} (gate {FRAC_GATE:.0%})")
+    scan = [r for k, r in ratios.items() if k in SCAN_BOUND]
+    shuf = [r for k, r in ratios.items() if k not in SCAN_BOUND]
+    if scan and shuf:
+        m_scan = statistics.median(scan)
+        m_shuf = statistics.median(shuf)
+        kind = (
+            "shuffle-filesystem contention (shuffle rows disproportionate)"
+            if m_shuf - m_scan > 0.15
+            else "host CPU/memory contention (both classes elevated alike)"
+            if min(m_scan, m_shuf) >= MEDIAN_GATE
+            else "profile inconclusive"
+        )
+        print(
+            f"elevation profile: scan-bound median {m_scan:.3f} "
+            f"({len(scan)} rows) vs shuffle-heavy median {m_shuf:.3f} "
+            f"({len(shuf)} rows) -> {kind}"
+        )
     if med >= MEDIAN_GATE or frac >= FRAC_GATE:
         print("VERDICT: TAXED — do NOT stamp this run as the quiet reference")
         return 1
