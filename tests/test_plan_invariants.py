@@ -143,3 +143,71 @@ def test_customer_ltv_deciles_bands_without_global_ntile(spark, sf_dir):
     assert rank_lines, "rank stage missing from plan"
     for ln in rank_lines:
         assert "_rank_pid" in ln, f"unpartitioned global rank: {ln.strip()}"
+
+
+# Queries whose plans legitimately carry an unpartitioned ORDERED window
+# (PLANS.md `uwin` column) — each over a PROVABLY BOUNDED input, never
+# the raw corpus. Grown only with a reason; an unlisted nonzero row is
+# the quality_gate_recalibrate class (r15 verdict's one scale-killer:
+# a single-partition sort of an unbounded relation) reappearing.
+UWIN_ALLOWED = {
+    # two-pass rank/cumsum primitives: the offsets window runs over ONE
+    # ROW PER PARTITION (~#shuffle-partitions rows), by construction
+    "customer_ltv_deciles",
+    "customer_recast",
+    "customers_ranked_by_spend",
+    "quality_gate_recalibrate",
+    "materialize_training_set",
+    "materialize_training_set_v2",
+    "materialize_training_set_incremental",
+    "sequence_packing",
+    "range_join_error_purchases",
+    # rank AFTER a TakeOrderedAndProject / LIMIT top-k cut (bounded k)
+    "bpe_merge_candidates",
+    "cms_heavy_hitters",
+    "hot_keys_events",
+    "vocab_coverage",
+    "zipf_slope",
+    # windows over tiny rollups: |stages| rows / <=sqrt(n) clusters /
+    # day-grain spine
+    "curriculum_stages",
+    "ivf_cluster_balance",
+    "gapfill_locf_revenue",
+    "rolling_revenue_7d",
+}
+
+
+def test_unpartitioned_ordered_windows_are_allowlisted():
+    """r16: every nonzero `uwin` row in PLANS.md (unpartitioned ordered
+    windows — the single-partition global-sort class) must be on the
+    bounded-input allowlist above. test_plans_md_current keeps PLANS.md
+    hash-fresh, so this pin re-evaluates automatically whenever any
+    query or shared helper changes."""
+    import os
+    import re
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    txt = open(plans).read()
+    header = None
+    offenders = []
+    for ln in txt.splitlines():
+        if not ln.startswith("|"):
+            continue
+        cells = [c.strip() for c in ln.strip("|").split("|")]
+        if header is None:
+            if "uwin" in cells:
+                header = cells
+            continue
+        if set(cells) == {"---"} or len(cells) != len(header):
+            continue
+        row = dict(zip(header, cells))
+        if re.fullmatch(r"\d+", row.get("uwin", "")) and int(row["uwin"]) > 0:
+            if row["query"].strip("`") not in UWIN_ALLOWED:
+                offenders.append(row["query"])
+    assert header is not None, "PLANS.md has no uwin column — rerun tools/plan_audit.py"
+    assert not offenders, (
+        f"unpartitioned ordered windows outside the bounded-input "
+        f"allowlist: {offenders} — a single-partition sort of an "
+        "unbounded relation; use functions/exprs.global_row_number / "
+        "global_cumsum or add a justified allowlist entry"
+    )
