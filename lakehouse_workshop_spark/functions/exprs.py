@@ -86,7 +86,13 @@ def global_row_number(df: DataFrame, *order: Column, name: str = "rank") -> Data
     ).select("_rank_pid", F.coalesce("_rank_offset", F.lit(0)).alias("_rank_offset"))
     return (
         local.join(F.broadcast(offsets), "_rank_pid")
-        .withColumn(name, (F.col("_rank_offset") + F.col("_rank_local")).cast("int"))
+        # long, not int: a global rank is exactly the column that crosses
+        # 2^31 first at scale (~2.5e10 documents at 100 TB) — an int cast
+        # here is the same silent-wrap class as the r16
+        # cross_source_dup_matrix pair-count fix. Parity is unaffected:
+        # DuckDB's ROW_NUMBER is BIGINT already and the oracle compare
+        # canonicalizes integer widths.
+        .withColumn(name, (F.col("_rank_offset") + F.col("_rank_local")).cast("long"))
         .drop("_rank_pid", "_rank_local", "_rank_offset")
     )
 
