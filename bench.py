@@ -146,7 +146,9 @@ HEADLINE = [
     "token_budget_plan",
     # r16: the planner wired to domain_mixture_weights' target vector
     # (two tiny-rollup parents + a |sources|-row join — driver-trivial)
+    # and its consumer, the one-round water-filling deficit rebalancer
     "token_budget_plan_mixture",
+    "token_budget_rebalance",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

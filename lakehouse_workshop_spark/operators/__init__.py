@@ -25,12 +25,13 @@ TIERS: dict[str, int] = {}
 #      order) — exactly the forward schedule the r14/r15 headers
 #      committed to (r11 rows fall formally due at the r17 build; the
 #      schedule front-runs by one round to keep capacity smooth).
-#   2. Positions 21-45: the r12 cohort's leading edge, registration
-#      order — 25 of its 49 rows (the remaining 24 go to r17, inside
-#      the "r12 complete by r18" schedule). domain_mixture_weights is
-#      among them — the mixture parent re-verifies in the same window
-#      its budget-planner consumer registers (position 50).
-#   3. Positions 46-49: the four changed-source re-verifies of this
+#   2. Positions 21-44: the r12 cohort's leading edge, registration
+#      order — 24 of its 49 rows (the remaining 25 go to r17, inside
+#      the "r12 complete by r18" schedule; source_token_kl yields its
+#      slot to the round's second registration). domain_mixture_weights
+#      is among them — the mixture parent re-verifies in the same
+#      window its budget-planner consumers register (positions 49-50).
+#   3. Positions 45-48: the four changed-source re-verifies of this
 #      round's fixes — quality_gate_recalibrate's merged rank moved
 #      off the unpartitioned ROW_NUMBER onto the two-pass
 #      `global_row_number` (r15 verdict ask #1); customer_ltv_deciles'
@@ -39,12 +40,16 @@ TIERS: dict[str, int] = {}
 #      queued DECIMAL(38,0) pair-count promotion is PAID (r15 NOTE in
 #      llm_dedup.py); token_budget_plan gained the exact integer-form
 #      deficit + normalized target vector (r15 ADVICE #1 / verdict
-#      ask #4). The ORACLES import hoists (ADVICE #3) were verified
-#      hash-neutral (imports are not in any function's governed
-#      closure).
-#   4. Position 50: the round-16 registration — token_budget_plan_mixture
-#      (the planner wired to domain_mixture_weights' target vector,
-#      verdict ask #4).
+#      ask #4). All four also re-verify global_row_number's int->long
+#      rank promotion (every consumer of the primitive is one of them,
+#      so the helper edit re-verifies atomically). The ORACLES import
+#      hoists (ADVICE #3) were verified hash-neutral (imports are not
+#      in any function's governed closure).
+#   4. Positions 49-50: the round-16 registrations —
+#      token_budget_plan_mixture (the planner wired to
+#      domain_mixture_weights' target vector, verdict ask #4) and
+#      token_budget_rebalance (its consumer: one-round water-filling of
+#      the capped sources' deficit into spare capacity).
 # Forward schedule under P=6 (unchanged): r17 = remaining 24 r12 rows +
 # r13 leading edge; the r13 cohort must complete by r19, the r14 window
 # by r20, the r15 window by r21.
@@ -70,7 +75,7 @@ DRIVER_ORDER: list[str] = [
     "excess_shipped_suppliers",
     "part_copurchase_pagerank",
     "dsir_importance_weights",
-    # -- 21-45: r12 cohort leading edge (registration order) --------------
+    # -- 21-44: r12 cohort leading edge (registration order) --------------
     "monthly_sales",
     "profit_by_returnflag",
     "count_distinct_customers",
@@ -95,14 +100,14 @@ DRIVER_ORDER: list[str] = [
     "zipf_slope",
     "curriculum_stages",
     "contamination_by_benchmark",
-    "source_token_kl",
-    # -- 46-49: changed-source re-verifies (r16 fixes) ---------------------
+    # -- 45-48: changed-source re-verifies (r16 fixes) ---------------------
     "quality_gate_recalibrate",
     "customer_ltv_deciles",
     "cross_source_dup_matrix",
     "token_budget_plan",
-    # -- 50: round-16 registration -----------------------------------------
+    # -- 49-50: round-16 registrations ---------------------------------------
     "token_budget_plan_mixture",
+    "token_budget_rebalance",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -672,3 +672,113 @@ def token_budget_plan_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- deficit rebalancing (round 16) --------------------------------------------
+# `token_budget_plan*` emit `deficit_tokens` — the share of the budget
+# the 4-epoch cap makes unbuyable from each source — documented as "the
+# mixture re-weighter's input for redistributing it". This is that
+# re-weighter: ONE-ROUND WATER-FILLING. Every capped source's deficit
+# pools into D; every uncapped source's spare capacity (cap − budget)
+# pools into S; each uncapped source receives extra = min(D, S) ·
+# spare/S. Proportional-to-spare allocation cannot overshoot any
+# source's cap (extra_i ≤ spare_i exactly when min(D,S) ≤ S), so one
+# pass suffices — no iteration; what remains when D > S is
+# `residual_deficit`, the budget genuinely unbuyable from THIS corpus at
+# the epoch cap (the signal to shrink TOKEN_BUDGET or add sources).
+# Reconciliation invariant (pinned in tests): Σ tokens_granted +
+# residual_deficit = TOKEN_BUDGET up to 6-dp rounding, since
+# Σ min(budget, cap) = TOKEN_BUDGET − D and min(D,S) redistributes.
+
+
+def _rebalance_sql(plan_rel: str) -> str:
+    """Dialect-shared rebalancer over a `token_budget_plan`-shaped
+    relation (source, n_tokens, budget_tokens, deficit_tokens, ...).
+    All published 6-dp inputs promote to DECIMAL(38,6), so the pooled
+    sums D and S are exact and order-independent; every emitted ratio
+    divides exact operands once in double (IEEE-identical cross-engine)
+    and rounds at 6 dp."""
+    from lakehouse_workshop_spark.operators.llm_text import MAX_DATA_EPOCHS
+
+    return f"""
+    WITH p AS ({plan_rel}),
+    x AS (
+        SELECT source, n_tokens,
+               CAST(budget_tokens AS DECIMAL(38, 6)) AS bud,
+               CAST(deficit_tokens AS DECIMAL(38, 6)) AS def,
+               CAST({MAX_DATA_EPOCHS} AS DECIMAL(38, 6)) * n_tokens AS cap
+        FROM p
+    ),
+    y AS (
+        SELECT x.*,
+               GREATEST(cap - bud, CAST(0 AS DECIMAL(38, 6))) AS spare
+        FROM x
+    ),
+    t AS (
+        SELECT y.*,
+               SUM(def) OVER () AS d_total,
+               SUM(spare) OVER () AS s_total
+        FROM y
+    ),
+    e AS (
+        SELECT t.*,
+               CASE WHEN d_total > 0 AND s_total > 0
+                    THEN CAST(LEAST(d_total, s_total) AS DOUBLE)
+                         * (CAST(spare AS DOUBLE) / CAST(s_total AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS extra_exact
+        FROM t
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bud AS DOUBLE) AS budget_tokens,
+           CAST(def AS DOUBLE) AS deficit_tokens,
+           CAST(spare AS DOUBLE) AS spare_tokens,
+           ROUND(extra_exact, 6) AS extra_tokens,
+           ROUND(CAST(LEAST(bud, cap) AS DOUBLE) + extra_exact, 6)
+               AS tokens_granted,
+           ROUND((CAST(LEAST(bud, cap) AS DOUBLE) + extra_exact)
+                 / n_tokens, 6) AS epochs_final,
+           ROUND(extra_exact, 6) > 0 AS rebalanced,
+           CAST(GREATEST(d_total - s_total, CAST(0 AS DECIMAL(38, 6)))
+                AS DOUBLE) AS residual_deficit
+    FROM e
+    """
+
+
+@query(
+    "token_budget_rebalance",
+    tier=2,
+    oracle=_rebalance_sql(
+        "SELECT source, n_tokens, budget_tokens, deficit_tokens FROM ("
+        + _ORACLES["token_budget_plan_mixture"]
+        + ") tb"
+    ),
+)
+def token_budget_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume `token_budget_plan_mixture`'s deficits into the
+    REDISTRIBUTED allocation — one-round water-filling: capped sources'
+    pooled deficit D flows to uncapped sources proportional to their
+    spare capacity (4·n_tokens − budget), which provably cannot push
+    any receiver past its own cap, so ``epochs_final`` ≤ MAX_DATA_EPOCHS
+    everywhere and no iteration is needed. ``tokens_granted`` is what
+    each source actually contributes after rebalancing;
+    ``residual_deficit`` (global, repeated per row — the
+    `quality_score_psi` convention) is the budget unbuyable from this
+    corpus at the epoch cap even after redistribution. Reconciliation:
+    Σ tokens_granted + residual_deficit = TOKEN_BUDGET (6-dp rounding
+    aside) — pinned in tests/test_llm_mixture.py and by hypothesis over
+    arbitrary plan vectors in tests/test_properties.py.
+
+    Scale: the parent is a |sources|-row rollup; this layer is two
+    exact DECIMAL window sums and per-row arithmetic over it —
+    driver-trivial at any corpus size.
+    """
+    token_budget_plan_mixture(spark, sf_dir).createOrReplaceTempView(
+        "tbr_plan"
+    )
+    return spark.sql(
+        _rebalance_sql(
+            "SELECT source, n_tokens, budget_tokens, deficit_tokens"
+            " FROM tbr_plan"
+        )
+    )

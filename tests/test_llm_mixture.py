@@ -191,3 +191,28 @@ def test_budget_plan_mixture_follows_mixture_target(spark, sf_dir):
         else:
             assert r.deficit_tokens == 0.0, r.source
     assert abs(budget_sum - TOKEN_BUDGET) < 0.1
+
+
+def test_budget_rebalance_reconciles_and_respects_caps(spark, sf_dir):
+    """r16: `token_budget_rebalance` reconciliation — every source's
+    tokens_granted stays within its 4-epoch cap (epochs_final <=
+    MAX_DATA_EPOCHS), extra flows only to uncapped sources, and
+    sum(tokens_granted) + residual_deficit recovers TOKEN_BUDGET up to
+    6-dp rounding."""
+    from lakehouse_workshop_spark.operators.llm_text import (
+        MAX_DATA_EPOCHS,
+        TOKEN_BUDGET,
+    )
+
+    rows = all_queries()["token_budget_rebalance"](spark, sf_dir).collect()
+    assert rows
+    granted = 0.0
+    residual = rows[0].residual_deficit
+    for r in rows:
+        assert r.epochs_final <= MAX_DATA_EPOCHS + 1e-9, r.source
+        assert r.tokens_granted >= -1e-9, r.source
+        if r.rebalanced:
+            assert r.spare_tokens > 0, r.source
+        assert r.residual_deficit == residual  # global, repeated per row
+        granted += r.tokens_granted
+    assert abs(granted + residual - TOKEN_BUDGET) < 0.1

@@ -567,3 +567,83 @@ def test_dup_matrix_spark_div_halving_matches_reference(spark):
     out = spark.sql(D._dup_matrix_sql("({x}) div 2", hs_rel=rel)).collect()
     got = sorted((r[0], r[1], r[2], r[3]) for r in out)
     assert got == _dup_matrix_reference(named)
+
+
+_rebalance_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),  # source index
+        st.integers(min_value=1, max_value=10**9),  # n_tokens
+        st.integers(min_value=0, max_value=10**10),  # budget in micro-tokens
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_rebalance_rows)
+def test_rebalance_sql_waterfills_exactly(rows):
+    """`_rebalance_sql` invariants on arbitrary plan vectors (budgets on
+    the 1e-6 grid; deficits derived the way the planner defines them —
+    max(budget − cap, 0) — so capped and uncapped sources, all-capped
+    corpora, and zero-deficit corpora all arise): no receiver crosses
+    its 4-epoch cap, extra is proportional to spare, the residual is
+    exactly max(D − S, 0), and sum(tokens_granted) + residual recovers
+    sum(min(budget, cap)) + D — the conservation law — against an
+    arbitrary-precision Fraction mirror."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_mixture as M
+    from lakehouse_workshop_spark.operators.llm_text import MAX_DATA_EPOCHS
+
+    plan = []
+    for i, nt, bud_micro in rows:
+        bud = Fraction(bud_micro, 1_000_000)
+        cap = MAX_DATA_EPOCHS * nt
+        deficit = max(bud - cap, Fraction(0))
+        plan.append((f"s{i}", nt, bud, deficit))
+    vals = ", ".join(
+        f"('{s}', {nt}, CAST({float(b)!r} AS DOUBLE), CAST({float(d)!r} AS DOUBLE))"
+        for s, nt, b, d in plan
+    )
+    rel = (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(source, n_tokens, budget_tokens, deficit_tokens)"
+    )
+    con = duckdb.connect()
+    out = con.sql(M._rebalance_sql(rel)).fetchall()
+    assert len(out) == len(plan)
+    by_src = {r[0]: r for r in out}
+
+    # Fraction mirror of the pooled quantities (inputs are exact doubles
+    # on the 1e-6 grid, so Fraction(float) is exact)
+    D = sum(Fraction(float(d)) for _, _, _, d in plan)
+    S = sum(
+        max(Fraction(MAX_DATA_EPOCHS * nt) - Fraction(float(b)), Fraction(0))
+        for _, nt, b, _ in plan
+    )
+    granted_sum = 0.0
+    for s, nt, bud, deficit in plan:
+        (_, n_tokens, budget_tokens, deficit_tokens, spare_tokens,
+         extra_tokens, tokens_granted, epochs_final, rebalanced,
+         residual) = by_src[s]
+        cap = MAX_DATA_EPOCHS * nt
+        spare = max(Fraction(cap) - bud, Fraction(0))
+        assert abs(spare_tokens - float(spare)) < 1e-6
+        if D > 0 and S > 0:
+            want_extra = float(min(D, S)) * (float(spare) / float(S))
+        else:
+            want_extra = 0.0
+        assert abs(extra_tokens - want_extra) < 1e-5
+        assert epochs_final <= MAX_DATA_EPOCHS + 1e-6, s
+        assert abs(tokens_granted - (float(min(bud, Fraction(cap))) + want_extra)) < 1e-5
+        granted_sum += tokens_granted
+        assert abs(residual - float(max(D - S, Fraction(0)))) < 1e-6
+    # conservation: granted + residual = sum(min(budget, cap)) + D
+    base = sum(float(min(b, Fraction(MAX_DATA_EPOCHS * nt))) for _, nt, b, _ in plan)
+    want_total = base + float(min(D, S))
+    assert abs(granted_sum - want_total) < 1e-4 * len(plan) + 1e-6
