@@ -59,7 +59,12 @@ CANARY_ROWS = [
     "conversion_funnel",
     "count_distinct_customers",
     "curriculum_stages",
-    "customer_ltv_deciles",
+    # customer_ltv_deciles left the cohort in r16: its NTILE moved onto
+    # the two-pass global_row_number (a deliberate ~0.5s fixed-cost
+    # trade for flat scaling), so "no code change plausibly moves it
+    # 1.3x" no longer holds — it would read permanently elevated against
+    # its pre-r16 best. 19 rows remain, still well over the 10-row
+    # signal floor; gates unchanged.
     "daily_value_anomalies",
     "dedup_exact",
     "dedup_keep_canonical",
