@@ -50,9 +50,20 @@ TIERS: dict[str, int] = {}
 #      domain_mixture_weights' target vector, verdict ask #4) and
 #      token_budget_rebalance (its consumer: one-round water-filling of
 #      the capped sources' deficit into spare capacity).
-# Forward schedule under P=6 (unchanged): r17 = remaining 24 r12 rows +
+# Forward schedule under P=6 (unchanged): r17 = remaining 25 r12 rows +
 # r13 leading edge; the r13 cohort must complete by r19, the r14 window
 # by r20, the r15 window by r21.
+# Capacity policy (r15 verdict ask #7, decided here rather than by
+# drift): at 208 registered, P=6 holds through 250. BEFORE registering
+# past ~230, the committed plan is to retire the labeled exact-baseline
+# twins from the driver rotation FIRST — each SCALE_PATHS baseline
+# (embedding_near_pairs, cosine_topk, ngram_containment_pairs, ...) is
+# coverage-redundant with its registered production twin, and its
+# correctness is additionally pinned by the twins' recall/containment
+# contracts in pytest — and only bump to P=7 (capacity 350, staleness
+# bound 7 rounds) if registration pressure continues after that. A
+# P bump is a real cost (every row waits up to one round longer
+# between re-verifies), so the cheap retirement lever goes first.
 DRIVER_ORDER: list[str] = [
     # -- 1-20: r11 cohort remainder (registration order) ------------------
     "text_stats",
