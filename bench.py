@@ -149,6 +149,10 @@ HEADLINE = [
     # and its consumer, the one-round water-filling deficit rebalancer
     "token_budget_plan_mixture",
     "token_budget_rebalance",
+    # r17: the budget chain's data terminal (corpus scan + broadcast
+    # allocation join + epoch-capped explode) and its realized-fill audit
+    "token_budget_materialize",
+    "token_budget_fill_report",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",

@@ -17,44 +17,34 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 TIERS: dict[str, int] = {}
 
-# Explicit driver-pass order for round 16. The driver's correctness pass
+# Explicit driver-pass order for round 17. The driver's correctness pass
 # verifies the first 50 registry entries per round, so coverage rotates.
 # The ordering rule (enforced by tests/test_registry.py, rebuilt each
 # round with tools/make_driver_order.py; --check = read-only validate):
-#   1. Positions 1-20: the r11 cohort's remaining 20 rows (registration
-#      order) — exactly the forward schedule the r14/r15 headers
-#      committed to (r11 rows fall formally due at the r17 build; the
-#      schedule front-runs by one round to keep capacity smooth).
-#   2. Positions 21-44: the r12 cohort's leading edge, registration
-#      order — 24 of its 49 rows (the remaining 25 go to r17, inside
-#      the "r12 complete by r18" schedule; source_token_kl yields its
-#      slot to the round's second registration). domain_mixture_weights
-#      is among them — the mixture parent re-verifies in the same
-#      window its budget-planner consumers register (positions 49-50).
-#   3. Positions 45-48: the four changed-source re-verifies of this
-#      round's fixes — quality_gate_recalibrate's merged rank moved
-#      off the unpartitioned ROW_NUMBER onto the two-pass
-#      `global_row_number` (r15 verdict ask #1); customer_ltv_deciles'
-#      NTILE moved onto the same primitive via the exact NTILE rank
-#      equivalence (ask #3's queued twin); cross_source_dup_matrix's
-#      queued DECIMAL(38,0) pair-count promotion is PAID (r15 NOTE in
-#      llm_dedup.py); token_budget_plan gained the exact integer-form
-#      deficit + normalized target vector (r15 ADVICE #1 / verdict
-#      ask #4). All four also re-verify global_row_number's int->long
-#      rank promotion (every consumer of the primitive is one of them,
-#      so the helper edit re-verifies atomically). The ORACLES import
-#      hoists (ADVICE #3) were verified hash-neutral (imports are not
-#      in any function's governed closure).
-#   4. Positions 49-50: the round-16 registrations —
-#      token_budget_plan_mixture (the planner wired to
-#      domain_mixture_weights' target vector, verdict ask #4) and
-#      token_budget_rebalance (its consumer: one-round water-filling of
-#      the capped sources' deficit into spare capacity).
-# Forward schedule under P=6 (unchanged): r17 = remaining 25 r12 rows +
-# r13 leading edge; the r13 cohort must complete by r19, the r14 window
-# by r20, the r15 window by r21.
+#   1. Positions 1-25: the r12 cohort's remaining 25 rows (registration
+#      order) — completing the r12 cohort one round early, exactly as
+#      the r16 header's forward schedule promised ("r12 complete by
+#      r18"; the leading 24 re-verified in r16).
+#   2. Positions 26-48: the r13 cohort's leading edge, registration
+#      order — 23 of its 43 rows (the remaining 20 go to r18, inside
+#      the "r13 complete by r19" schedule; two slots yield to this
+#      round's registrations).
+#   3. Positions 49-50: the round-17 registrations —
+#      token_budget_materialize (the budget chain's DATA terminal:
+#      the (doc_id, epoch) training-set manifest under the rebalanced
+#      allocation, deterministic hash-Bernoulli fractional epochs —
+#      r16 verdict ask #5) and token_budget_fill_report (realized
+#      shipped-vs-granted rollup: the sampler's measured fill error).
+#      No changed-source re-verifies this round: the r17 fixes (dup
+#      block deletion in llm_mixture, the registry duplicate-name
+#      guard, governance green-row vouching) are all outside every
+#      registered function's governed closure — verified by
+#      make_driver_order --check showing changed: 0.
+# Forward schedule under P=6 (unchanged): r18 = remaining 20 r13 rows +
+# r14 leading edge; the r14 window must complete by r20, the r15 window
+# by r21, the r16 window by r22.
 # Capacity policy (r15 verdict ask #7, decided here rather than by
-# drift): at 208 registered, P=6 holds through 250. BEFORE registering
+# drift): at 210 registered, P=6 holds through 250. BEFORE registering
 # past ~230, the committed plan is to retire the labeled exact-baseline
 # twins from the driver rotation FIRST — each SCALE_PATHS baseline
 # (embedding_near_pairs, cosine_topk, ngram_containment_pairs, ...) is
@@ -65,60 +55,59 @@ TIERS: dict[str, int] = {}
 # P bump is a real cost (every row waits up to one round longer
 # between re-verifies), so the cheap retirement lever goes first.
 DRIVER_ORDER: list[str] = [
-    # -- 1-20: r11 cohort remainder (registration order) ------------------
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "streaming_bloom_dedup",
-    "cosine_topk",
-    "embedding_quantize_int8",
-    "exact_topk",
-    "ivf_pq_topk",
-    "ivf_pq_topk_kmeans",
-    "image_decode_stats",
-    "png_decode_stats",
-    "audio_decode_stats",
-    "image_resize_stats",
-    "jpeg_decode_stats",
-    "pricing_summary",
-    "product_type_profit",
-    "supplier_part_variety",
-    "excess_shipped_suppliers",
-    "part_copurchase_pagerank",
-    "dsir_importance_weights",
-    # -- 21-44: r12 cohort leading edge (registration order) --------------
-    "monthly_sales",
-    "profit_by_returnflag",
-    "count_distinct_customers",
-    "count_distinct_customers_approx",
-    "customers_by_status",
-    "rfm_summary_grouped",
-    "distinct_parts",
-    "orders_in_1995",
-    "customer_recast",
-    "customers_ranked_by_spend",
-    "top_customer_per_nation",
-    "latest_order_asof_event",
-    "clv_rfm_input",
-    "cross_source_near_dup_matrix",
-    "ngram_containment_pairs",
-    "ngram_containment_capped",
-    "packing_efficiency",
-    "materialize_training_set_incremental",
-    "domain_mixture_weights",
-    "lang_source_mix",
-    "token_entropy",
-    "zipf_slope",
-    "curriculum_stages",
-    "contamination_by_benchmark",
-    # -- 45-48: changed-source re-verifies (r16 fixes) ---------------------
-    "quality_gate_recalibrate",
-    "customer_ltv_deciles",
-    "cross_source_dup_matrix",
-    "token_budget_plan",
-    # -- 49-50: round-16 registrations ---------------------------------------
-    "token_budget_plan_mixture",
-    "token_budget_rebalance",
+    # -- 1-25: r12 cohort remainder (registration order) -------------------
+    "source_token_kl",
+    "dedup_cluster_sizes",
+    "source_quality_gate",
+    "salted_join_event_nations",
+    "hll_distinct_rollup",
+    "streaming_cms_heavy_hitters",
+    "embedding_near_pairs",
+    "lsh_buckets",
+    "embedding_near_pairs_lsh",
+    "embedding_pca_spectrum",
+    "streaming_lsh_ingest",
+    "multimodal_features",
+    "frame_samples",
+    "image_phash_dedup",
+    "video_decode_stats",
+    "video_frame_sample",
+    "gapfill_daily_revenue",
+    "gapfill_locf_revenue",
+    "waiting_orders_blame",
+    "linestatus_priority_mix",
+    "copurchase_triangles",
+    "user_path_trigrams",
+    "hourly_seasonality",
+    "daily_value_anomalies",
+    "range_join_error_purchases",
+    # -- 26-48: r13 cohort leading edge (registration order) ---------------
+    "sales_cube",
+    "order_percentiles",
+    "customer_spend_quartiles",
+    "conversion_funnel",
+    "cohort_retention",
+    "click_attribution",
+    "merge_upsert_orders",
+    "clv_temporal_holdout",
+    "streaming_windowed_counts",
+    "streaming_windowed_counts_watermarked",
+    "streaming_enriched_counts",
+    "streaming_dedup",
+    "streaming_click_to_purchase",
+    "streaming_sessionize_flushed",
+    "session_window_batch",
+    "near_dup_clusters",
+    "decontaminate",
+    "chunk_dedup",
+    "stratified_sample",
+    "shard_assignments",
+    "corpus_clean",
+    "dedup_incremental",
+    "pseudonymize_users",
+    # -- 49-50: round-17 registrations --------------------------------------
+    "token_budget_materialize",
+    "token_budget_fill_report",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as
@@ -148,6 +137,18 @@ def query(
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        # Duplicate-name guard (r16 verdict ask #1): QUERIES[name] = fn
+        # used to silently overwrite, which is how a 66-line pasted
+        # duplicate of token_budget_plan_mixture registered twice with
+        # no error in r16 — and in the bad case a future collision
+        # would silently shadow a DIFFERENT operator while its oracle
+        # and tests kept passing against the survivor.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered; rename the new operator or delete the "
+                "stale definition"
+            )
         QUERIES[name] = fn
         TIERS[name] = tier
         if oracle is not None:

@@ -216,3 +216,76 @@ def test_budget_rebalance_reconciles_and_respects_caps(spark, sf_dir):
         assert r.residual_deficit == residual  # global, repeated per row
         granted += r.tokens_granted
     assert abs(granted + residual - TOKEN_BUDGET) < 0.1
+
+
+def test_budget_materialize_copies_match_allocation(spark, sf_dir):
+    """r17 (r16 verdict ask #5): `token_budget_materialize` is the
+    budget chain's data terminal. Per doc, copies = floor(epochs_final)
+    + the deterministic hash-Bernoulli extra — recomputed here with
+    hashlib against the SAME md5-16-bit construction — epochs are
+    contiguous 1..n_copies, nothing exceeds the epoch cap, and for any
+    source granted >= 1 epoch the distinct-doc token mass equals the
+    allocation's exact n_tokens supply."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from lakehouse_workshop_spark.operators.llm_text import MAX_DATA_EPOCHS
+
+    q = all_queries()
+    alloc = {
+        r.source: r for r in q["token_budget_rebalance"](spark, sf_dir).collect()
+    }
+    rows = q["token_budget_materialize"](spark, sf_dir).collect()
+    assert rows
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[(r.source, r.doc_id, r.n_tokens)].append(r.epoch)
+    for (source, doc_id, _), epochs in per_doc.items():
+        e = alloc[source].epochs_final
+        frac = e - math.floor(e)
+        pct = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+            / 65536.0
+        )
+        want = int(math.floor(e)) + (1 if pct < frac else 0)
+        assert sorted(epochs) == list(range(1, want + 1)), (source, doc_id)
+        assert want <= MAX_DATA_EPOCHS
+
+    shipped_docs = defaultdict(int)
+    for (source, doc_id, n_tokens), _ in per_doc.items():
+        shipped_docs[source] += n_tokens
+    for source, a in alloc.items():
+        if a.epochs_final >= 1:  # every doc ships >= 1 copy
+            assert shipped_docs[source] == a.n_tokens, source
+
+
+def test_budget_fill_report_reconciles_with_manifest(spark, sf_dir):
+    """r17: `token_budget_fill_report` is an exact rollup of the
+    manifest against the allocation — shipped counts/token mass match a
+    Python re-aggregation row-for-row, every allocation source appears
+    (even zero-shipped), and fill_ratio is the 6-dp shipped/granted."""
+    from collections import defaultdict
+
+    q = all_queries()
+    manifest = q["token_budget_materialize"](spark, sf_dir).collect()
+    alloc = {
+        r.source: r for r in q["token_budget_rebalance"](spark, sf_dir).collect()
+    }
+    rows = {r.source: r for r in q["token_budget_fill_report"](spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(alloc)
+
+    agg = defaultdict(lambda: [0, set(), 0])
+    for m in manifest:
+        a = agg[m.source]
+        a[0] += 1
+        a[1].add(m.doc_id)
+        a[2] += m.n_tokens
+    for source, r in rows.items():
+        n_rows, docs, toks = agg.get(source, [0, set(), 0])
+        assert r.rows_shipped == n_rows, source
+        assert r.docs_shipped == len(docs), source
+        assert r.tokens_shipped == toks, source
+        if r.tokens_granted > 0:
+            assert abs(r.fill_ratio - toks / r.tokens_granted) < 1e-6, source

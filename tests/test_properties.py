@@ -647,3 +647,118 @@ def test_rebalance_sql_waterfills_exactly(rows):
     base = sum(float(min(b, Fraction(MAX_DATA_EPOCHS * nt))) for _, nt, b, _ in plan)
     want_total = base + float(min(D, S))
     assert abs(granted_sum - want_total) < 1e-4 * len(plan) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Budgeted materialization: copies construction (round 17)
+# ---------------------------------------------------------------------------
+
+def _budget_copies_reference(alloc, docs):
+    """Arbitrary-precision mirror of `_budget_copies_ctes` + epoch
+    explode: copies = floor(e) + (md5-16-bit fraction < frac(e))."""
+    import hashlib
+    import math
+
+    out = []
+    for doc_id, source, n_tokens in docs:
+        if source not in alloc:
+            continue
+        e = alloc[source]
+        pct = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+            / 65536.0
+        )
+        n = int(math.floor(e)) + (1 if pct < e - math.floor(e) else 0)
+        out.extend((doc_id, source, k, n_tokens) for k in range(1, n + 1))
+    return sorted(out)
+
+
+def _budget_inject(alloc_rows, doc_rows, dialect):
+    """The production CTE prefix + tail over injected VALUES relations
+    (the dup-matrix injection pattern). Texts are k space-separated
+    'a's, so the _TOK_REGEX count is exactly k in both dialects."""
+    from lakehouse_workshop_spark.operators import llm_mixture as M
+    from lakehouse_workshop_spark.operators.llm_text import _TOK_REGEX
+
+    alloc_rel = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{s}', CAST({e!r} AS DOUBLE))" for s, e in alloc_rows
+    ) + ") AS a(source, epochs_final)"
+    docs_rel = "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({d} AS BIGINT), '{s}', '{'a ' * (k - 1) + 'a'}')"
+        for d, s, k in doc_rows
+    ) + ") AS dv(doc_id, source, text)"
+    if dialect == "duck":
+        tok, pct, tail = (
+            M._DUCK_TOK.format(rx=_TOK_REGEX),
+            M._DUCK_PCT16,
+            M._MATERIALIZE_TAIL_DUCK,
+        )
+    else:
+        tok, pct, tail = (
+            M._SPARK_TOK.format(rx=_TOK_REGEX),
+            M._SPARK_PCT16,
+            M._MATERIALIZE_TAIL_SPARK,
+        )
+    prefix = M._budget_copies_ctes(alloc_rel, tok, pct).replace(
+        "FROM documents", f"FROM ({docs_rel}) docs_t"
+    )
+    return prefix + tail
+
+
+_budget_alloc = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # source index
+        st.integers(min_value=0, max_value=4_000_000),  # epochs, 1e-6 grid
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+_budget_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # doc_id
+        st.integers(min_value=0, max_value=5),  # source index
+        st.integers(min_value=1, max_value=9),  # token count
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_budget_alloc, _budget_docs)
+def test_budget_copies_sql_matches_reference(alloc_rows, doc_rows):
+    """`token_budget_materialize`'s copies construction (DuckDB dialect,
+    exact production fragments) reproduces the arbitrary-precision
+    Python mirror for ANY 6-dp epochs in [0, 4] — covering floor
+    0/1/2/3/4, frac 0, and the cap boundary the sf fixtures' ~1.0-1.3
+    epochs never reach. Docs whose source has no allocation drop; e = 0
+    ships nothing."""
+    import duckdb
+
+    alloc = [(f"s{i}", e / 1e6) for i, e in alloc_rows]
+    docs = [(d, f"s{i}", k) for d, i, k in doc_rows]
+    con = duckdb.connect()
+    got = con.sql(_budget_inject(alloc, docs, "duck")).fetchall()
+    want = _budget_copies_reference(dict(alloc), docs)
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_budget_copies_spark_matches_reference(spark):
+    """The Spark dialect of the same construction (conv/md5 pct16,
+    sequence-explode) reproduces the Python mirror on a fixture that
+    hits every branch: floor 0 (sample), exact integers 1 and 4 (frac
+    0 — no Bernoulli row), fractional 2.5, the 4.0 cap, e = 0 (ships
+    nothing), and an unallocated source (drops)."""
+    alloc = [
+        ("s0", 0.0),
+        ("s1", 0.731234),
+        ("s2", 1.0),
+        ("s3", 2.5),
+        ("s4", 4.0),
+    ]
+    docs = [(d, f"s{d % 6}", (d % 9) + 1) for d in range(60)]
+    got = spark.sql(_budget_inject(alloc, docs, "spark")).collect()
+    want = _budget_copies_reference(dict(alloc), docs)
+    assert sorted(tuple(r) for r in got) == want

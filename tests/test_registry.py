@@ -12,17 +12,20 @@ from __future__ import annotations
 
 import json
 import os
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
 
 from lakehouse_workshop_spark import operators as ops
 
 DRIVER_WINDOW = 50
-MANIFEST_PATH = "/root/repo/tools/driver_manifest.json"
+MANIFEST_PATH = str(REPO / "tools" / "driver_manifest.json")
 
 
 def _correctness_files() -> list[str]:
     from glob import glob
 
-    return sorted(glob("/root/repo/CORRECTNESS_r*.json"))
+    return sorted(glob(str(REPO / "CORRECTNESS_r*.json")))
 
 
 def _manifest() -> dict:
@@ -103,7 +106,7 @@ def test_stale_queries_lead_the_window():
 
     latest: dict[str, int] = {}
     max_round = 0
-    for path in sorted(glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         max_round = max(max_round, rnd)
         for name in json.load(open(path)):
@@ -171,7 +174,7 @@ def test_manifest_rebuilt_after_artifact():
             ["git", "log", "-1", "--format=%ct", "--", *paths],
             capture_output=True,
             text=True,
-            cwd="/root/repo",
+            cwd=str(REPO),
         ).stdout.strip()
         return int(out) if out else 0
 
@@ -203,7 +206,7 @@ def test_changed_source_is_in_window():
     hash drift — r10 verdict "What's wrong #1".)"""
     from lakehouse_workshop_spark.srchash import governed_source_hash
 
-    manifest_path = "/root/repo/tools/driver_manifest.json"
+    manifest_path = str(REPO / "tools" / "driver_manifest.json")
     if not os.path.exists(manifest_path):
         return
     manifest = json.load(open(manifest_path))
@@ -357,7 +360,7 @@ def test_vouched_hash_promotes_on_landed_artifact():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "make_driver_order", "/root/repo/tools/make_driver_order.py"
+        "make_driver_order", str(REPO / "tools" / "make_driver_order.py")
     )
     mdo = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mdo)
@@ -373,3 +376,70 @@ def test_vouched_hash_promotes_on_landed_artifact():
     # legacy entry without verified_hash: staged for 12 but latest row
     # is 11 -> falls through to the recorded hash (a real row exists)
     assert mdo.vouched({"hash": "h", "window_round": 12}, 11) == "h"
+
+
+def test_query_decorator_rejects_duplicate_name():
+    """r16 verdict ask #1: ``query()`` must raise on a duplicate name.
+    The old silent ``QUERIES[name] = fn`` overwrite is how a 66-line
+    pasted duplicate of token_budget_plan_mixture registered twice with
+    no error in r16 — and in the bad case a collision would silently
+    shadow a DIFFERENT operator while its oracle and tests kept passing
+    against the survivor."""
+    import pytest
+
+    name = "monthly_sales"  # any already-registered name
+    ops.all_queries()
+    assert name in ops.QUERIES
+    before = ops.QUERIES[name]
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @ops.query(name)
+        def shadow(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError("unreachable")
+
+    assert ops.QUERIES[name] is before  # survivor untouched
+
+
+def test_registry_has_no_duplicate_decorations():
+    """Every @query decoration engine-wide registers a unique name: with
+    the duplicate guard in place, a successful import of the full
+    operator package IS the proof (a pasted duplicate block now fails at
+    import time instead of silently overwriting). This test pins that
+    the import still succeeds and the registry is exactly its names."""
+    queries = ops.all_queries()
+    assert len(queries) == len(set(queries))  # dict invariant, explicit
+
+
+def test_correctness_row_vouches_only_when_green():
+    """r16 ADVICE #2: a CORRECTNESS row vouches a staged hash as
+    verified only when the driver actually verified it — rows carry
+    rows_match/schema_match/hash_match/err and can record failures, and
+    a failed run must not promote a drifted hash for governance."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_driver_order", str(REPO / "tools" / "make_driver_order.py")
+    )
+    mdo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mdo)
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    assert mdo.row_is_green(green)
+    # each observed failure/weak shape must NOT vouch
+    assert not mdo.row_is_green({**green, "hash_match": False})
+    assert not mdo.row_is_green({**green, "rows_match": False})
+    assert not mdo.row_is_green({**green, "schema_match": False})
+    assert not mdo.row_is_green(
+        {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "err": "no_oracle",
+        }
+    )
+    assert not mdo.row_is_green({**green, "err": "boom"})

@@ -70,14 +70,31 @@ def vouched(p: dict, latest_n: int) -> str | None:
     return p.get("hash") if latest_n > 0 else None
 
 
+def row_is_green(row: dict) -> bool:
+    """A CORRECTNESS row vouches only when the driver actually verified
+    it: rows_match/schema_match/hash_match all True and err None (r16
+    ADVICE #2 — rows can record failures, and a failed run must not
+    vouch a drifted hash as verified). Weaker rows-only checks (err ==
+    'no_oracle', r01 era) intentionally do NOT vouch under this rule;
+    every currently-registered query has an oracle, so nothing is
+    penalized today — revisit if a genuinely non-SQL op registers."""
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+        and row.get("err") is None
+    )
+
+
 def latest_rows() -> tuple[dict[str, int], int]:
     latest: dict[str, int] = {}
     max_round = 0
     for path in sorted(glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(Path(path).stem.split("_r")[1])
         max_round = max(max_round, rnd)
-        for name in json.load(open(path)):
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, row in json.load(open(path)).items():
+            if row_is_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
     return latest, max_round
 
 
