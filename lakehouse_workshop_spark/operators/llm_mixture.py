@@ -896,14 +896,23 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the manifest rollup is one hash aggregate on source over the
     scan-speed manifest; the join side is |sources| rows — broadcast.
     COUNT(DISTINCT doc_id) partial-aggregates per source (bounded key
-    cardinality), no window, no collect.
+    cardinality), no window, no collect. The allocation is read TWICE
+    (the manifest arm's join side and the report's LEFT JOIN), so it
+    computes ONCE via the `quality_gate_recalibrate` localCheckpoint
+    idiom — without it the plan would recompute the whole
+    fertility+mixture rollup chain per reference, two extra corpus
+    scans at 100 TB.
     """
-    token_budget_materialize(spark, sf_dir).createOrReplaceTempView(
-        "tbfr_manifest"
+    alloc = token_budget_rebalance(spark, sf_dir).localCheckpoint(
+        eager=True
     )
-    token_budget_rebalance(spark, sf_dir).createOrReplaceTempView(
-        "tbfr_alloc"
-    )
+    alloc.createOrReplaceTempView("tbfr_alloc")
+    _docs_view(spark, sf_dir)
+    spark.sql(
+        _materialize_budget_spark_sql(
+            "SELECT source, epochs_final FROM tbfr_alloc"
+        )
+    ).createOrReplaceTempView("tbfr_manifest")
     return spark.sql(
         _fill_report_sql(
             "SELECT * FROM tbfr_manifest", "SELECT * FROM tbfr_alloc"
