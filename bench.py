@@ -439,6 +439,15 @@ PROBE_QUERIES = [
     # win; the crossover analysis lives with the operator (the brute
     # twin stays un-probed by the cosine-family rationale above)
     "hybrid_rank_fusion_ivf",
+    # r17: the budget chain's last mile — one row prices the whole
+    # fertility->plan->rebalance->materialize->shard composition; its
+    # only corpus-grain addition is the manifest cumsum (two-pass
+    # range-partitioned on a uniform md5 key), which must stay
+    # near-linear. quality_gate_apply is deliberately NOT probed: its
+    # scan cost IS quality_classifier_score's probed row (the
+    # quality_score_psi rationale) and the gate itself is a codegen
+    # filter over the decision parent's checkpoint.
+    "training_shard_manifest",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
     # 10x map tasks by construction; a ~27s/rep probe row would buy no

@@ -25,22 +25,31 @@ TIERS: dict[str, int] = {}
 #      order) — completing the r12 cohort one round early, exactly as
 #      the r16 header's forward schedule promised ("r12 complete by
 #      r18"; the leading 24 re-verified in r16).
-#   2. Positions 26-48: the r13 cohort's leading edge, registration
-#      order — 23 of its 43 rows (the remaining 20 go to r18, inside
-#      the "r13 complete by r19" schedule; two slots yield to this
+#   2. Positions 26-46: the r13 cohort's leading edge, registration
+#      order — 21 of its 43 rows (the remaining 22 go to r18, inside
+#      the "r13 complete by r19" schedule; four slots yield to this
 #      round's registrations).
-#   3. Positions 49-50: the round-17 registrations —
+#   3. Positions 47-50: the round-17 registrations —
 #      token_budget_materialize (the budget chain's DATA terminal:
 #      the (doc_id, epoch) training-set manifest under the rebalanced
 #      allocation, deterministic hash-Bernoulli fractional epochs —
-#      r16 verdict ask #5) and token_budget_fill_report (realized
-#      shipped-vs-granted rollup: the sampler's measured fill error).
-#      No changed-source re-verifies this round: the r17 fixes (dup
-#      block deletion in llm_mixture, the registry duplicate-name
-#      guard, governance green-row vouching) are all outside every
-#      registered function's governed closure — verified by
-#      make_driver_order --check showing changed: 0.
-# Forward schedule under P=6 (unchanged): r18 = remaining 20 r13 rows +
+#      r16 verdict ask #5), token_budget_fill_report (realized
+#      shipped-vs-granted rollup: the sampler's measured fill error),
+#      training_shard_manifest (the chain's LAST MILE: the manifest
+#      cut into token-balanced shards in deterministic md5-shuffled
+#      order — what the shard writer writes), and quality_gate_apply
+#      (the quality family's data terminal: `threshold_used` actually
+#      gating the batch — monitor -> decide -> DATA, the same closure
+#      the budget family got).
+#      No changed-source re-verifies beyond the registrations
+#      themselves: the r17 fixes (dup block deletion in llm_mixture,
+#      the registry duplicate-name guard, governance green-row
+#      vouching) are all outside every previously-verified function's
+#      governed closure — make_driver_order --check's changed list
+#      contains exactly the four in-window registrations (the budget
+#      terminals' module gained the shard-manifest code, moving their
+#      closure hashes; both re-verify this round anyway).
+# Forward schedule under P=6 (unchanged): r18 = remaining 22 r13 rows +
 # r14 leading edge; the r14 window must complete by r20, the r15 window
 # by r21, the r16 window by r22.
 # Capacity policy (r15 verdict ask #7, decided here rather than by
@@ -103,11 +112,11 @@ DRIVER_ORDER: list[str] = [
     "stratified_sample",
     "shard_assignments",
     "corpus_clean",
-    "dedup_incremental",
-    "pseudonymize_users",
-    # -- 49-50: round-17 registrations --------------------------------------
+    # -- 47-50: round-17 registrations --------------------------------------
     "token_budget_materialize",
     "token_budget_fill_report",
+    "training_shard_manifest",
+    "quality_gate_apply",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -918,3 +918,112 @@ def token_budget_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT * FROM tbfr_manifest", "SELECT * FROM tbfr_alloc"
         )
     )
+
+
+# --- training shard manifest (round 17) ------------------------------------------
+# The last mile after `token_budget_materialize`: the (doc_id, epoch)
+# manifest cut into token-balanced training shards in a deterministic
+# epoch-shuffled order — what the shard writer actually writes. Shuffle
+# key = md5(doc_id:epoch), so copies of the same document land in
+# different, pseudorandom corpus positions (the "shuffle the epochs
+# together" property pretraining wants) and the order is stable under
+# re-partitioning, retries, and engine swaps — rand() is not. Shards are
+# CONTIGUOUS spans of the shuffled token stream of ~TRAIN_SHARD_TOKENS
+# each (`sequence_packing`'s concat-then-chunk idiom lifted to shard
+# grain): shard_id = (tokens before this row) div TRAIN_SHARD_TOKENS —
+# exact integer arithmetic over the global token cumsum, so both engines
+# cut at identical boundaries. Token-balanced by construction (each
+# shard overshoots by at most one document), unlike the count-balanced
+# hash-mod `shard_assignments`, and the writer's within-shard order is
+# simply (shuffle_key, doc_id, epoch) — a local sort per write task.
+
+TRAIN_SHARD_TOKENS = 4096
+"""Tokens per training shard. A deploy knob: production sets this to the
+~10^8-token shard file its trainer streams; the test value keeps a
+multi-shard manifest observable even at sf0.001 (~30k corpus tokens →
+~8 shards, so the boundary arithmetic is exercised at every SF). Shard
+count then scales WITH the data (shards ≈ total_tokens /
+TRAIN_SHARD_TOKENS), so per-shard work is bounded by a constant at any
+corpus size."""
+
+_SHUFFLE_KEY_DUCK = (
+    "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))"
+)
+_SHUFFLE_KEY_SPARK = (
+    "md5(CAST(doc_id AS STRING) || ':' || CAST(epoch AS STRING))"
+)
+
+
+def _shard_manifest_tail_sql(cum_rel: str, idiv: str) -> str:
+    """Dialect-shared tail over a cumsum'd manifest: ``cum`` is the
+    INCLUSIVE running token sum in (shuffle_key, doc_id, epoch) order,
+    so ``cum - n_tokens`` is this row's starting offset in the shuffled
+    token stream and the shard is that offset's TRAIN_SHARD_TOKENS
+    bucket (a document longer than the shard size just overruns its
+    shard — the standard writer behavior; the NEXT shard starts where
+    the next row's offset lands). ``idiv`` is the engine's integer
+    division ('div' Spark, '//' DuckDB — the `_packing_efficiency_sql`
+    convention); everything is BIGINT-exact, no doubles anywhere."""
+    return f"""
+    SELECT doc_id, source, epoch, n_tokens, shuffle_key,
+           CAST((cum - n_tokens) {idiv} {TRAIN_SHARD_TOKENS} AS BIGINT)
+               AS shard_id
+    FROM ({cum_rel}) c
+    """
+
+
+def _shard_manifest_oracle() -> str:
+    return (
+        f"""
+    WITH m AS ({_materialize_budget_oracle()}),
+    k AS (SELECT m.*, {_SHUFFLE_KEY_DUCK} AS shuffle_key FROM m),
+    cum_rel AS (
+        SELECT k.*,
+               SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id, epoch
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM k
+    )
+    """
+        + _shard_manifest_tail_sql("SELECT * FROM cum_rel", "//")
+    )
+
+
+@query(
+    "training_shard_manifest",
+    tier=2,
+    oracle=_shard_manifest_oracle(),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut `token_budget_materialize`'s manifest into token-balanced
+    training shards in deterministic hash-shuffled order: one row per
+    shipped (doc_id, epoch) with its md5 ``shuffle_key`` (the writer's
+    within-shard sort key) and its ``shard_id`` — contiguous
+    ~TRAIN_SHARD_TOKENS-token spans of the shuffled stream. The budget
+    chain now ends in the sharded training set itself: plan ->
+    rebalance -> materialize -> THIS.
+
+    Scale: the only global object is the running token count, computed
+    with the two-pass range-partitioned
+    ``functions.exprs.global_cumsum`` (the `sequence_packing`
+    construction — range partitioning on the md5 key is uniform by
+    construction, so the cumsum shuffle is balanced and no stage holds
+    the manifest in one partition; the DuckDB oracle keeps the plain
+    window, fine single-node). Before it: the materialize parent's one
+    scan + broadcast allocation join + bounded explode. After it:
+    per-row integer arithmetic. The eager checkpoint inside
+    ``global_cumsum`` also materializes the manifest once, so the
+    offsets pass does not recompute the parent chain.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+
+    m = token_budget_materialize(spark, sf_dir)
+    k = m.withColumn("shuffle_key", F.expr(_SHUFFLE_KEY_SPARK))
+    c = global_cumsum(
+        k, "n_tokens", "shuffle_key", "doc_id", "epoch", name="cum"
+    )
+    c.createOrReplaceTempView("tsm_cum")
+    return spark.sql(
+        _shard_manifest_tail_sql("SELECT * FROM tsm_cum", "div")
+    )

@@ -1291,3 +1291,73 @@ def quality_gate_recalibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked_rel="SELECT prob, rnk FROM qgate_ranked",
         )
     )
+
+
+# --- quality-gate application (round 17) --------------------------------------
+# The quality family's DATA terminal, mirroring the budget family's
+# `token_budget_materialize` (r16 verdict ask #5's pattern): the chain
+# monitor (`quality_score_psi`) -> decision (`quality_gate_recalibrate`)
+# now ends in the gated batch itself — the admitted documents, not a
+# report about a threshold. Downstream this IS tonight's ingest: the
+# rows that join the standing corpus.
+
+
+def _qgate_apply_sql(scores_rel: str, decision_rel: str) -> str:
+    """Dialect-shared gate application: the batch rows (``_QS_BATCH``)
+    whose 6-dp classifier prob clears the decision's ``threshold_used``
+    (``>=`` — the same inclusive semantics `_qgate_recal_sql` documents
+    for the threshold it emits, so the admitted count realizes exactly
+    the keep-rate the recalibration preserved). Both sides of the
+    comparison are 6-dp-identical doubles cross-engine (the classifier's
+    rounded sigmoid; the threshold is one of those probs, the standing
+    0.5 constant, or the keep-nothing 1.0), so admission is
+    bit-identical. ``threshold_used`` repeats per row — the
+    `quality_score_psi` decision-input convention."""
+    return f"""
+    WITH s AS ({scores_rel}),
+    dec AS (SELECT threshold_used FROM ({decision_rel}) d0)
+    SELECT s.doc_id, s.prob, dec.threshold_used
+    FROM s CROSS JOIN dec
+    WHERE ({_QS_BATCH}) AND s.prob >= dec.threshold_used
+    """
+
+
+@query(
+    "quality_gate_apply",
+    tier=2,
+    oracle=_qgate_apply_sql(
+        "SELECT doc_id, prob FROM ("
+        + _ORACLES["quality_classifier_score"]
+        + ") qs",
+        # the parent's REGISTERED oracle (the `quality_gate_recalibrate`
+        # consumer idiom): if the decision's registration changes, the
+        # gate this terminal applies moves with it
+        _ORACLES["quality_gate_recalibrate"],
+    ),
+)
+def quality_gate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply `quality_gate_recalibrate`'s ``threshold_used`` to tonight's
+    batch (``doc_id % 10 = 9``): one row per ADMITTED document — the
+    quality family's data terminal. When the score distribution drifted
+    (``shifted``), the gate cuts at the recalibrated merged-quantile
+    threshold; when it didn't, at the standing ``QGATE_THRESHOLD``; a
+    keep-nothing corpus admits only saturated prob-1.0 docs (the
+    decision's documented contract, inherited unchanged).
+
+    Scale: calling the decision operator materializes the classifier
+    scores ONCE (its eager ``localCheckpoint`` behind the
+    ``qgate_scores`` view) — the decision arm and this gating arm both
+    read the checkpoint, so the corpus is scanned and scored a single
+    time; the decision side is one row (broadcast nested-loop, the
+    established scalar-CTE shape) and the gate itself is a codegen'd
+    filter. No new shuffle beyond the parent's.
+    """
+    quality_gate_recalibrate(spark, sf_dir).createOrReplaceTempView(
+        "qga_decision"
+    )
+    return spark.sql(
+        _qgate_apply_sql(
+            "SELECT doc_id, prob FROM qgate_scores",
+            "SELECT threshold_used FROM qga_decision",
+        )
+    )

@@ -289,3 +289,58 @@ def test_budget_fill_report_reconciles_with_manifest(spark, sf_dir):
         assert r.tokens_shipped == toks, source
         if r.tokens_granted > 0:
             assert abs(r.fill_ratio - toks / r.tokens_granted) < 1e-6, source
+
+
+def test_training_shard_manifest_matches_python_mirror(spark, sf_dir):
+    """r17: `training_shard_manifest` is the budget chain's last mile.
+    Re-derive the whole construction in Python from the materialize
+    manifest — md5 shuffle key, (shuffle_key, doc_id, epoch) total
+    order, inclusive token cumsum, shard = start-offset div
+    TRAIN_SHARD_TOKENS — and require row-for-row equality, plus the
+    balance property the design exists for: every non-final shard's
+    token total lands within one max-document of TRAIN_SHARD_TOKENS."""
+    import hashlib
+    from collections import defaultdict
+
+    from lakehouse_workshop_spark.operators.llm_mixture import (
+        TRAIN_SHARD_TOKENS,
+    )
+
+    q = all_queries()
+    manifest = q["token_budget_materialize"](spark, sf_dir).collect()
+    rows = q["training_shard_manifest"](spark, sf_dir).collect()
+    assert len(rows) == len(manifest) > 0
+
+    mirror = []
+    for m in manifest:
+        skey = hashlib.md5(f"{m.doc_id}:{m.epoch}".encode()).hexdigest()
+        mirror.append((skey, m.doc_id, m.epoch, m.source, m.n_tokens))
+    mirror.sort()
+    cum = 0
+    want = {}
+    for skey, doc_id, epoch, source, n_tokens in mirror:
+        want[(doc_id, epoch)] = (
+            skey,
+            source,
+            n_tokens,
+            cum // TRAIN_SHARD_TOKENS,
+        )
+        cum += n_tokens
+
+    assert len(rows) == len(want)
+    shard_tokens = defaultdict(int)
+    for r in rows:
+        skey, source, n_tokens, shard = want[(r.doc_id, r.epoch)]
+        assert r.shuffle_key == skey, (r.doc_id, r.epoch)
+        assert r.source == source and r.n_tokens == n_tokens
+        assert r.shard_id == shard, (r.doc_id, r.epoch)
+        shard_tokens[r.shard_id] += r.n_tokens
+
+    assert sorted(shard_tokens) == list(range(len(shard_tokens)))
+    max_doc = max(n for *_, n in mirror)
+    for shard in range(len(shard_tokens) - 1):
+        assert (
+            TRAIN_SHARD_TOKENS - max_doc
+            < shard_tokens[shard]
+            < TRAIN_SHARD_TOKENS + max_doc
+        ), shard

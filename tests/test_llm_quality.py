@@ -280,3 +280,29 @@ def test_quality_gate_recalibrate_edge_fixtures_cross_engine(spark):
             assert row.threshold_recal == 0.7
         if name == "stable_uses_standing":
             assert row.threshold_used == Q.QGATE_THRESHOLD
+
+
+def test_quality_gate_apply_realizes_decision(spark, sf_dir):
+    """r17: `quality_gate_apply` is the quality family's data terminal —
+    the admitted set must be EXACTLY the batch docs whose classifier
+    prob clears the decision row's threshold_used (recomputed here from
+    the registered parents), with the threshold echoed per row."""
+    from lakehouse_workshop_spark.operators import all_queries
+
+    q = all_queries()
+    decision = q["quality_gate_recalibrate"](spark, sf_dir).collect()
+    assert len(decision) == 1
+    thr = decision[0].threshold_used
+    scores = q["quality_classifier_score"](spark, sf_dir).collect()
+    expected = {
+        r.doc_id: r.prob
+        for r in scores
+        if r.doc_id % 10 == 9 and r.prob >= thr
+    }
+
+    rows = q["quality_gate_apply"](spark, sf_dir).collect()
+    got = {r.doc_id: r.prob for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.threshold_used == thr
+        assert r.doc_id % 10 == 9

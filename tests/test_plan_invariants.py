@@ -157,6 +157,8 @@ UWIN_ALLOWED = {
     "customer_recast",
     "customers_ranked_by_spend",
     "quality_gate_recalibrate",
+    "quality_gate_apply",  # inherits its decision parent's offsets window
+    "training_shard_manifest",  # global_cumsum offsets window
     "materialize_training_set",
     "materialize_training_set_v2",
     "materialize_training_set_incremental",
