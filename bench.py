@@ -153,6 +153,12 @@ HEADLINE = [
     # allocation join + epoch-capped explode) and its realized-fill audit
     "token_budget_materialize",
     "token_budget_fill_report",
+    # r17: the chain's last mile (manifest cumsum -> token-balanced
+    # shards), its O(batch) append twin, and the quality family's data
+    # terminal (one shared scoring pass with its decision parent)
+    "training_shard_manifest",
+    "training_shard_append",
+    "quality_gate_apply",
     "packing_efficiency",
     # round 6: real PNG + WAV codecs behind the decode seam
     "png_decode_stats",
@@ -446,7 +452,10 @@ PROBE_QUERIES = [
     # near-linear. quality_gate_apply is deliberately NOT probed: its
     # scan cost IS quality_classifier_score's probed row (the
     # quality_score_psi rationale) and the gate itself is a codegen
-    # filter over the decision parent's checkpoint.
+    # filter over the decision parent's checkpoint. training_shard_append
+    # is deliberately NOT probed either: its registered emission is the
+    # same materialize re-derivation this row prices plus a BATCH-sized
+    # cumsum (strictly less shuffle than the full-manifest cumsum here).
     "training_shard_manifest",
     # (video_decode_stats is deliberately NOT probed: the codec family is
     # pure map work — no shuffle, no pair structure — so 10x corpus is
