@@ -25,11 +25,11 @@ TIERS: dict[str, int] = {}
 #      order) — completing the r12 cohort one round early, exactly as
 #      the r16 header's forward schedule promised ("r12 complete by
 #      r18"; the leading 24 re-verified in r16).
-#   2. Positions 26-46: the r13 cohort's leading edge, registration
-#      order — 21 of its 43 rows (the remaining 22 go to r18, inside
-#      the "r13 complete by r19" schedule; four slots yield to this
+#   2. Positions 26-45: the r13 cohort's leading edge, registration
+#      order — 20 of its 43 rows (the remaining 23 go to r18, inside
+#      the "r13 complete by r19" schedule; five slots yield to this
 #      round's registrations).
-#   3. Positions 47-50: the round-17 registrations —
+#   3. Positions 46-50: the round-17 registrations —
 #      token_budget_materialize (the budget chain's DATA terminal:
 #      the (doc_id, epoch) training-set manifest under the rebalanced
 #      allocation, deterministic hash-Bernoulli fractional epochs —
@@ -40,7 +40,10 @@ TIERS: dict[str, int] = {}
 #      order — what the shard writer writes), and quality_gate_apply
 #      (the quality family's data terminal: `threshold_used` actually
 #      gating the batch — monitor -> decide -> DATA, the same closure
-#      the budget family got).
+#      the budget family got), and training_shard_append (the O(batch)
+#      ingest mirror of the shard manifest — batch copies append at
+#      the standing stream's tail, completing the incremental quartet
+#      with dedup/ivf_pq/materialize_training_set _incremental).
 #      No changed-source re-verifies beyond the registrations
 #      themselves: the r17 fixes (dup block deletion in llm_mixture,
 #      the registry duplicate-name guard, governance green-row
@@ -111,12 +114,12 @@ DRIVER_ORDER: list[str] = [
     "chunk_dedup",
     "stratified_sample",
     "shard_assignments",
-    "corpus_clean",
-    # -- 47-50: round-17 registrations --------------------------------------
+    # -- 46-50: round-17 registrations --------------------------------------
     "token_budget_materialize",
     "token_budget_fill_report",
     "training_shard_manifest",
     "quality_gate_apply",
+    "training_shard_append",
 ]
 # Baseline → production twin. Entries here are *labeled baselines*: exact
 # but super-linear (quadratic self-joins, brute-force scans) — correct as

@@ -1027,3 +1027,114 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _shard_manifest_tail_sql("SELECT * FROM tsm_cum", "div")
     )
+
+
+# --- incremental shard append (round 17) -----------------------------------------
+# The O(batch) ingest mirror of `training_shard_manifest`, completing the
+# incremental quartet (`dedup_incremental`, `ivf_pq_incremental`,
+# `materialize_training_set_incremental`, THIS): standing shards are
+# already-written files a nightly ingest must NOT reshuffle, so the
+# incoming batch's shipped copies append AT THE TAIL of the standing
+# shuffled stream — the batch's first row may share a shard with the
+# standing tail (`materialize_training_set_incremental`'s
+# window-continuation append semantics, at shard grain). In deployment
+# the standing stream total T0 is a standing artifact the pipeline
+# reads (one number) and the only shuffle is the batch-sized cumsum;
+# the REGISTERED emission re-derives T0 from the registered allocation
+# so the whole contract stays value-checkable by one oracle — the same
+# honestly-documented caveat as `ivf_pq_incremental` and
+# `materialize_training_set_incremental`: the bench row prices the
+# re-derivation, not the ingest.
+
+
+def _shard_append_oracle() -> str:
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        NEW_BATCH_PRED,
+    )
+
+    return (
+        f"""
+    WITH fm AS ({_materialize_budget_oracle()}),
+    km AS (SELECT fm.*, {_SHUFFLE_KEY_DUCK} AS shuffle_key FROM fm),
+    t AS (
+        SELECT COALESCE(SUM(CASE WHEN NOT ({NEW_BATCH_PRED})
+                                 THEN n_tokens END), 0) AS t0
+        FROM km
+    ),
+    bk AS (SELECT * FROM km WHERE ({NEW_BATCH_PRED})),
+    cum_rel AS (
+        SELECT bk.*,
+               SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id, epoch
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bk
+    )
+    """
+        + _shard_append_tail_sql(
+            "SELECT * FROM cum_rel", "SELECT t0 FROM t", "//"
+        )
+    )
+
+
+def _shard_append_tail_sql(cum_rel: str, t_rel: str, idiv: str) -> str:
+    """Dialect-shared tail: like `_shard_manifest_tail_sql` but the
+    row's starting offset is displaced by the standing stream total
+    ``t0`` (a 1-row relation ``t_rel`` cross-joined in — the scalar-CTE
+    shape), so batch shards continue where the standing shards end."""
+    return f"""
+    SELECT doc_id, source, epoch, n_tokens, shuffle_key,
+           CAST((tr.t0 + c.cum - c.n_tokens) {idiv} {TRAIN_SHARD_TOKENS}
+                AS BIGINT) AS shard_id
+    FROM ({cum_rel}) c CROSS JOIN ({t_rel}) tr
+    """
+
+
+@query(
+    "training_shard_append",
+    tier=2,
+    oracle=_shard_append_oracle(),
+)
+def training_shard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append the incoming batch ({NEW_BATCH_PRED}) to the standing
+    training shards: one row per shipped batch (doc_id, epoch) with its
+    shuffle key and the shard it lands in, CONTINUING from the standing
+    stream's token total — standing shards are immutable once written,
+    so only the tail shard is ever extended and every earlier
+    `training_shard_manifest` row keeps its shard. Deployment cost is
+    O(batch): T0 is a standing one-number artifact and the cumsum runs
+    over batch rows only (the registered emission re-derives T0 from
+    the registered allocation for oracle checkability — see the banner
+    comment for the priced-re-derivation caveat).
+
+    Scale: the batch-sized two-pass ``global_cumsum`` is the only
+    shuffle beyond the parent's; T0 rides in as a broadcast 1-row
+    relation (no collect); the manifest materializes once (eager
+    checkpoint) because both the T0 arm and the batch arm read it.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        NEW_BATCH_PRED,
+    )
+
+    m = token_budget_materialize(spark, sf_dir)
+    km = m.withColumn(
+        "shuffle_key", F.expr(_SHUFFLE_KEY_SPARK)
+    ).localCheckpoint(eager=True)
+    km.filter(f"NOT ({NEW_BATCH_PRED})").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0")
+    ).createOrReplaceTempView("tsa_t0")
+    c = global_cumsum(
+        km.filter(f"({NEW_BATCH_PRED})"),
+        "n_tokens",
+        "shuffle_key",
+        "doc_id",
+        "epoch",
+        name="cum",
+    )
+    c.createOrReplaceTempView("tsa_cum")
+    return spark.sql(
+        _shard_append_tail_sql(
+            "SELECT * FROM tsa_cum", "SELECT t0 FROM tsa_t0", "div"
+        )
+    )

@@ -344,3 +344,55 @@ def test_training_shard_manifest_matches_python_mirror(spark, sf_dir):
             < shard_tokens[shard]
             < TRAIN_SHARD_TOKENS + max_doc
         ), shard
+
+
+def test_training_shard_append_continues_standing_stream(spark, sf_dir):
+    """r17: `training_shard_append` is the O(batch) ingest mirror —
+    batch rows only, shard ids continuing from the standing stream's
+    token total. Re-derive in Python: T0 = standing manifest tokens,
+    batch rows in (shuffle_key, doc_id, epoch) order, shard =
+    (T0 + start-offset) div TRAIN_SHARD_TOKENS — and require
+    row-for-row equality plus the append contract: no batch shard
+    precedes the standing tail shard."""
+    import hashlib
+
+    from lakehouse_workshop_spark.operators.llm_mixture import (
+        TRAIN_SHARD_TOKENS,
+    )
+    from lakehouse_workshop_spark.operators.llm_pipeline import (
+        NEW_BATCH_PRED,
+    )
+
+    assert NEW_BATCH_PRED == "doc_id % 10 = 9"  # mirror below assumes it
+    q = all_queries()
+    manifest = q["token_budget_materialize"](spark, sf_dir).collect()
+    t0 = sum(m.n_tokens for m in manifest if m.doc_id % 10 != 9)
+    batch = [m for m in manifest if m.doc_id % 10 == 9]
+    mirror = sorted(
+        (
+            hashlib.md5(f"{m.doc_id}:{m.epoch}".encode()).hexdigest(),
+            m.doc_id,
+            m.epoch,
+            m.source,
+            m.n_tokens,
+        )
+        for m in batch
+    )
+    cum = t0
+    want = {}
+    for skey, doc_id, epoch, source, n_tokens in mirror:
+        want[(doc_id, epoch)] = (
+            skey,
+            source,
+            n_tokens,
+            cum // TRAIN_SHARD_TOKENS,
+        )
+        cum += n_tokens
+
+    rows = q["training_shard_append"](spark, sf_dir).collect()
+    assert len(rows) == len(want) > 0
+    for r in rows:
+        skey, source, n_tokens, shard = want[(r.doc_id, r.epoch)]
+        assert r.shuffle_key == skey and r.source == source
+        assert r.n_tokens == n_tokens and r.shard_id == shard
+    assert min(r.shard_id for r in rows) >= t0 // TRAIN_SHARD_TOKENS

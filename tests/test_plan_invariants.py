@@ -159,6 +159,7 @@ UWIN_ALLOWED = {
     "quality_gate_recalibrate",
     "quality_gate_apply",  # inherits its decision parent's offsets window
     "training_shard_manifest",  # global_cumsum offsets window
+    "training_shard_append",  # global_cumsum offsets window (batch rows)
     "materialize_training_set",
     "materialize_training_set_v2",
     "materialize_training_set_incremental",
