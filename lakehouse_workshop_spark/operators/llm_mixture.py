@@ -972,17 +972,25 @@ def _shard_manifest_tail_sql(cum_rel: str, idiv: str) -> str:
     """
 
 
+def _shard_cumsum_sql(k_rel: str) -> str:
+    """Single-window form of the inclusive token cumsum in
+    (shuffle_key, doc_id, epoch) order — the DuckDB oracles' dialect
+    (and the property tests' injection point); the Spark side computes
+    the identical sum with the two-pass ``global_cumsum``."""
+    return f"""
+        SELECT k.*,
+               SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id, epoch
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ({k_rel}) k
+    """
+
+
 def _shard_manifest_oracle() -> str:
     return (
         f"""
     WITH m AS ({_materialize_budget_oracle()}),
     k AS (SELECT m.*, {_SHUFFLE_KEY_DUCK} AS shuffle_key FROM m),
-    cum_rel AS (
-        SELECT k.*,
-               SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id, epoch
-                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM k
-    )
+    cum_rel AS ({_shard_cumsum_sql("SELECT * FROM k")})
     """
         + _shard_manifest_tail_sql("SELECT * FROM cum_rel", "//")
     )
@@ -1062,12 +1070,7 @@ def _shard_append_oracle() -> str:
         FROM km
     ),
     bk AS (SELECT * FROM km WHERE ({NEW_BATCH_PRED})),
-    cum_rel AS (
-        SELECT bk.*,
-               SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id, epoch
-                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM bk
-    )
+    cum_rel AS ({_shard_cumsum_sql("SELECT * FROM bk")})
     """
         + _shard_append_tail_sql(
             "SELECT * FROM cum_rel", "SELECT t0 FROM t", "//"

@@ -762,3 +762,130 @@ def test_budget_copies_spark_matches_reference(spark):
     got = spark.sql(_budget_inject(alloc, docs, "spark")).collect()
     want = _budget_copies_reference(dict(alloc), docs)
     assert sorted(tuple(r) for r in got) == want
+
+
+# ---------------------------------------------------------------------------
+# Training-shard construction (r17): the EXACT production SQL against an
+# arbitrary-precision mirror over injected manifests (the dup-matrix
+# injection pattern) — arbitrary token counts including 0 and
+# larger-than-a-shard docs, and DUPLICATE shuffle keys so the
+# (shuffle_key, doc_id, epoch) tie-break is pinned, not assumed.
+# ---------------------------------------------------------------------------
+
+_shard_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc_id
+        st.integers(min_value=1, max_value=4),  # epoch
+        st.sampled_from(["ka", "kb", "kc", "kd"]),  # shuffle_key (dups!)
+        st.integers(min_value=0, max_value=20_000),  # n_tokens (0, >S)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _shard_reference(rows, t0=0):
+    """Python-int mirror of cumsum + start-offset shard bucketing."""
+    from lakehouse_workshop_spark.operators.llm_mixture import (
+        TRAIN_SHARD_TOKENS,
+    )
+
+    cum = t0
+    out = []
+    for doc_id, epoch, skey, n in sorted(
+        rows, key=lambda r: (r[2], r[0], r[1])
+    ):
+        out.append((doc_id, epoch, skey, n, cum // TRAIN_SHARD_TOKENS))
+        cum += n
+    return sorted(out)
+
+
+def _shard_values_rel(rows):
+    vals = ", ".join(
+        f"({d}, 's', CAST({e} AS INT), CAST({n} AS BIGINT), '{k}')"
+        for d, e, k, n in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(doc_id, source, epoch, n_tokens, shuffle_key)"
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(_shard_rows)
+def test_shard_manifest_sql_matches_int_mirror(rows):
+    """`_shard_cumsum_sql` + `_shard_manifest_tail_sql` (the registered
+    oracle's exact fragments) bucket arbitrary manifests identically to
+    the arbitrary-precision mirror."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_mixture as M
+
+    sql = M._shard_manifest_tail_sql(
+        M._shard_cumsum_sql(_shard_values_rel(rows)), "//"
+    )
+    con = duckdb.connect()
+    out = con.sql(sql).fetchall()
+    got = sorted((d, e, k, n, s) for d, _, e, n, k, s in out)
+    assert got == _shard_reference(rows)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_shard_rows, st.integers(min_value=0, max_value=10**15))
+def test_shard_append_sql_matches_int_mirror(rows, t0):
+    """The append tail displaces every start offset by t0 — exact for
+    arbitrary standing totals up to the 1e15-token (100 TB-class)
+    range."""
+    import duckdb
+
+    from lakehouse_workshop_spark.operators import llm_mixture as M
+
+    sql = M._shard_append_tail_sql(
+        M._shard_cumsum_sql(_shard_values_rel(rows)),
+        f"SELECT CAST({t0} AS BIGINT) AS t0",
+        "//",
+    )
+    con = duckdb.connect()
+    out = con.sql(sql).fetchall()
+    got = sorted((d, e, k, n, s) for d, _, e, n, k, s in out)
+    assert got == _shard_reference(rows, t0=t0)
+
+
+def test_shard_tail_spark_div_matches_reference(spark):
+    """The Spark dialect of the same arithmetic — two-pass
+    `global_cumsum` + the `div` tail — reproduces the mirror on a
+    fixture covering duplicate shuffle keys, a zero-token row, a
+    larger-than-a-shard row, and a huge standing offset (pinning that
+    Spark's `div` on BIGINT behaves as the oracle's `//`)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_workshop_spark.functions.exprs import global_cumsum
+    from lakehouse_workshop_spark.operators import llm_mixture as M
+
+    rows = [
+        (1, 1, "ka", 5000),
+        (1, 2, "ka", 0),
+        (2, 1, "ka", 20000),
+        (3, 1, "kb", 1),
+        (4, 1, "kc", 4095),
+        (5, 1, "kc", 4097),
+    ]
+    t0 = 10**15 + 123
+    df = spark.createDataFrame(
+        [(d, "s", e, n, k) for d, e, k, n in rows],
+        "doc_id INT, source STRING, epoch INT, n_tokens BIGINT,"
+        " shuffle_key STRING",
+    )
+    c = global_cumsum(df, "n_tokens", "shuffle_key", "doc_id", "epoch", name="cum")
+    c.createOrReplaceTempView("shard_pin_cum")
+    spark.sql(f"SELECT CAST({t0} AS BIGINT) AS t0").createOrReplaceTempView(
+        "shard_pin_t0"
+    )
+    out = spark.sql(
+        M._shard_append_tail_sql(
+            "SELECT * FROM shard_pin_cum", "SELECT t0 FROM shard_pin_t0", "div"
+        )
+    ).collect()
+    got = sorted((r.doc_id, r.epoch, r.shuffle_key, r.n_tokens, r.shard_id) for r in out)
+    assert got == _shard_reference(rows, t0=t0)
