@@ -549,7 +549,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) WHERE rn <= {_IVF_NPROBE_SQL}
         ),
         scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+            -- BROADCAST the (query × probed-list) side (r17): pool-sized
+            -- input, ~5000× output fan-out — without the hint AQE
+            -- coalesces the tiny probe exchange to ONE partition and
+            -- every cosine fold runs on a single task (measured ~20s
+            -- CPU at the 10× probe). Broadcasting keeps the corpus side
+            -- streaming on its full partitioning.
+            SELECT /*+ BROADCAST(a) */
+                   a.vec_id AS query_id, b.vec_id AS vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
             FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid
                   FROM (SELECT * FROM ivf_clustered WHERE {QUERY_FILTER}) q
@@ -2092,7 +2099,16 @@ def _ivf_arm_core(clustered: str, probe: str, cos: str) -> str:
     pooled to RRF_POOL."""
     return f"""
         SELECT query_id, doc_id, rank_vec FROM (
-            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+            -- BROADCAST the (query × probed-list) side (r17): it is
+            -- pool-sized (|Q|·nprobe rows) while the scoring join's
+            -- output fans out ~5000× — without the hint AQE coalesces
+            -- the tiny probe exchange to ONE partition and the ~1M
+            -- cosine folds run on a single task (measured 19.5s CPU at
+            -- the 10× probe). Broadcasting streams the corpus side on
+            -- its full partitioning instead. DuckDB reads the hint as a
+            -- comment, so the dialect-shared body stays shared.
+            SELECT /*+ BROADCAST(a) */
+                   a.vec_id AS query_id, b.vec_id AS doc_id,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                       ORDER BY ROUND({cos}, 6) DESC,
                                                b.vec_id) AS rank_vec
@@ -2165,7 +2181,14 @@ def _fuse_sql(vec_arm: str, tok_rel: str, universe: str) -> str:
              WHERE doc_id < {universe}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     shared AS (
-        SELECT qt.doc_id AS query_id, t.doc_id AS doc_id,
+        -- BROADCAST the query-side tokens (|Q|·tokens rows — tiny by the
+        -- QUERY_FILTER construction): without the hint the planner
+        -- broadcasts whichever side estimates smaller, and at the 10×
+        -- probe it picked the CORPUS-grain token table (80 MiB, 477k
+        -- rows) — a plan that cannot ship at 100 TB. DuckDB parses the
+        -- hint as a plain comment, so the oracle text stays shared.
+        SELECT /*+ BROADCAST(qt) */
+               qt.doc_id AS query_id, t.doc_id AS doc_id,
                COUNT(*) AS n_shared
         FROM (SELECT * FROM toks WHERE {doc_query_filter}) qt
         JOIN toks t ON qt.tok = t.tok AND qt.doc_id <> t.doc_id
@@ -2257,8 +2280,17 @@ def _hybrid_setup(spark: SparkSession, sf_dir: str) -> int:
         spark.table("documents").count(),
         spark.table("embeddings_raw").count(),
     )
-    spark.sql(_SPARK_HYBRID_TOKS).where(
-        f"doc_id < {n_universe}"
+    # Partition the checkpoint BY doc_id at core-count width (r17): AQE
+    # coalesces the distinct's exchange to the shuffle-volume-sized ~4
+    # partitions (~40 MB of tokens), but the downstream consumer is the
+    # lexical arm's inverted-index join whose fan-out is ~150× its input
+    # (70M shared-token rows at the 10× probe) — measured 41.7s of
+    # aggregation time serialized onto 4 tasks (min/med/max 8.9/9.6/14.0s).
+    # Hashing by doc_id also makes the join's partial aggregate exact per
+    # partition (every (query, doc) match lands where the doc lives), so
+    # the pair exchange shrinks to final cardinality.
+    spark.sql(_SPARK_HYBRID_TOKS).where(f"doc_id < {n_universe}").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).localCheckpoint(eager=True).createOrReplaceTempView("hybrid_toks")
     return n_universe
 

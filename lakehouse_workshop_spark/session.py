@@ -82,6 +82,16 @@ def get_spark(
         # Scan-side partition sizing: 128 MB splits keep tasks executor-sized
         # at 100 TB; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Floor scan parallelism at the core count (r17 guide §6): split
+        # packing charges each file only openCostInBytes (4 MB), so a
+        # 32-file probe corpus packed into 4 splits ran every corpus
+        # decode on 4 of 32 cores — measured 12s wall on a stage whose
+        # 32-task form is ~1.5s (hybrid_rank_fusion_ivf at the 10×
+        # probe). The floor divides totalBytes/minPartitionNum into the
+        # split size, so it scales with input: at 100 TB splits stay
+        # maxPartitionBytes-sized and the floor is a no-op; on small
+        # inputs it stops the packer from serializing the scan.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # Local mode runs driver AND all executor threads in ONE JVM, so
         # this IS the executor heap: at 8g/32 threads each task got
         # ~150 MB of execution memory — the 100× probes measured a

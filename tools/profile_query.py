@@ -53,8 +53,11 @@ def main() -> None:
     # Warm pool (mirrors bench.py) so rep timings are steady-state.
     spark.range(0, 256, 1, 32).write.format("noop").mode("overwrite").save()
 
+    import bench as _bench
+
     walls = []
     for r in range(reps):
+        _bench._reclaim()
         spark.sparkContext.setJobDescription(f"{name} rep{r}")
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -81,8 +84,44 @@ def main() -> None:
             f"{(s.get('shuffleReadBytes') or 0)/1e6:8.1f} "
             f"{(s.get('shuffleWriteBytes') or 0)/1e6:8.1f} "
             f"{s.get('numCompleteTasks', 0):5d}  "
-            f"{(s.get('description') or s.get('name', ''))[:70]}"
+            f"{(s.get('description') or '')[:28]:28s} {s.get('name', '')[:45]}"
         )
+    # Operator-level metrics for the LAST executed SQL query (the final
+    # rep's noop write): node name + the headline metric values.
+    execs = json.loads(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/sql?length=200"
+        ).read()
+    )
+    execs = [e for e in execs if e.get("status") == "COMPLETED"]
+    if execs:
+        last = max(execs, key=lambda e: e["id"])
+        detail = json.loads(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/sql/{last['id']}"
+                "?details=true&planDescription=false"
+            ).read()
+        )
+        print(f"\nSQL exec {last['id']} duration={last.get('duration')}ms")
+        for node in detail.get("nodes", []):
+            mets = {
+                m["name"]: m["value"]
+                for m in node.get("metrics", [])
+                if any(
+                    k in m["name"]
+                    for k in (
+                        "total (min, med, max",
+                        "time total",
+                        "number of output rows",
+                        "data size",
+                        "shuffle bytes written",
+                        "time to build",
+                        "time in aggregation",
+                    )
+                )
+            }
+            if mets:
+                print(f"  [{node['nodeId']:3d}] {node['nodeName'][:40]:40s} {mets}")
     spark.stop()
 
 
