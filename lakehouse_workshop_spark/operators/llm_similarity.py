@@ -790,7 +790,12 @@ def ivf_kmeans_search(
         ),
         qprobe AS (SELECT qid, cid FROM probes WHERE prn <= {nprobe}),
         scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+            -- BROADCAST the pool-sized probe side (r17): same fix as
+            -- ivf_topk — AQE otherwise coalesces the tiny probe exchange
+            -- to one partition and the scoring join's ~5000x fan-out of
+            -- cosine folds runs on a single task.
+            SELECT /*+ BROADCAST(a) */
+                   a.vec_id AS query_id, b.vec_id AS vec_id,
                    ROUND({_SPARK_COS}, 6) AS cosine
             FROM (SELECT q.vec_id, q.emb, q.nrm, p.cid AS pcid
                   FROM (SELECT * FROM ivf_kmeans_clustered

@@ -15,6 +15,7 @@ materialize (or reuse) the bench's perturbed probe corpora.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -94,8 +95,8 @@ def main() -> None:
         ).read()
     )
     execs = [e for e in execs if e.get("status") == "COMPLETED"]
-    if execs:
-        last = max(execs, key=lambda e: e["id"])
+    n_sql = int(os.environ.get("PROFILE_SQL_EXECS", "1"))
+    for last in sorted(execs, key=lambda e: -e["id"])[:n_sql]:
         detail = json.loads(
             urllib.request.urlopen(
                 f"{ui}/api/v1/applications/{app_id}/sql/{last['id']}"
