@@ -336,23 +336,6 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES))
 
 
-def _sig_matches():
-    """Count of equal signature positions between the joined ``x``/``y``
-    band sides — explicit codegen'd sum ``0 + (x.sig[0]=y.sig[0]) + ...``,
-    value-identical to the ``F.aggregate(F.zip_with(...))`` left fold it
-    replaces (integer addition; the lambda form pays an interpreted
-    HigherOrderFunction evaluation per element — the r17 fold finding,
-    see ``llm_similarity._dot_sql``)."""
-    from functools import reduce
-
-    return reduce(
-        lambda acc, i: acc
-        + (F.col("x.sig")[i] == F.col("y.sig")[i]).cast("int"),
-        range(MINHASH_K),
-        F.lit(0),
-    )
-
-
 def _lsh_pairs_sql(sig_sql: str) -> str:
     """Oracle form (DuckDB materializes multi-referenced CTEs, so the
     3 references to ``sigs`` cost one evaluation there)."""
@@ -429,7 +412,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
     x, y = bands.alias("x"), bands.alias("y")
-    matches = _sig_matches()
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
         x.join(
             y,
@@ -1118,7 +1107,13 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.expr(INCR_BATCH_PRED)
     corpus_bands = bands.filter(~is_batch).alias("x")
     batch_bands = bands.filter(is_batch).alias("y")
-    matches = _sig_matches()
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
         corpus_bands.join(
             F.broadcast(batch_bands),

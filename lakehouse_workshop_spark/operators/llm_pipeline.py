@@ -971,7 +971,6 @@ def materialize_training_set_incremental(
 
     from lakehouse_workshop_spark.operators.llm_dedup import (
         _minhash_sig_sql,
-        _sig_matches,
         LSH_BANDS,
         MINHASH_K,
     )
@@ -1028,7 +1027,13 @@ def materialize_training_set_incremental(
 
     x = _bands(csig, 1).unionByName(_bands(bsig, 0)).alias("x")
     y = _bands(bsig, 0).alias("y")
-    matches = _sig_matches()
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     neardrop = (
         x.join(
             y,
@@ -1119,7 +1124,6 @@ def materialize_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_workshop_spark.operators.llm_dedup import (
         _docs_view,
         _minhash_sig_sql,
-        _sig_matches,
         _SPARK_DOC_PCT,
         _SPARK_SHINGLE_INT,
         _SPARK_SHINGLE_POS,
@@ -1168,7 +1172,13 @@ def materialize_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("band")
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
     x, y = bands.alias("x"), bands.alias("y")
-    matches = _sig_matches()
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     neardrop = (
         x.join(
             y,

@@ -852,12 +852,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_workshop_spark.operators.llm_similarity import _emb_view
 
     _emb_view(spark, sf_dir)
-    from lakehouse_workshop_spark.operators.llm_similarity import _sq_norm_sql
-
     norms = spark.sql(
-        f"""
+        """
         SELECT vec_id,
-               ROUND(SQRT({_sq_norm_sql("embedding")}), 6) AS nrm
+               ROUND(SQRT(aggregate(transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          0.0D, (acc, v) -> acc + v)), 6) AS nrm
         FROM embeddings
         """
     )

@@ -40,46 +40,16 @@ EMB_DIM = 64
 
 # --- dialect fragments -----------------------------------------------------
 
-
-def _dot_sql(a: str, b: str, n: int = EMB_DIM, cast_a: bool = False) -> str:
-    """Explicit left-associated dot product ``(((0.0 + a[0]*b[0]) +
-    a[1]*b[1]) + ...)`` — BIT-IDENTICAL to the
-    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, v) -> acc+v)``
-    left fold (same multiplications, same addition order, same IEEE
-    doubles) but fully whole-stage-codegen'd: the lambda form pays an
-    interpreted HigherOrderFunction evaluation per element — measured
-    4.6× slower on 2M 64-dim folds (r17 microbench; verified equal sums
-    to the last bit). ``cast_a`` wraps the a-side element in a DOUBLE
-    cast for float-typed source arrays, matching the lambda forms that
-    cast inside the loop."""
-    at = (lambda i: f"CAST({a}[{i}] AS DOUBLE)") if cast_a else (
-        lambda i: f"{a}[{i}]"
-    )
-    terms = " + ".join(f"{at(i)} * {b}[{i}]" for i in range(n))
-    return f"(0.0D + {terms})"
-
-
-def _sq_norm_sql(col: str, n: int = EMB_DIM) -> str:
-    """Explicit left-associated square-sum of a FLOAT array cast to
-    double per element — bit-identical to the
-    ``aggregate(transform(col, x -> CAST(x AS DOUBLE) * CAST(x AS
-    DOUBLE)), ...)`` left fold, codegen'd (see ``_dot_sql``)."""
-    terms = " + ".join(
-        f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
-        for i in range(n)
-    )
-    return f"(0.0D + {terms})"
-
-
 # Per-row prep: cast the vector to double ONCE and precompute its L2 norm —
 # O(n) work hoisted out of the O(n²) pair stage, leaving a single fold per
 # pair. The per-pair value is bit-identical to computing norms inline
 # (same products, same left-fold order, same SQRT-then-multiply), so the
 # cross-engine 6-dp hash parity is preserved.
-_SPARK_PREP = f"""
+_SPARK_PREP = """
     SELECT vec_id,
            transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-           SQRT({_sq_norm_sql("embedding")}) AS nrm
+           SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          0.0D, (acc, v) -> acc + v)) AS nrm
     FROM embeddings
 """
 
@@ -90,10 +60,10 @@ _DUCK_PREP = """
     FROM embeddings
 """
 
-# Left-fold-equivalent dot product over the pre-cast vectors, in double
-# (explicit codegen'd form — see _dot_sql).
-_SPARK_COS = f"""
-    {_dot_sql("a.emb", "b.emb")} / (a.nrm * b.nrm)
+# Left-fold dot product over the pre-cast vectors, in double.
+_SPARK_COS = """
+    aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),
+              0.0D, (acc, v) -> acc + v) / (a.nrm * b.nrm)
 """
 
 _DUCK_COS = "list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)"
@@ -274,7 +244,9 @@ _SPARK_BUCKETS = f"""
     WITH planes AS ({_planes_sql('instr')}),
     dots AS (
         SELECT e.vec_id, p.j,
-               {_dot_sql("e.embedding", "p.plane", cast_a=True)} AS dot
+               aggregate(zip_with(e.embedding, p.plane,
+                                  (x, w) -> CAST(x AS DOUBLE) * w),
+                         0.0D, (acc, v) -> acc + v) AS dot
         FROM embeddings e CROSS JOIN planes p
     )
     SELECT vec_id,
@@ -402,7 +374,8 @@ def _duck_planes_expr(n_expr: str) -> str:
         FROM (SELECT unnest(generate_series(0, {n_expr} - 1)) AS j)
 """
 
-_SPARK_PLANE_DOT = _dot_sql("e.emb", "p.plane")
+_SPARK_PLANE_DOT = """aggregate(zip_with(e.emb, p.plane,
+                   (x, w) -> x * w), 0.0D, (acc, v) -> acc + v)"""
 _DUCK_PLANE_DOT = "list_dot_product(e.emb, p.plane)"
 
 
@@ -667,19 +640,9 @@ def _ann_topk_lsh_sql(
         WHERE x.{QUERY_FILTER}
     ),
     scored AS (
-        -- Join ORDER pinned (r17, guide §8): attach the corpus-side
-        -- embedding FIRST (the cand exchange carries ids only), then
-        -- the query-side embedding by BROADCAST (|Q| rows — tiny by
-        -- the QUERY_FILTER construction). The flat two-join form let
-        -- the planner attach a.emb first and ship it through the
-        -- second join's id_b exchange — measured 1.6 GB of shuffled
-        -- embedding payload at the 100× probe where ids are ~50 MB.
-        -- DuckDB reads the hint as a comment; the nesting is inert.
-        SELECT /*+ BROADCAST(a) */
-               b.query_id, b.vec_id, ROUND({cos}, 6) AS cosine
-        FROM (SELECT cand.query_id, ie.vec_id, ie.emb, ie.nrm
-              FROM cand JOIN e ie ON ie.vec_id = cand.vec_id) b
-        JOIN e a ON a.vec_id = b.query_id
+        SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.vec_id
     ),
     ranked AS (
         SELECT query_id, vec_id, cosine,
@@ -812,8 +775,9 @@ def ivf_kmeans_search(
     spark.createDataFrame(
         centers, "cid INT, cemb ARRAY<DOUBLE>, cnrm DOUBLE"
     ).createOrReplaceTempView("ivf_kmeans_centroids")
-    probe_cos = f"""
-        {_dot_sql("q.emb", "c.cemb")} / (q.nrm * c.cnrm)
+    probe_cos = """
+        aggregate(zip_with(q.emb, c.cemb, (x, y) -> x * y),
+                  0.0D, (acc, v) -> acc + v) / (q.nrm * c.cnrm)
     """
     return spark.sql(
         f"""

@@ -1070,7 +1070,6 @@ def run_streaming_lsh_ingest(
     from lakehouse_workshop_spark.catalog import load_table
     from lakehouse_workshop_spark.operators.llm_dedup import (
         _minhash_sig_sql,
-        _sig_matches,
         _SPARK_SHINGLE_INT,
         _SPARK_SHINGLES,
         INCR_BATCH_PRED,
@@ -1133,7 +1132,13 @@ def run_streaming_lsh_ingest(
             )
         )
         x, y = corpus_bands.alias("x"), _bands(bsig).alias("y")
-        matches = _sig_matches()
+        matches = F.aggregate(
+            F.zip_with(
+                F.col("x.sig"), F.col("y.sig"), lambda a, b: (a == b).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
         pairs = (
             x.join(
                 F.broadcast(y),
