@@ -375,9 +375,18 @@ def ivf_pq_search(
         bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
     assign_encode = _assign_encode_fn(bc)
 
-    codes_df = prepped.mapInPandas(
-        assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
-    ).localCheckpoint(eager=True)
+    # Checkpoint the codes ALREADY hash-partitioned by cid at core-count
+    # width (r17): the ADC stage is groupBy("cid").applyInPandas, whose
+    # required distribution this partitioning satisfies — the per-rep
+    # cid exchange (written from the ~3 AQE-coalesced partitions the
+    # checkpoint otherwise inherits) disappears from the scoring path.
+    codes_df = (
+        prepped.mapInPandas(
+            assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "cid")
+        .localCheckpoint(eager=True)
+    )
     codes_df.createOrReplaceTempView(f"{tag}_codes")
 
     # Probe ranking runs DRIVER-SIDE on the collected query matrix: the
@@ -465,7 +474,19 @@ def ivf_pq_search(
             np.copyto(dec, base)
             for m in range(PQ_M):
                 dec[:, m * sub : (m + 1) * sub] += bks[m][codes[:, m]]
-            scores = qsub @ dec.T  # RAW |q_probing| × block
+            # Score into a reused worker slab (r17): `qsub @ dec.T`
+            # allocated a fresh |q_probing|×block float64 matrix per
+            # slab — ~1 GB of first-touch page faults per rep at the
+            # 100× probe, the exact _WORKER_BUFS pathology. The buffer
+            # is sized by the FULL query count so one allocation serves
+            # every cluster; matmul writes row-prefix views in place
+            # (only the ragged tail slab, codes < ADC_BLOCK, pays a
+            # fresh allocation via the fallback).
+            sbuf = _worker_buf("adc_scores", (len(qids), ADC_BLOCK))
+            if len(codes) == ADC_BLOCK and len(qsub) <= len(qids):
+                scores = np.matmul(qsub, dec.T, out=sbuf[: len(qsub)])
+            else:
+                scores = qsub @ dec.T  # RAW |q_probing| × block
             for row, qi in enumerate(qis):
                 mask = vids != qids[qi]  # drop the self-hit
                 s, v, _ = margin_topk(scores[row][mask], vids[mask])
@@ -505,11 +526,17 @@ def ivf_pq_search(
             ) WHERE srn <= {shortlist}
         ),
         exact AS (
-            SELECT s.query_id, s.vec_id,
-                   ROUND({_SPARK_COS}, 6) AS cosine
-            FROM shortlist s
-            JOIN {tag}_prepped a ON s.query_id = a.vec_id
-            JOIN {tag}_prepped b ON s.vec_id = b.vec_id
+            -- Join ORDER pinned (r17, guide §8): attach the corpus-side
+            -- vector FIRST (the shortlist exchange carries ids only),
+            -- then the query-side vector by BROADCAST (|Q| rows). The
+            -- flat form shipped the attached query embedding through
+            -- the second join's exchange — the ann_topk_lsh finding.
+            SELECT /*+ BROADCAST(a) */
+                   b.query_id, b.vec_id, ROUND({_SPARK_COS}, 6) AS cosine
+            FROM (SELECT s.query_id, s.vec_id, ie.emb, ie.nrm
+                  FROM shortlist s
+                  JOIN {tag}_prepped ie ON s.vec_id = ie.vec_id) b
+            JOIN {tag}_prepped a ON a.vec_id = b.query_id
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
             SELECT query_id, vec_id, cosine,
