@@ -1291,8 +1291,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Assignment: broadcast-centroid matmul (see _matmul_assign), then the
     # within-cluster centrality rank as a window over the assigned rows —
     # the window's cid hash-partitioning doubles as the verdict groupBy's
-    # distribution, so rank + verdict share ONE shuffle.
-    assigned = _matmul_assign(spark).withColumn(
+    # distribution, so rank + verdict share ONE shuffle. That shuffle is
+    # a USER repartition (r17): the planner-inserted ENSURE_REQUIREMENTS
+    # exchange it replaces was AQE-coalesced by shuffle volume (83 MB →
+    # 8 partitions at the 100× probe), blind to the verdict stage's BLAS
+    # compute — a user REPARTITION_BY_NUM is not coalescible, so the
+    # verdict keeps core-count parallelism.
+    assigned = _matmul_assign(spark).repartition(
+        spark.sparkContext.defaultParallelism, "cid"
+    ).withColumn(
         "crn",
         F.row_number().over(
             Window.partitionBy("cid").orderBy(F.desc("ccos"), "vec_id")
