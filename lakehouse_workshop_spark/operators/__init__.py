@@ -106,14 +106,17 @@ DRIVER_ORDER: list[str] = [
     "streaming_windowed_counts_watermarked",
     "streaming_enriched_counts",
     "streaming_dedup",
-    "streaming_click_to_purchase",
-    "streaming_sessionize_flushed",
-    "session_window_batch",
-    "near_dup_clusters",
-    "decontaminate",
-    "chunk_dedup",
-    "stratified_sample",
-    "shard_assignments",
+    # -- r17 optimization-round changed-source re-verifies ------------------
+    # (displace the r13-edge tail: those rows verified r13, horizon r19,
+    # so they rotate back in r18 without breaching P=6)
+    "ivf_topk",
+    "ivf_topk_kmeans",
+    "semantic_dedup",
+    "hybrid_rank_fusion",
+    "hybrid_rank_fusion_ivf",
+    "ivf_pq_topk",
+    "ivf_pq_topk_kmeans",
+    "ivf_opq_topk",
     # -- 46-50: round-17 registrations --------------------------------------
     "token_budget_materialize",
     "token_budget_fill_report",

@@ -214,3 +214,56 @@ def test_unpartitioned_ordered_windows_are_allowlisted():
         "unbounded relation; use functions/exprs.global_row_number / "
         "global_cumsum or add a justified allowlist entry"
     )
+
+
+# --- r17 optimization-round join-shape pins ---------------------------------
+# The scoring/re-rank joins in the ANN family must never ship attached
+# embedding payloads through a shuffle (guide §8: decide with small rows,
+# broadcast the tiny query side): the query-side attach is pool-sized by
+# the QUERY_FILTER construction and must stay a broadcast, and the IVF
+# scoring join must stream the corpus side rather than AQE-coalescing the
+# tiny probe side to one task. Measured r17: ann_topk_lsh shuffled 1.6 GB
+# of embedding payload at the 100x probe through a shuffle join on
+# query_id; ivf_topk ran ~1M cosine folds on a single task.
+
+
+def test_ann_topk_lsh_query_attach_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_topk_lsh")
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[query_id#\d+L\]", plan
+    ), (
+        "ann_topk_lsh's query-side embedding attach became a shuffle join —"
+        " it must broadcast (ids-only candidate exchange)"
+    )
+
+
+def test_ivf_pq_rerank_query_attach_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ivf_pq_topk")
+    # single-key join on query_id = the re-rank attach (the recall
+    # contract's (query_id, vec_id) pair join is allowed to shuffle)
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[query_id#\d+L\]", plan
+    ), (
+        "ivf_pq_topk's exact re-rank attaches the query vector via a"
+        " shuffle join — it must broadcast"
+    )
+
+
+def test_ivf_topk_scoring_streams_the_corpus_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ivf_topk")
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cid", plan), (
+        "ivf_topk's per-list scoring join must broadcast the pool-sized"
+        " probe side (stream the corpus on its full partitioning)"
+    )
+
+
+def test_semantic_dedup_verdict_shuffle_is_user_pinned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    # the cid shuffle shared by the centrality window and the BLAS verdict
+    # must be a user repartition (REPARTITION_BY_NUM) — the planner's
+    # ENSURE_REQUIREMENTS form gets AQE-coalesced by shuffle volume,
+    # starving the verdict stage of parallelism
+    assert re.search(r"hashpartitioning\(cid[^)]*\), REPARTITION_BY_NUM", plan), (
+        "semantic_dedup's cid shuffle is no longer the user-pinned"
+        " repartition; AQE will coalesce the verdict stage"
+    )
