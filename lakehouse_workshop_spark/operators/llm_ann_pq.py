@@ -528,15 +528,22 @@ def ivf_pq_search(
         exact AS (
             -- Join ORDER pinned (r17, guide §8): attach the corpus-side
             -- vector FIRST (the shortlist exchange carries ids only),
-            -- then the query-side vector by BROADCAST (|Q| rows). The
-            -- flat form shipped the attached query embedding through
-            -- the second join's exchange — the ann_topk_lsh finding.
+            -- then the query-side vector by BROADCAST. The flat form
+            -- shipped the attached query embedding through the second
+            -- join's exchange — the ann_topk_lsh finding. The broadcast
+            -- side is the QUERY_FILTER slice (r18, the r17 ADVICE
+            -- finding): the unfiltered relation broadcast the FULL
+            -- corpus embeddings — linear in corpus size, breaching the
+            -- |Q|+√n broadcast budget. Every shortlist query_id is
+            -- drawn from rows satisfying the filter, so the slice is
+            -- exactly the matchable rows.
             SELECT /*+ BROADCAST(a) */
                    b.query_id, b.vec_id, ROUND({_SPARK_COS}, 6) AS cosine
             FROM (SELECT s.query_id, s.vec_id, ie.emb, ie.nrm
                   FROM shortlist s
                   JOIN {tag}_prepped ie ON s.vec_id = ie.vec_id) b
-            JOIN {tag}_prepped a ON a.vec_id = b.query_id
+            JOIN (SELECT * FROM {tag}_prepped WHERE {QUERY_FILTER}) a
+              ON a.vec_id = b.query_id
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
             SELECT query_id, vec_id, cosine,

@@ -640,9 +640,25 @@ def _ann_topk_lsh_sql(
         WHERE x.{QUERY_FILTER}
     ),
     scored AS (
-        SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
-        FROM cand JOIN e a ON a.vec_id = cand.query_id
-                  JOIN e b ON b.vec_id = cand.vec_id
+        -- Join ORDER pinned (r17 §5, re-landed r18 after de68468's
+        -- wholesale revert dropped it; guide §8): attach the
+        -- corpus-side embedding FIRST (the cand exchange carries ids
+        -- only), then the query-side embedding by BROADCAST. The flat
+        -- two-join form let the planner attach a.emb first and ship
+        -- it through the second join's exchange — measured 1.6 GB of
+        -- shuffled embedding payload at the 100× probe where the ids
+        -- are ~50 MB. The broadcast side is the QUERY_FILTER slice of
+        -- e (|Q| rows): broadcasting the unfiltered relation would
+        -- ship the FULL corpus embeddings (the r17 ADVICE finding on
+        -- the PQ re-rank) — every cand.query_id satisfies the filter,
+        -- so the slice is exactly the rows the join can match. DuckDB
+        -- reads the hint as a comment; the nesting is inert.
+        SELECT /*+ BROADCAST(a) */
+               b.query_id, b.vec_id, ROUND({cos}, 6) AS cosine
+        FROM (SELECT cand.query_id, ie.vec_id, ie.emb, ie.nrm
+              FROM cand JOIN e ie ON ie.vec_id = cand.vec_id) b
+        JOIN (SELECT * FROM e WHERE {QUERY_FILTER}) a
+          ON a.vec_id = b.query_id
     ),
     ranked AS (
         SELECT query_id, vec_id, cosine,
