@@ -225,10 +225,35 @@ def test_unpartitioned_ordered_windows_are_allowlisted():
 # tiny probe side to one task. Measured r17: ann_topk_lsh shuffled 1.6 GB
 # of embedding payload at the 100x probe through a shuffle join on
 # query_id; ivf_topk ran ~1M cosine folds on a single task.
+#
+# FALSIFIABILITY (r18, VERDICT item 2): at sf0.01 EVERY join side sits
+# under the 10 MB auto-broadcast threshold, so the r17 negative asserts
+# ("no shuffle join on query_id") passed even with the hint reverted —
+# the r17 ann_topk_lsh revert shipped unseen because of exactly this.
+# These pins therefore build the plan with auto-broadcast OFF and the
+# SMJ preference restored: the ONLY broadcasts left are the explicit
+# hints, so removing a hint flips the join to SMJ and the (now also
+# positive) assertion fails at sf0.01.
+
+
+def _plan_no_auto_broadcast(spark, sf_dir, name) -> str:
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try:
+        return _plan(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", old_smj)
 
 
 def test_ann_topk_lsh_query_attach_is_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ann_topk_lsh")
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "ann_topk_lsh")
+    assert re.search(r"BroadcastHashJoin \[query_id#\d+L\]", plan), (
+        "ann_topk_lsh's query-side embedding attach lost its BROADCAST"
+        " hint (the de68468 regression class)"
+    )
     assert not re.search(
         r"(SortMergeJoin|ShuffledHashJoin) \[query_id#\d+L\]", plan
     ), (
@@ -238,9 +263,12 @@ def test_ann_topk_lsh_query_attach_is_broadcast(spark, sf_dir):
 
 
 def test_ivf_pq_rerank_query_attach_is_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ivf_pq_topk")
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "ivf_pq_topk")
     # single-key join on query_id = the re-rank attach (the recall
     # contract's (query_id, vec_id) pair join is allowed to shuffle)
+    assert re.search(r"BroadcastHashJoin \[query_id#\d+L\]", plan), (
+        "ivf_pq_topk's exact re-rank lost its BROADCAST hint"
+    )
     assert not re.search(
         r"(SortMergeJoin|ShuffledHashJoin) \[query_id#\d+L\]", plan
     ), (
@@ -250,7 +278,11 @@ def test_ivf_pq_rerank_query_attach_is_broadcast(spark, sf_dir):
 
 
 def test_ivf_topk_scoring_streams_the_corpus_side(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ivf_topk")
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "ivf_topk")
+    assert re.search(r"BroadcastHashJoin \[cid", plan), (
+        "ivf_topk's per-list scoring join lost its BROADCAST hint on the"
+        " pool-sized probe side"
+    )
     assert not re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cid", plan), (
         "ivf_topk's per-list scoring join must broadcast the pool-sized"
         " probe side (stream the corpus on its full partitioning)"
