@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_workshop_spark.operators import query
 from lakehouse_workshop_spark.operators.llm_similarity import (
+    _cid_width,
     _DUCK_COS,
     _DUCK_PREP,
     _emb_view,
@@ -375,16 +376,20 @@ def ivf_pq_search(
         bc = spark.sparkContext.broadcast((cent_mat, cent_ids, books))
     assign_encode = _assign_encode_fn(bc)
 
-    # Checkpoint the codes ALREADY hash-partitioned by cid at core-count
-    # width (r17): the ADC stage is groupBy("cid").applyInPandas, whose
-    # required distribution this partitioning satisfies — the per-rep
-    # cid exchange (written from the ~3 AQE-coalesced partitions the
+    # Checkpoint the codes ALREADY hash-partitioned by cid (r17): the
+    # ADC stage is groupBy("cid").applyInPandas, whose required
+    # distribution this partitioning satisfies — the per-rep cid
+    # exchange (written from the ~3 AQE-coalesced partitions the
     # checkpoint otherwise inherits) disappears from the scoring path.
+    # Width scales with the corpus (r18, _cid_width): full core width
+    # at the 100× probe and beyond, a handful of tasks at the base SF
+    # where the fixed 32-way form was scheduling overhead (the driver
+    # read base-SF ivf_pq_topk_kmeans 0.69× after r17).
     codes_df = (
         prepped.mapInPandas(
             assign_encode, "vec_id BIGINT, cid BIGINT, codes ARRAY<INT>"
         )
-        .repartition(spark.sparkContext.defaultParallelism, "cid")
+        .repartition(_cid_width(spark, n), "cid")
         .localCheckpoint(eager=True)
     )
     codes_df.createOrReplaceTempView(f"{tag}_codes")

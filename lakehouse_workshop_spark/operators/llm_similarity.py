@@ -95,6 +95,26 @@ def _worker_buf(tag: str, shape: tuple, dtype=None) -> "np.ndarray":
     return buf
 
 
+# Rows-per-task target for the user cid repartitions feeding the BLAS
+# verdict / ADC applyInPandas stages (r18, VERDICT item 3). The r17 form
+# pinned those shuffles at raw core width, which is overhead when the
+# corpus is small: at the base SF (n=2000) a 32-way shuffle + 32 BLAS
+# tasks of ~60 rows each is pure scheduling cost (the driver's scaling
+# block read most base-SF rows FASTER at 8 cores than 32). Scaling the
+# width with the input keeps the 100×-probe behavior (200k rows → full
+# core width) while collapsing the base-SF shuffle to a handful of
+# tasks; at 100 TB the min() saturates at the core count, identical to
+# the r17 form.
+CID_TASK_ROWS = 4096
+
+
+def _cid_width(spark: SparkSession, n: int) -> int:
+    return max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n // CID_TASK_ROWS)),
+    )
+
+
 def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     # Single-row-group parquet → single-task scan; spread vectors so the
     # fold-heavy scoring parallelizes (see llm_dedup._docs_view). The raw
@@ -109,7 +129,9 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _matmul_assign(
-    spark: SparkSession, n_universe: int | None = None
+    spark: SparkSession,
+    n_universe: int | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Cluster assignment as one broadcast matmul per Arrow batch.
 
@@ -141,6 +163,10 @@ def _matmul_assign(
     if n_universe is not None:
         prepped = prepped.where(F.col("vec_id") < n_universe)
         n = n_universe
+    elif n_total is not None:
+        # Caller already counted the raw relation (e.g. to size a cid
+        # repartition) — reuse it instead of paying a second count job.
+        n = n_total
     else:
         n = spark.table("embeddings_raw").select("vec_id").count()
     nlist = _ivf_nlist(n)
@@ -1312,9 +1338,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange it replaces was AQE-coalesced by shuffle volume (83 MB →
     # 8 partitions at the 100× probe), blind to the verdict stage's BLAS
     # compute — a user REPARTITION_BY_NUM is not coalescible, so the
-    # verdict keeps core-count parallelism.
-    assigned = _matmul_assign(spark).repartition(
-        spark.sparkContext.defaultParallelism, "cid"
+    # verdict keeps core-count parallelism. Width scales with the
+    # corpus (r18, _cid_width): full core width at the 100× probe and
+    # beyond, a handful of tasks at the base SF where 32-way fan-out
+    # was pure scheduling overhead (the count job this costs is the one
+    # _matmul_assign would otherwise pay itself — n_total hands it in).
+    n = spark.table("embeddings_raw").select("vec_id").count()
+    assigned = _matmul_assign(spark, n_total=n).repartition(
+        _cid_width(spark, n), "cid"
     ).withColumn(
         "crn",
         F.row_number().over(
