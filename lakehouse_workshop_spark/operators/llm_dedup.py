@@ -312,6 +312,119 @@ def _minhash_sig_sql(shingle_int: str, shingles_cte: str) -> str:
     """
 
 
+def _minhash_sigs_df(docs: "DataFrame") -> "DataFrame":
+    """Arrow-kernel twin of ``_minhash_sig_sql``'s Spark side (r18,
+    guide §4.2): tokenize → shingle → md5 → 16 universal-hash MINs per
+    doc, all inside one ``mapInPandas`` pass — no explode, no groupBy
+    shuffle (each doc's signature completes within its row), and the
+    md5/tokenize work runs in C (hashlib + numpy) instead of one
+    interpreted higher-order-function lambda chain per shingle.
+    Profiled r17: the SQL form cost ~3.5 min of CPU over 24.2M shingles
+    at the 100× probe — tokenize+md5 evenly spread but paying codegen'd
+    JVM string work per shingle.
+
+    BIT-PARITY with the SQL path (pinned by
+    tests/test_llm_ops.py::test_minhash_sigs_kernel_matches_sql and the
+    DuckDB oracles of every consumer):
+
+    - ``split(text, ' ')`` ≡ ``str.split(' ')``: Java's split with
+      limit -1 and Python's plain-string split both KEEP leading,
+      consecutive and trailing empty tokens.
+    - ``array_join(slice(toks, i, {SHINGLE_WIDTH}), ' ')`` ≡
+      ``' '.join(toks[i:i+W])`` (no nulls by construction);
+      ``array_distinct`` ≡ ``set()`` (MIN is order-blind).
+    - ``conv(substring(md5(s), 1, 15), 16, 10)`` = the top 60 bits of
+      the digest ≡ ``int.from_bytes(digest[:8], 'big') >> 4``.
+    - ``MIN((a * (x % P) + b) % P)``: a, b, x%P < 2³¹ so the products
+      stay < 2⁶² — exact in int64 in both engines.
+    """
+    import numpy as np
+
+    A = np.array(_MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(_MINHASH_B, dtype=np.int64)[:, None]
+    W = SHINGLE_WIDTH
+    # Shingle chunk bound for the (K × chunk) hash slab: batch-wide
+    # temporaries ((16, ~800k) int64 ×3 passes ≈ 300 MB/task) measured
+    # ~2 s/task of pure first-touch page faults on this VM (the exact
+    # _WORKER_BUFS pathology, r17 §6); a fixed-size reused slab keeps
+    # the pages warm across chunks, batches AND tasks (worker reuse).
+    CHUNK = 1 << 16
+
+    def sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from lakehouse_workshop_spark.operators.llm_similarity import (
+            _worker_buf,
+        )
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            counts: list = []
+            xs: list = []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < W:
+                    continue
+                sh = {
+                    " ".join(toks[i : i + W])
+                    for i in range(len(toks) - W + 1)
+                }
+                ids.append(doc_id)
+                counts.append(len(sh))
+                xs.extend(
+                    int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4
+                    for s in sh
+                )
+            if not ids:
+                continue
+            x = np.fromiter(xs, dtype=np.int64, count=len(xs))
+            ends = np.cumsum(counts)
+            ndocs = len(counts)
+            mins = np.empty((MINHASH_K, ndocs), dtype=np.int64)
+            hb = _worker_buf("mh_h", (MINHASH_K, CHUNK), np.int64)
+            xb = _worker_buf("mh_xm", (CHUNK,), np.int64)
+            d0 = 0
+            pos = 0
+            while d0 < ndocs:
+                # widest doc prefix whose shingles fit the slab (a
+                # single doc larger than CHUNK gets its own oversize
+                # chunk via the d1==d0 fallback — correct, just unreused)
+                d1 = int(np.searchsorted(ends, pos + CHUNK, side="right"))
+                if d1 == d0:
+                    d1 = d0 + 1
+                seg = x[pos : ends[d1 - 1]]
+                s = len(seg)
+                if s <= CHUNK:
+                    xm = xb[:s]
+                    b = hb[:, :s]
+                else:
+                    xm = np.empty(s, dtype=np.int64)
+                    b = np.empty((MINHASH_K, s), dtype=np.int64)
+                np.mod(seg, MINHASH_P, out=xm)
+                np.multiply(A, xm, out=b)
+                np.add(b, B, out=b)
+                np.mod(b, MINHASH_P, out=b)
+                starts = np.empty(d1 - d0, dtype=np.int64)
+                starts[0] = 0
+                starts[1:] = ends[d0 : d1 - 1] - pos
+                mins[:, d0:d1] = np.minimum.reduceat(b, starts, axis=1)
+                pos = int(ends[d1 - 1])
+                d0 = d1
+            out = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for i in range(MINHASH_K):
+                out[f"sig{i}"] = mins[i]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id BIGINT, " + ", ".join(
+        f"sig{i} BIGINT" for i in range(MINHASH_K)
+    )
+    return docs.select("doc_id", "text").mapInPandas(sigs, schema)
+
+
 def _band_exprs() -> list[str]:
     rows = MINHASH_K // LSH_BANDS
     out = []
@@ -333,7 +446,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is tiny relative to the corpus.
     """
     _docs_view(spark, sf_dir)
-    return spark.sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES))
+    return _minhash_sigs_df(spark.table("documents"))
 
 
 def _lsh_pairs_sql(sig_sql: str) -> str:
@@ -389,9 +502,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band self-join read the same blocks instead of re-deriving the
     # shingle→minhash pipeline per side. Signatures are ~100 B/doc, so the
     # materialization is negligible next to the corpus.
-    sigs = spark.sql(
-        _minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)
-    ).localCheckpoint(eager=True)
+    sigs = _minhash_sigs_df(spark.table("documents")).localCheckpoint(
+        eager=True
+    )
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[
@@ -479,7 +592,7 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT in both engines — no pair is ever materialized.
     """
     _docs_view(spark, sf_dir)
-    sigs = spark.sql(_minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES))
+    sigs = _minhash_sigs_df(spark.table("documents"))
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[
@@ -1083,9 +1196,9 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard compares exact integer signature components.
     """
     _docs_view(spark, sf_dir)
-    sigs = spark.sql(
-        _minhash_sig_sql(_SPARK_SHINGLE_INT, _SPARK_SHINGLES)
-    ).localCheckpoint(eager=True)
+    sigs = _minhash_sigs_df(spark.table("documents")).localCheckpoint(
+        eager=True
+    )
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[

@@ -970,7 +970,7 @@ def materialize_training_set_incremental(
     )
 
     from lakehouse_workshop_spark.operators.llm_dedup import (
-        _minhash_sig_sql,
+        _minhash_sigs_df,
         LSH_BANDS,
         MINHASH_K,
     )
@@ -995,12 +995,10 @@ def materialize_training_set_incremental(
     # est-Jaccard filter reads signature arrays carried on the band rows,
     # never joins back), so it stays a plain plan and pipelines into the
     # band join; bsig is read twice (x-union and y-side) and checkpoints.
-    csig = spark.sql(
-        _minhash_sig_sql(_SPARK_SHINGLE_INT, _on_rel(_SPARK_SHINGLES, "mti_corpus"))
+    csig = _minhash_sigs_df(spark.table("mti_corpus"))
+    bsig = _minhash_sigs_df(spark.table("mti_bgated")).localCheckpoint(
+        eager=True
     )
-    bsig = spark.sql(
-        _minhash_sig_sql(_SPARK_SHINGLE_INT, _on_rel(_SPARK_SHINGLES, "mti_bgated"))
-    ).localCheckpoint(eager=True)
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[
@@ -1123,9 +1121,8 @@ def materialize_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_workshop_spark.llm.bpe import apply_bpe
     from lakehouse_workshop_spark.operators.llm_dedup import (
         _docs_view,
-        _minhash_sig_sql,
+        _minhash_sigs_df,
         _SPARK_DOC_PCT,
-        _SPARK_SHINGLE_INT,
         _SPARK_SHINGLE_POS,
         _SPARK_SHINGLES,
         _SPARK_TOKEN_POS,
@@ -1150,9 +1147,7 @@ def materialize_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dedup: the minhash_lsh_pairs shape over the clean survivors —
     # signatures materialized once (both band-join sides read the same
     # blocks), bands built in ONE pass carrying the signature array.
-    sigs = spark.sql(
-        _minhash_sig_sql(_SPARK_SHINGLE_INT, _on_rel(_SPARK_SHINGLES, "v2_clean"))
-    ).localCheckpoint(eager=True)
+    sigs = _minhash_sigs_df(clean).localCheckpoint(eager=True)
     rows = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[

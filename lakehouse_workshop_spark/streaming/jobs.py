@@ -1069,9 +1069,7 @@ def run_streaming_lsh_ingest(
 
     from lakehouse_workshop_spark.catalog import load_table
     from lakehouse_workshop_spark.operators.llm_dedup import (
-        _minhash_sig_sql,
-        _SPARK_SHINGLE_INT,
-        _SPARK_SHINGLES,
+        _minhash_sigs_df,
         INCR_BATCH_PRED,
         LSH_BANDS,
         MINHASH_K,
@@ -1099,15 +1097,8 @@ def run_streaming_lsh_ingest(
             "doc_id", sig_arr.alias("sig"), F.explode(band_structs).alias("band")
         ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
-    docs.filter(~F.expr(INCR_BATCH_PRED)).select("doc_id", "text")\
-        .createOrReplaceTempView("lsh_gate_corpus")
     corpus_bands = _bands(
-        spark.sql(
-            _minhash_sig_sql(
-                _SPARK_SHINGLE_INT,
-                _SPARK_SHINGLES.replace("FROM documents", "FROM lsh_gate_corpus"),
-            )
-        )
+        _minhash_sigs_df(docs.filter(~F.expr(INCR_BATCH_PRED)))
     ).localCheckpoint(eager=True)
 
     source_dir = os.path.join(target_dir, "_incoming")
@@ -1124,13 +1115,7 @@ def run_streaming_lsh_ingest(
     )
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.createOrReplaceTempView("lsh_gate_batch")
-        bsig = batch_df.sparkSession.sql(
-            _minhash_sig_sql(
-                _SPARK_SHINGLE_INT,
-                _SPARK_SHINGLES.replace("FROM documents", "FROM lsh_gate_batch"),
-            )
-        )
+        bsig = _minhash_sigs_df(batch_df)
         x, y = corpus_bands.alias("x"), _bands(bsig).alias("y")
         matches = F.aggregate(
             F.zip_with(

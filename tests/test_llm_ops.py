@@ -33,6 +33,38 @@ def test_minhash_identical_docs_share_signature(spark):
     assert by_id[1] != by_id[3]
 
 
+def test_minhash_sigs_kernel_matches_sql(spark, sf_dir):
+    """The r18 Arrow kernel must be BIT-IDENTICAL to the SQL signature
+    path (md5 top-60-bits, universal-hash mins) — the md5-parity
+    constraint the r17 verdict set before allowing the kernel swap.
+    Includes adversarial tokenization: consecutive / leading / trailing
+    spaces (split keeps empties in both engines) and a doc shorter than
+    the shingle width (emits no row in both)."""
+    D._docs_view(spark, sf_dir)
+    sql_rows = sorted(
+        spark.sql(D._minhash_sig_sql(D._SPARK_SHINGLE_INT, D._SPARK_SHINGLES))
+        .collect()
+    )
+    k_rows = sorted(D._minhash_sigs_df(spark.table("documents")).collect())
+    assert sql_rows == k_rows
+    rows = [
+        (1, "a  b c  d e"),          # consecutive spaces -> empty tokens
+        (2, " a b c d "),            # leading/trailing space
+        (3, "x y"),                  # shorter than SHINGLE_WIDTH: no row
+        (4, "a b c a b c a b c"),    # heavy shingle dedup
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    sql_rows = sorted(
+        spark.sql(D._minhash_sig_sql(D._SPARK_SHINGLE_INT, D._SPARK_SHINGLES))
+        .collect()
+    )
+    k_rows = sorted(D._minhash_sigs_df(spark.table("documents")).collect())
+    assert sql_rows == k_rows
+    assert {r.doc_id for r in k_rows} == {1, 2, 4}
+
+
 def test_simhash_similar_docs_close(spark):
     base = " ".join("tok%d" % i for i in range(40))
     rows = [(1, base), (2, base + " extra"), (3, " ".join("z%d" % i for i in range(40)))]
