@@ -619,6 +619,145 @@ ANN_LSH_PPT_SQL = (
 )
 
 
+def _ann_lsh_tail_sql(cos: str, buckets: str) -> str:
+    """The candidate/score/rank tail of the multi-table ANN search,
+    shared VERBATIM by the oracle (which derives ``buckets`` from the
+    dots CTE) and the Spark side (which reads the kernel-built
+    ``ann_lsh_buckets`` view) — one copy of the join-order and
+    tie-break conventions, the `_pq_knobs` drift lesson."""
+    return f"""cand AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vec_id
+        FROM {buckets} x JOIN {buckets} y
+          ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        WHERE x.{QUERY_FILTER}
+    ),
+    scored AS (
+        -- Join ORDER pinned (r17 §5, re-landed r18 after de68468's
+        -- wholesale revert dropped it; guide §8): attach the
+        -- corpus-side embedding FIRST (the cand exchange carries ids
+        -- only), then the query-side embedding by BROADCAST. The flat
+        -- two-join form let the planner attach a.emb first and ship
+        -- it through the second join's exchange — measured 1.6 GB of
+        -- shuffled embedding payload at the 100× probe where the ids
+        -- are ~50 MB. The broadcast side is the QUERY_FILTER slice of
+        -- e (|Q| rows): broadcasting the unfiltered relation would
+        -- ship the FULL corpus embeddings (the r17 ADVICE finding on
+        -- the PQ re-rank) — every cand.query_id satisfies the filter,
+        -- so the slice is exactly the rows the join can match. DuckDB
+        -- reads the hint as a comment; the nesting is inert.
+        SELECT /*+ BROADCAST(a) */
+               b.query_id, b.vec_id, ROUND({cos}, 6) AS cosine
+        FROM (SELECT cand.query_id, ie.vec_id, ie.emb, ie.nrm
+              FROM cand JOIN e ie ON ie.vec_id = cand.vec_id) b
+        JOIN (SELECT * FROM e WHERE {QUERY_FILTER}) a
+          ON a.vec_id = b.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}"""
+
+
+def _lsh_plane_matrix(n_planes: int) -> "np.ndarray":
+    """Driver-side twin of ``_spark_planes_expr``'s ±1 plane table:
+    plane[j][d] = +1 iff the first hex char of md5("{j}_{d}") is odd
+    (the '13579bdf' set = an odd top nibble). Bit-parity with the SQL
+    expression is pinned by tests/test_llm_ops.py::
+    test_lsh_plane_matrix_matches_sql."""
+    import hashlib
+
+    import numpy as np
+
+    mat = np.empty((n_planes, EMB_DIM), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(EMB_DIM):
+            nib = hashlib.md5(f"{j}_{d}".encode()).digest()[0] >> 4
+            mat[j, d] = 1.0 if nib % 2 == 1 else -1.0
+    return mat
+
+
+def _ann_lsh_buckets_view(spark: SparkSession) -> None:
+    """Register ``ann_lsh_buckets`` (vec_id, tbl, bucket) via a BLAS
+    bucketing kernel (r18, guide §4.2/§8; VERDICT item 4): the SQL
+    dots CTE paid one interpreted 64-element fold per (vector, plane)
+    pair — 16M folds ≈ 100 s CPU at the 100× probe — plus a 16M-row
+    aggregation exchange into the buckets groupBy. The kernel computes
+    each vector's full bit row with one matmul against the broadcast
+    plane matrix and folds the per-table bucket ids in-row: no plane
+    cross join, no dots aggregation, no shuffle at all.
+
+    BIT-SAFETY of the sign test (the r17 blocker): ``dot >= 0`` on an
+    unrounded fold is knife-edge under BLAS summation-order changes, so
+    any |dot| < 1e-9 is recomputed with the exact left fold (same
+    multiplications, same addition order as the SQL lambda) and its
+    sign is authoritative — the `_matmul_assign` margin-repair scheme.
+    The margin is ~4 orders above the worst fold-vs-BLAS drift for 64
+    doubles (~1e-13 relative) and candidate repairs are ~0 in practice,
+    so the repair loop is free.
+
+    ppt derives from the corpus count driver-side (floor(log2(n))-7,
+    floored at {ANN_LSH_PPT_MIN}) — log2 of an exact BIGINT matches the
+    SQL scalar-subquery form bit-for-bit; the count replaces the scalar
+    subquery's own count job, so the job budget is unchanged.
+    """
+    import math
+
+    import numpy as np
+
+    n = spark.table("embeddings_raw").select("vec_id").count()
+    ppt = max(ANN_LSH_PPT_MIN, int(math.floor(math.log2(n))) - 7)
+    nplanes = ANN_LSH_TABLES * ppt
+    planes = _lsh_plane_matrix(nplanes)
+    weights = (1 << (np.arange(nplanes, dtype=np.int64) % ppt)).astype(
+        np.int64
+    )
+    bc = spark.sparkContext.broadcast((planes, weights, ppt))
+
+    def buckets(batches):
+        import numpy as np
+        import pandas as pd
+
+        P, w, ppt_ = bc.value
+        tbls = np.arange(ANN_LSH_TABLES, dtype=np.int32)
+        # Arrow batches cap at maxRecordsPerBatch (10k) — one fixed-size
+        # score slab serves every batch (and every task: worker reuse).
+        cap = 10_240
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy())
+            nr = len(m)
+            if nr <= cap:
+                d = np.matmul(
+                    m, P.T, out=_worker_buf("lsh_dots", (cap, len(P)))[:nr]
+                )
+            else:
+                d = m @ P.T
+            # margin repair: exact left fold decides knife-edge signs
+            for i, j in zip(*np.nonzero(np.abs(d) < 1e-9)):
+                acc = 0.0
+                row, pl = m[i], P[j]
+                for k in range(EMB_DIM):
+                    acc += row[k] * pl[k]
+                d[i, j] = 1.0 if acc >= 0 else -1.0
+            bits = (d >= 0).astype(np.int64)
+            bkt = (bits * w).reshape(nr, ANN_LSH_TABLES, ppt_).sum(axis=2)
+            vec = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec, ANN_LSH_TABLES),
+                    "tbl": np.tile(tbls, nr),
+                    "bucket": bkt.reshape(-1),
+                }
+            )
+
+    spark.sql(_SPARK_PREP).select("vec_id", "emb").mapInPandas(
+        buckets, "vec_id BIGINT, tbl INT, bucket BIGINT"
+    ).createOrReplaceTempView("ann_lsh_buckets")
+
+
 def _ann_topk_lsh_sql(
     planes_n_fn,
     prep: str,
@@ -654,46 +793,12 @@ def _ann_topk_lsh_sql(
                CASE WHEN {plane_dot} >= 0 THEN 1 ELSE 0 END AS bit
         FROM e CROSS JOIN planes p
     ),
-    buckets AS (
+    lsh_buckets AS (
         SELECT vec_id, (j {intdiv} ppt) AS tbl,
                CAST(SUM(bit * CAST(POW(2, j % ppt) AS BIGINT)) AS BIGINT) AS bucket
         FROM dots CROSS JOIN params GROUP BY vec_id, (j {intdiv} ppt)
     ),
-    cand AS (
-        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vec_id
-        FROM buckets x JOIN buckets y
-          ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
-        WHERE x.{QUERY_FILTER}
-    ),
-    scored AS (
-        -- Join ORDER pinned (r17 §5, re-landed r18 after de68468's
-        -- wholesale revert dropped it; guide §8): attach the
-        -- corpus-side embedding FIRST (the cand exchange carries ids
-        -- only), then the query-side embedding by BROADCAST. The flat
-        -- two-join form let the planner attach a.emb first and ship
-        -- it through the second join's exchange — measured 1.6 GB of
-        -- shuffled embedding payload at the 100× probe where the ids
-        -- are ~50 MB. The broadcast side is the QUERY_FILTER slice of
-        -- e (|Q| rows): broadcasting the unfiltered relation would
-        -- ship the FULL corpus embeddings (the r17 ADVICE finding on
-        -- the PQ re-rank) — every cand.query_id satisfies the filter,
-        -- so the slice is exactly the rows the join can match. DuckDB
-        -- reads the hint as a comment; the nesting is inert.
-        SELECT /*+ BROADCAST(a) */
-               b.query_id, b.vec_id, ROUND({cos}, 6) AS cosine
-        FROM (SELECT cand.query_id, ie.vec_id, ie.emb, ie.nrm
-              FROM cand JOIN e ie ON ie.vec_id = cand.vec_id) b
-        JOIN (SELECT * FROM e WHERE {QUERY_FILTER}) a
-          ON a.vec_id = b.query_id
-    ),
-    ranked AS (
-        SELECT query_id, vec_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, vec_id) AS rnk
-        FROM scored
-    )
-    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= {TOP_K}
+    {_ann_lsh_tail_sql(cos, "lsh_buckets")}
     """
 
 
@@ -716,23 +821,25 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole pipeline has a DuckDB oracle; the recall floor vs the
     exact twin is pinned by tests/test_recall.py.
 
-    Scale: bucketing is one narrow pass per vector (plane count derives
-    from the corpus size in-query, max(4, log2(n)-7) planes per table,
-    so expected bucket population stays ~constant as n grows — see
-    ``ANN_LSH_PPT_SQL``); candidates come from {ANN_LSH_TABLES} bucket
-    equi-joins — no all-pairs stage; DISTINCT dedup keys on
-    (query, candidate).
+    Scale: bucketing is one narrow pass per vector — the BLAS kernel
+    behind ``ann_lsh_buckets`` (r18): one matmul per Arrow batch
+    against the broadcast plane matrix with margin-repaired signs, the
+    per-table bucket fold done in-row (the SQL dots CTE paid one
+    interpreted 64-element fold per (vector, plane) pair — 16M folds at
+    the 100× probe — plus a 16M-row aggregation exchange; the oracle
+    keeps that form and pins the kernel bit-exact). Plane count derives
+    from the corpus size (max(4, log2(n)-7) planes per table, so
+    expected bucket population stays ~constant as n grows); candidates
+    come from {ANN_LSH_TABLES} bucket equi-joins — no all-pairs stage;
+    DISTINCT dedup keys on (query, candidate).
     """
     _emb_view(spark, sf_dir)
+    _ann_lsh_buckets_view(spark)
     return spark.sql(
-        _ann_topk_lsh_sql(
-            _spark_planes_expr,
-            _SPARK_PREP,
-            _SPARK_PLANE_DOT,
-            _SPARK_COS,
-            "div",
-            count_rel="(SELECT vec_id FROM embeddings_raw)",
-        )
+        f"""
+        WITH e AS ({_SPARK_PREP}),
+        {_ann_lsh_tail_sql(_SPARK_COS, "ann_lsh_buckets")}
+        """
     )
 
 

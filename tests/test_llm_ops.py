@@ -65,6 +65,54 @@ def test_minhash_sigs_kernel_matches_sql(spark, sf_dir):
     assert {r.doc_id for r in k_rows} == {1, 2, 4}
 
 
+def test_lsh_plane_matrix_matches_sql(spark):
+    """The r18 BLAS bucketing kernel derives its plane matrix
+    driver-side; it must be BIT-EQUAL to ``_spark_planes_expr``'s ±1
+    table (md5 first-hex-char parity) — the bucketing's entire
+    determinism rides on it."""
+    import numpy as np
+
+    rows = spark.sql(S._spark_planes_expr("48")).collect()
+    sql_mat = np.array(
+        [r["plane"] for r in sorted(rows, key=lambda r: r["j"])]
+    )
+    assert np.array_equal(sql_mat, S._lsh_plane_matrix(48))
+
+
+def test_ann_lsh_buckets_kernel_matches_sql(spark, sf_dir):
+    """The kernel's (vec_id, tbl, bucket) rows must match the SQL
+    dots→buckets CTEs exactly — margin-repaired BLAS signs vs the
+    interpreted left fold."""
+    S._emb_view(spark, sf_dir)
+    S._ann_lsh_buckets_view(spark)
+    k_rows = sorted(
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.table("ann_lsh_buckets").collect()
+    )
+    t = S.ANN_LSH_TABLES
+    sql_rows = sorted(
+        (r.vec_id, int(r.tbl), r.bucket)
+        for r in spark.sql(
+            f"""
+        WITH e AS ({S._SPARK_PREP}),
+        params AS (SELECT {S.ANN_LSH_PPT_SQL} AS ppt
+                   FROM (SELECT vec_id FROM embeddings_raw)),
+        planes AS ({S._spark_planes_expr(f"(SELECT {t} * ppt FROM params)")}),
+        dots AS (
+            SELECT e.vec_id, p.j,
+                   CASE WHEN {S._SPARK_PLANE_DOT} >= 0 THEN 1 ELSE 0 END AS bit
+            FROM e CROSS JOIN planes p
+        )
+        SELECT vec_id, (j div ppt) AS tbl,
+               CAST(SUM(bit * CAST(POW(2, j % ppt) AS BIGINT)) AS BIGINT)
+                   AS bucket
+        FROM dots CROSS JOIN params GROUP BY vec_id, (j div ppt)
+        """
+        ).collect()
+    )
+    assert k_rows == sql_rows
+
+
 def test_simhash_similar_docs_close(spark):
     base = " ".join("tok%d" % i for i in range(40))
     rows = [(1, base), (2, base + " extra"), (3, " ".join("z%d" % i for i in range(40)))]
