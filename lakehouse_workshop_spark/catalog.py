@@ -406,6 +406,32 @@ def decode_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from the parquet FOOTER
+    metadata — no Spark job (r18, guide §5: the driver should do almost
+    no data work, and a COUNT(*) job exists only to size index geometry
+    scalars). Parquet footers carry the exact ``num_rows`` per file, so
+    this equals ``COUNT(*)`` bit-for-bit; it is re-read from the input
+    on every invocation (nothing is memoized across runs). At 100 TB
+    the same number comes from the table format's manifest (Iceberg/
+    Delta snapshot row counts) without touching data files; on bare
+    parquet it is one footer read per file instead of a full scan job
+    with a cluster-wide barrier."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic testdata table (TESTDATA.md)."""
     if name == "events":

@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_workshop_spark.catalog import table_rowcount
 from lakehouse_workshop_spark.operators import query
 from lakehouse_workshop_spark.operators.llm_similarity import (
     _cid_width,
@@ -319,7 +320,10 @@ def ivf_pq_search(
     # assign-and-encode pass (the first cut of this query re-derived the
     # centroids and the sample through _matmul_assign and paid every job
     # twice).
-    n = spark.table("embeddings_raw").select("vec_id").count()
+    # n from the parquet footer (table_rowcount — no job, r18): the
+    # zero-column count scan this replaces was one of the per-rep job
+    # barriers the scaling block billed to every PQ row.
+    n = table_rowcount(sf_dir, "embeddings")
     nlist = max(IVF_NLIST_MIN, int(n**0.5))
     nprobe, shortlist = _pq_knobs(n, nlist)
     prefix = (

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_workshop_spark.catalog import load_table
+from lakehouse_workshop_spark.catalog import load_table, table_rowcount
 from lakehouse_workshop_spark.operators import query
 
 TOP_K = 10
@@ -555,7 +555,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same 6-dp-rounded argmax semantics as the oracle's window). The
     # checkpoint materializes the Python stage once — the probe ranking
     # and both sides of the cluster equi-join read it back.
-    _matmul_assign(spark).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
+    _matmul_assign(
+        spark, n_total=table_rowcount(sf_dir, "embeddings")
+    ).select("vec_id", "emb", "nrm", "cid").localCheckpoint(
         eager=True
     ).createOrReplaceTempView("ivf_clustered")
     return spark.sql(
@@ -680,7 +682,7 @@ def _lsh_plane_matrix(n_planes: int) -> "np.ndarray":
     return mat
 
 
-def _ann_lsh_buckets_view(spark: SparkSession) -> None:
+def _ann_lsh_buckets_view(spark: SparkSession, sf_dir: str) -> None:
     """Register ``ann_lsh_buckets`` (vec_id, tbl, bucket) via a BLAS
     bucketing kernel (r18, guide §4.2/§8; VERDICT item 4): the SQL
     dots CTE paid one interpreted 64-element fold per (vector, plane)
@@ -701,14 +703,15 @@ def _ann_lsh_buckets_view(spark: SparkSession) -> None:
 
     ppt derives from the corpus count driver-side (floor(log2(n))-7,
     floored at {ANN_LSH_PPT_MIN}) — log2 of an exact BIGINT matches the
-    SQL scalar-subquery form bit-for-bit; the count replaces the scalar
-    subquery's own count job, so the job budget is unchanged.
+    SQL scalar-subquery form bit-for-bit; the count comes from the
+    parquet footer (table_rowcount — no job), so the SQL form's scalar
+    count subquery job disappears outright.
     """
     import math
 
     import numpy as np
 
-    n = spark.table("embeddings_raw").select("vec_id").count()
+    n = table_rowcount(sf_dir, "embeddings")
     ppt = max(ANN_LSH_PPT_MIN, int(math.floor(math.log2(n))) - 7)
     nplanes = ANN_LSH_TABLES * ppt
     planes = _lsh_plane_matrix(nplanes)
@@ -834,7 +837,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT dedup keys on (query, candidate).
     """
     _emb_view(spark, sf_dir)
-    _ann_lsh_buckets_view(spark)
+    _ann_lsh_buckets_view(spark, sf_dir)
     return spark.sql(
         f"""
         WITH e AS ({_SPARK_PREP}),
@@ -1183,7 +1186,9 @@ def ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded. Shares divide exact integers, identical cross-engine.
     """
     _emb_view(spark, sf_dir)
-    _matmul_assign(spark).select("vec_id", "cid").createOrReplaceTempView(
+    _matmul_assign(
+        spark, n_total=table_rowcount(sf_dir, "embeddings")
+    ).select("vec_id", "cid").createOrReplaceTempView(
         "ivf_balance_assign"
     )
     return spark.sql(
@@ -1448,9 +1453,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdict keeps core-count parallelism. Width scales with the
     # corpus (r18, _cid_width): full core width at the 100× probe and
     # beyond, a handful of tasks at the base SF where 32-way fan-out
-    # was pure scheduling overhead (the count job this costs is the one
-    # _matmul_assign would otherwise pay itself — n_total hands it in).
-    n = spark.table("embeddings_raw").select("vec_id").count()
+    # was pure scheduling overhead. n comes from the parquet footer
+    # (table_rowcount — no job); n_total hands it into _matmul_assign
+    # so the count job disappears from the query entirely.
+    n = table_rowcount(sf_dir, "embeddings")
     assigned = _matmul_assign(spark, n_total=n).repartition(
         _cid_width(spark, n), "cid"
     ).withColumn(
@@ -1886,7 +1892,9 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _emb_view(spark, sf_dir)
-    assigned = _matmul_assign(spark).localCheckpoint(eager=True)
+    assigned = _matmul_assign(
+        spark, n_total=table_rowcount(sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
     assigned.createOrReplaceTempView("ivf_rebal_assigned")
     # The plan re-derived in Spark SQL with the same arithmetic as the
     # oracle (ROUND/CEIL on the engine side, never numpy), collected at
