@@ -90,11 +90,22 @@ def _docs_view(spark: SparkSession, sf_dir: str) -> None:
     # The corpus parquet is a single row group, so the scan (and everything
     # pipelined into it — the shingle/token lambdas, the expensive part of
     # these queries) would run on ONE core. Spreading the raw text first
-    # costs a ~MB shuffle and parallelizes the compute; at 100 TB the scan
-    # arrives pre-split and this repartition coalesces into AQE's plan.
-    load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView("documents")
+    # costs a ~MB shuffle and parallelizes the compute. The spread is
+    # CONDITIONAL (r18, guide §2.4): a round-robin REPARTITION_BY_NUM
+    # never coalesces away (the old comment's "coalesces into AQE's
+    # plan" was wrong — it always executes), so when the input already
+    # splits to >= core-count scan tasks (the 32-file probe corpora,
+    # any real multi-file table) it was a full shuffle of the text
+    # payload per rep — 83 MB on every dedup/ngram row at the 100×
+    # probe, the whole corpus at 100 TB. Row order is all it changes;
+    # every consumer is row-order-independent.
+    docs = load_table(spark, sf_dir, "documents")
+    if len(docs.inputFiles()) >= spark.sparkContext.defaultParallelism:
+        docs.createOrReplaceTempView("documents")
+    else:
+        docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView("documents")
 
 
 # ---------------------------------------------------------------------------

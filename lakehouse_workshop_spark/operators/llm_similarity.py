@@ -121,11 +121,24 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> None:
     # (unrepartitioned) scan is registered alongside for scalar-only
     # derivations (corpus count): counting through the repartitioned view
     # would execute its exchange as a full extra shuffle job.
+    #
+    # The spread is CONDITIONAL (r18, guide §2.4): when the input
+    # already splits to >= core-count scan tasks (the 32-file probe
+    # corpora under the minPartitionNum floor, any real multi-file
+    # table), the round-robin exchange is a full shuffle of the corpus
+    # payload for nothing — measured 53 MB/rep on every ANN row at the
+    # 100× probe; at 100 TB it would re-shuffle the entire corpus once
+    # per query. Row order is the only thing the spread changes, and
+    # every consumer is row-order-independent (keyed aggregations,
+    # row-wise kernels, rank windows with total tie-breaks).
     raw = load_table(spark, sf_dir, "embeddings")
     raw.createOrReplaceTempView("embeddings_raw")
-    raw.repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView("embeddings")
+    if len(raw.inputFiles()) >= spark.sparkContext.defaultParallelism:
+        raw.createOrReplaceTempView("embeddings")
+    else:
+        raw.repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView("embeddings")
 
 
 def _matmul_assign(

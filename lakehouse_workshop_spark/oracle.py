@@ -19,11 +19,23 @@ from lakehouse_workshop_spark.catalog import TESTDATA_TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        # Probe corpora are multi-file parquet DIRECTORIES holding only
+        # the corpus tables; glob directories and skip absent tables so
+        # probe-scale parity runs work (r18).
+        if os.path.isdir(path):
+            src = f"{path}/*.parquet"
+        elif os.path.exists(path):
+            src = path
+        else:
+            continue
         con.sql(
             f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"SELECT * FROM read_parquet('{src}')"
         )
     return con
 
