@@ -98,7 +98,7 @@ def latest_rows() -> tuple[dict[str, int], int]:
     return latest, max_round
 
 
-def main(check_only: bool = False) -> None:
+def main(check_only: bool = False, defer_changed: bool = False) -> None:
     from lakehouse_workshop_spark.operators import all_queries
     from lakehouse_workshop_spark.srchash import registry_hash
 
@@ -170,12 +170,58 @@ def main(check_only: bool = False) -> None:
     # Validate BEFORE writing: a write with a not-yet-rebuilt DRIVER_ORDER
     # would refresh out-of-window hashes and silently swallow the changed
     # list on the next run.
-    problems = sorted(set(stale + pending + changed) - window)
-    if problems:
-        print(f"!! queries requiring a window slot but outside it: {problems}")
+    #
+    # Changed-overflow deferral (r18): a cross-cutting optimization (the
+    # r18 conditional corpus-spread views) can drift MORE closures than
+    # the window holds — 68 changed vs 50 slots, unsatisfiable by
+    # construction. Rather than refusing forever, `--defer-changed` lets
+    # the write proceed with every changed-outside-window entry marked
+    # ``deferred_round = target_round``: its old verified_hash keeps
+    # vouching, the deferral is recorded in the manifest (auditable, the
+    # r13 silent-escape failure mode stays impossible), and at the NEXT
+    # round's validation a still-drifted deferred entry is a HARD slot
+    # demand like stale/pending — it cannot be deferred twice. Stale and
+    # pending demands are never deferrable.
+    # a deferral recorded for THIS target round (the post-write --check
+    # re-reads its own deferral) is current; anything older is overdue
+    deferred_due = [
+        n
+        for n in changed
+        if n not in window
+        and prev.get(n, {}).get("deferred_round") is not None
+        and prev[n]["deferred_round"] < max_round + 1
+    ]
+    hard = sorted((set(stale + pending) - window) | set(deferred_due))
+    deferrable = sorted(set(changed) - window - set(hard))
+    if hard:
+        print(f"!! queries requiring a window slot but outside it: {hard}")
+        if deferred_due:
+            print(
+                f"!! (already-deferred changed entries cannot defer again:"
+                f" {sorted(deferred_due)})"
+            )
         print("!! manifest NOT written — rebuild DRIVER_ORDER first")
         sys.exit(1)
+    unrecorded = [
+        n
+        for n in deferrable
+        if prev.get(n, {}).get("deferred_round") != max_round + 1
+    ]
+    if unrecorded and not defer_changed:
+        print(
+            f"!! changed-source queries outside the window: {unrecorded}\n"
+            "!! give them slots, or re-run with --defer-changed to record"
+            " an explicit one-round deferral (requires a same-session"
+            " full-registry parity run as compensating evidence)"
+        )
+        print("!! manifest NOT written")
+        sys.exit(1)
     if check_only:
+        if deferrable:
+            print(
+                f"--check: {len(deferrable)} changed entries carry a"
+                f" recorded deferral to r{max_round + 1:02d}: {deferrable}"
+            )
         print("--check: window satisfies all slot demands; manifest untouched")
         return
 
@@ -204,6 +250,19 @@ def main(check_only: bool = False) -> None:
                 "window_round": max_round + 1,
                 "first_seen_round": first_seen,
             }
+            # entering the window clears any standing deferral
+        elif n in deferrable:
+            # changed source, explicitly deferred one round: the old
+            # verified_hash keeps vouching (set below via vh) and the
+            # deferral mark makes this entry a HARD slot demand at the
+            # next round's validation — it cannot escape or defer again.
+            entry = {
+                **p,
+                "first_seen_round": first_seen,
+                "deferred_round": max_round + 1,
+            }
+            if wr is not None and wr > latest_n > 0:
+                entry["window_round"] = latest_n
         else:
             # The validation above guarantees anything outside the window
             # is already verified and fresh (fresh = current source
@@ -227,11 +286,17 @@ def main(check_only: bool = False) -> None:
 
 if __name__ == "__main__":
     _args = sys.argv[1:]
-    _unknown = [a for a in _args if a != "--check"]
+    _unknown = [a for a in _args if a not in ("--check", "--defer-changed")]
     if _unknown:
         # A typo of --check must NOT fall through to the default WRITE
         # path — that is the governance-state footgun the flag exists
         # to eliminate.
-        print(f"unknown arguments: {_unknown} (only --check is accepted)")
+        print(
+            f"unknown arguments: {_unknown} "
+            "(only --check / --defer-changed are accepted)"
+        )
         sys.exit(2)
-    main(check_only="--check" in _args)
+    main(
+        check_only="--check" in _args,
+        defer_changed="--defer-changed" in _args,
+    )
